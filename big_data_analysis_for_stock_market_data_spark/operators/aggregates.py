@@ -1,0 +1,97 @@
+"""Aggregate operators (SURVEY.md §2.4 A1-A7) and data-quality scans.
+
+The reference's grouped averages (A1/A2) and its 15-line RDD map/reduce
+average (A3, ``G_2_rf_nordd_fe.py:59-73``) all collapse to
+``groupBy().agg()`` — Spark's hash aggregate does map-side partial
+aggregation before the shuffle, so the shuffle carries one row per
+(partition, key), not per input row. The quality scans replace the
+reference's two-pass count-vs-count probes (``ipynb cells 15,17``) with
+single-pass formulations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_avg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    values: dict[str, str],
+    order_by_keys: bool = False,
+) -> DataFrame:
+    """A1/A2/A3: hash aggregate AVG per key. ``values`` maps input column ->
+    output alias. ``order_by_keys=True`` adds the reference's A2 sorted
+    output (a range-partitioned sort — only request it when the consumer
+    needs global order)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    aggs = [F.avg(src).alias(dst) for src, dst in values.items()]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.orderBy(*keys) if order_by_keys else out
+
+
+def duplicate_stats(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """A4: duplicate detection in ONE pass. The reference runs
+    ``df.count()`` vs ``df.dropDuplicates().count()`` — two full scans plus
+    a global dedup shuffle (``ipynb cell 15``). Equivalent single aggregate:
+    group on the key columns, count rows vs distinct groups."""
+    cols = list(subset or df.columns)
+    grouped = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n"))
+    return grouped.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("_n") - F.count(F.lit(1))).alias("n_duplicates"),
+    )
+
+
+def null_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """A5: per-column null counts in one pass (reference ran
+    ``df.na.drop().count()`` vs ``df.count()``, ``ipynb cell 17``)."""
+    cols = list(columns or df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    aggs += [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in cols
+    ]
+    return df.agg(*aggs)
+
+
+def assert_clean(df: DataFrame, subset: Sequence[str] | None = None) -> None:
+    """Reference parity: raise ValueError when duplicates or nulls exist
+    (``ipynb cells 15,17``) — but via the single-pass scans above."""
+    dup = duplicate_stats(df, subset).first()
+    if dup["n_duplicates"] > 0:
+        raise ValueError(f"found {dup['n_duplicates']} duplicate rows")
+    nulls = null_stats(df, subset).first()
+    bad = {k: v for k, v in nulls.asDict().items() if k != "n_rows" and v}
+    if bad:
+        raise ValueError(f"found nulls: {bad}")
+
+
+def moments(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """A6: skewness/kurtosis (reference ``ipynb cell 20``; imports at
+    ``G_2_rf_rdd.py:20``). Spark's ``skewness`` is the population g1 =
+    m3/m2^1.5; ``kurtosis`` is excess population kurtosis m4/m2^2 - 3."""
+    aggs: list[Column] = []
+    for c in columns:
+        aggs.append(F.skewness(c).alias(f"skew_{c}"))
+        aggs.append(F.kurtosis(c).alias(f"kurt_{c}"))
+    return df.agg(*aggs)
+
+
+def summary_stats(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """describe()-equivalent as a deterministic single aggregate (count,
+    mean, stddev_samp, min, max per column) — one row out."""
+    aggs: list[Column] = []
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"count_{c}"),
+            F.avg(c).alias(f"mean_{c}"),
+            F.stddev_samp(c).alias(f"stddev_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return df.agg(*aggs)

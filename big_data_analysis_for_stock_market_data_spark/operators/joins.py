@@ -1,0 +1,150 @@
+"""Join operators (SURVEY.md §2.3) and the join-or-fuse builder (Q4).
+
+The reference's dominant idiom is "compute a small keyed table aside, then
+equi-join it back onto the fact table" — 30+ sites, e.g.
+``G_2_rf_nordd_fe.py:47-49`` (daily AVG joined back on ``date_only``).
+On Spark that costs a shuffle (or broadcast) per join, and the reference
+chains 11 of them sequentially. ``fuse_group_stat`` collapses the idiom into
+ONE window expression over the same frame: a single shuffle on the partition
+key computes the per-group statistic and attaches it to every row — no join,
+no second scan, and Catalyst stacks multiple fused stats into one Window
+node when they share the partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool | None = None,
+) -> DataFrame:
+    """J1/J2: USING-style equi-join (key columns deduplicated, as the
+    reference relies on: ``data.join(buy_sell_df, on='date')``,
+    ``G_2_rf_nordd.py:40``).
+
+    ``broadcast_right=True`` forces a broadcast-hash join (right side must
+    fit in executor memory); ``None`` lets Catalyst/AQE decide from size
+    stats — the right default for dim tables under the auto-broadcast
+    threshold. All of Spark's join types pass through ``how`` (the reference
+    only used inner; semi/anti/outer are part of the engine surface, J3).
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+def fuse_group_stat(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    values: dict[str, str],
+    agg: str = "avg",
+) -> DataFrame:
+    """Q4 fusion: replace {groupBy(keys).agg → join back on keys} with a
+    window aggregate over ``Window.partitionBy(keys)`` (unbounded frame).
+
+    Semantics are identical to the reference's join-back for inner joins on
+    a key derived from the same frame (every row finds its group row).
+    ``values`` maps input column -> output alias; ``agg`` is any Spark
+    aggregate name (avg/sum/min/max/count/stddev...).
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    w = Window.partitionBy(*keys)
+    out = df
+    for src, dst in values.items():
+        out = out.withColumn(dst, getattr(F, agg)(src).over(w))
+    return out
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (J3 extension — natural for time series, absent in the
+    reference). For each left row, attach the most recent right row at or
+    before ``left_time`` (direction='backward') or the earliest at or after
+    (direction='forward'), within the same ``on`` partition keys.
+
+    Spark-first implementation: union the two sides tagged by origin, sort
+    within each partition key by time once, and carry right-side values
+    across with ``last(..., ignorenulls=True)`` — one shuffle on the keys,
+    no range-explosion join. Scales with rows, not with |left|x|right|.
+    """
+    if isinstance(on, str):
+        on = [on]
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lt = F.col(left_time)
+    left_tagged = left.select(
+        *on,
+        lt.alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}") for v in right_values],
+    )
+    right_tagged = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left_tagged.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+    )
+    unioned = left_tagged.unionByName(right_tagged)
+
+    if direction == "backward":
+        # Right rows sort before left rows at equal time => "at or before".
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [
+            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(v)
+            for v in right_values
+        ]
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [
+            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(v)
+            for v in right_values
+        ]
+
+    out = unioned.select("_is_left", "_lrow", *carried).filter(F.col("_is_left") == 1)
+    return out.select(*[F.col(f"_lrow.{c}").alias(c) for c in left.columns], *right_values)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Range join (J3 extension): left rows matched to right intervals
+    ``[lo, hi)``. With a small interval table, broadcast turns this into a
+    map-side nested-loop against the broadcast hash — no shuffle of the big
+    side. For large interval tables, pre-bucket both sides on a coarse range
+    key instead (not needed for the reference surface)."""
+    cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=cond, how="inner")

@@ -1,0 +1,665 @@
+"""Query registry: the engine's operator-coverage surface.
+
+Each entry pairs a Spark DataFrame program (built from the engine's operator
+modules) with an ANSI-SQL oracle that DuckDB executes over the same parquet
+tables (driver contract in ``__spark_entry__.py``). Column aliases match
+exactly on both sides; every float aggregate uses the *exact-decimal-sum*
+pattern (``SUM(CAST(x AS DECIMAL(18,6)))`` then one cast to double) so the
+result is bit-identical regardless of each engine's summation order.
+
+Queries whose semantics SQL cannot express (recursive EMA/KAMA, MinHash LSH,
+ANN top-k, ML pipelines) appear in ``queries()`` without an oracle entry —
+the driver records a rows-only check for those, per contract.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_analysis_for_stock_market_data_spark.operators import aggregates as agg_ops
+from big_data_analysis_for_stock_market_data_spark.operators import joins as join_ops
+from big_data_analysis_for_stock_market_data_spark.operators import windows as win_ops
+from big_data_analysis_for_stock_market_data_spark.schema import TESTDATA_SCHEMAS
+from big_data_analysis_for_stock_market_data_spark.sources.io import read_parquet
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(
+        spark, os.path.join(sf_dir, f"{name}.parquet"), schema=TESTDATA_SCHEMAS[name]
+    )
+
+
+# Exact-decimal aggregate helpers: cast each addend to DECIMAL(18,6) (exact,
+# order-independent addition), then convert once to double. Both engines
+# produce the same decimal per row from the same IEEE double, so the sums —
+# and therefore the value hashes — agree exactly.
+def dsum(col, alias: str):
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    return (
+        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+def _sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def _sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
+        f" AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's label+daily pipeline transposed to the events
+# table (reference shape: G_2_rf_nordd.py:24-40 + G_2_rf_nordd_fe.py:47-49).
+# lead-label per user (Q1 intent mode), daily average FUSED as a window
+# aggregate instead of the reference's compute-aside-then-join (Q4) — one
+# shuffle on (user_id) total, versus scan+groupBy+join in the reference.
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_label_daily",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts)
+                     > value THEN 1 ELSE 0 END AS buy_or_sell,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS DOUBLE)
+             / COUNT(value) OVER (PARTITION BY user_id, CAST(ts AS DATE))
+             AS avg_value_day
+    FROM events
+    """,
+)
+def flagship_label_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    labeled = win_ops.label_buy_sell(
+        events, value_col="value", order_by="ts", partition_by="user_id", mode="lead"
+    )
+    labeled = labeled.withColumn("date_only", F.to_date("ts"))
+    day_w = Window.partitionBy("user_id", "date_only")
+    fused = labeled.withColumn(
+        "avg_value_day",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(day_w).cast("double")
+        / F.count("value").over(day_w),
+    )
+    return fused.select(
+        "event_id", "user_id", "ts", "value", "buy_or_sell", "avg_value_day"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference operator parity (SURVEY.md §2) over the driver tables.
+# ---------------------------------------------------------------------------
+
+@register(
+    "w1_lag_label_parity",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN lag(value, 1) OVER (ORDER BY ts) > value
+                THEN 1 ELSE 0 END AS buy_or_sell
+    FROM events
+    """,
+)
+def w1_lag_label_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/Q1 lag-parity mode: replicates the scripts' actual label —
+    ``LAG(high) OVER (ORDER BY date)`` aliased 'next_high'
+    (G_2_rf_nordd.py:36-37). Global window kept deliberately for parity;
+    `flagship_label_daily` shows the partitioned form."""
+    events = load(spark, sf_dir, "events")
+    out = win_ops.label_buy_sell(
+        events, value_col="value", order_by="ts", partition_by=None, mode="lag_parity"
+    )
+    return out.select("event_id", "ts", "value", "buy_or_sell")
+
+
+@register(
+    "w3_lead_label",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN lead(value, 1) OVER (ORDER BY ts) > value
+                THEN 1 ELSE 0 END AS buy_or_sell
+    FROM events
+    """,
+)
+def w3_lead_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/Q1 intent mode (notebook cell 50: ``lead('high',1)``)."""
+    events = load(spark, sf_dir, "events")
+    out = win_ops.label_buy_sell(
+        events, value_col="value", order_by="ts", partition_by=None, mode="lead"
+    )
+    return out.select("event_id", "ts", "value", "buy_or_sell")
+
+
+@register(
+    "w2_daily_lag_avg",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value,
+           CAST(SUM(CAST(lag_value AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(lag_value) AS avg_prev_value
+    FROM (
+      SELECT ts, value, lag(value) OVER (ORDER BY ts) AS lag_value
+      FROM events
+    ) sub
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day
+    """,
+)
+def w2_daily_lag_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+A1+A2 (G_2_rf_nordd_fe.py:47): LAG in a subquery feeding a grouped
+    AVG with sorted output. The reference ordered the lag by the *day* key —
+    nondeterministic under ties (Q2); the engine orders by the full
+    timestamp, which is unique."""
+    events = load(spark, sf_dir, "events")
+    lagged = win_ops.with_lag(
+        events, "value", order_by="ts", partition_by=None, out_col="lag_value"
+    )
+    day = lagged.withColumn("day", F.to_date("ts"))
+    return (
+        day.groupBy("day")
+        .agg(davg(F.col("value"), "avg_value"), davg(F.col("lag_value"), "avg_prev_value"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "p_derive_flag_drop",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS date_only,
+           CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS big_order
+    FROM orders
+    """,
+)
+def p_derive_flag_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4 + F1: projection, to_date derivation, when/otherwise flag, and
+    the reference's lenient multi-drop incl. a nonexistent column
+    (G_2_rf_nordd_fe.py:169 drops 'RSI18' that does not exist)."""
+    orders = load(spark, sf_dir, "orders")
+    out = (
+        orders.withColumn("date_only", F.to_date("o_orderdate"))
+        .withColumn(
+            "big_order", F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+        )
+        .drop("o_orderpriority", "o_orderstatus", "NO_SUCH_COLUMN")
+    )
+    return out.select("o_orderkey", "date_only", "big_order")
+
+
+@register(
+    "a2_sorted_avg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_davg('l_quantity', 'avg_qty')},
+           {_sql_davg('l_extendedprice', 'avg_price')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def a2_sorted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3: hash-aggregate AVG with sorted output. Subsumes the
+    reference's 15-line RDD map/reduceByKey average
+    (G_2_rf_nordd_fe.py:59-73) — map-side partial aggregation, no Python."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "a4_duplicate_stats",
+    oracle="""
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_duplicates
+    FROM (SELECT text, COUNT(*) AS n FROM documents GROUP BY text) g
+    """,
+)
+def a4_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 single-pass duplicate scan (vs the reference's two-scan
+    count-vs-dropDuplicates probe, ipynb cell 15)."""
+    docs = load(spark, sf_dir, "documents")
+    return agg_ops.duplicate_stats(docs, subset=["text"])
+
+
+@register(
+    "a5_null_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS nulls_text,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS nulls_lang,
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS nulls_source
+    FROM documents
+    """,
+)
+def a5_null_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 one-pass per-column null scan (vs na.drop().count() double scan,
+    ipynb cell 17)."""
+    docs = load(spark, sf_dir, "documents")
+    return agg_ops.null_stats(docs, columns=["text", "lang", "source"])
+
+
+@register(
+    "j1_segment_rollup",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {_sql_dsum('o.o_totalprice', 'sum_totalprice')},
+           {_sql_davg('o.o_totalprice', 'avg_totalprice')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def j1_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-join (fact ⋈ dim) + grouped aggregate. The customer side is
+    broadcast — Catalyst picks broadcast-hash under the engine threshold; we
+    pin it because dim<fact always holds here."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = join_ops.equi_join(
+        orders, customer.select("o_custkey", "c_mktsegment"),
+        on="o_custkey", broadcast_right=True,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_totalprice"),
+            davg(F.col("o_totalprice"), "avg_totalprice"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "j2_daygrain_fanout",
+    oracle="""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value, d.avg_value_day
+    FROM events e
+    JOIN (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+               AS avg_value_day
+      FROM events GROUP BY CAST(ts AS DATE)
+    ) d ON CAST(e.ts AS DATE) = d.day
+    """,
+)
+def j2_daygrain_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the reference's day-grain compute-aside-then-join
+    (G_2_rf_nordd_fe.py:47-49), kept in join form for parity. The daily
+    aggregate is tiny → broadcast, so the fact side never shuffles.
+    `flagship_label_daily` shows the fused (Q4) form."""
+    events = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = (
+        events.groupBy("day")
+        .agg(davg(F.col("value"), "avg_value_day"))
+    )
+    out = join_ops.equi_join(events, daily, on="day", broadcast_right=True)
+    return out.select("event_id", "ts", "value", "avg_value_day")
+
+
+@register(
+    "o1_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: global sort + limit. Spark executes this as TakeOrderedAndProject
+    — per-partition top-k then a k-row driver merge; no full global sort at
+    scale. Tiebreak on the key keeps it deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "f_scalar_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           (l_extendedprice - l_quantity) / l_extendedprice AS spread_ratio,
+           (l_quantity + l_discount + l_tax) / 3 AS kary_mean
+    FROM lineitem
+    """,
+)
+def f_scalar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F5: per-row Column arithmetic (subtraction, ratio, k-ary mean) —
+    the reference computed these in RDD-map Python (G_2_rf_nordd_fe.py:92-96,
+    113-117, 198-203); here they are codegen'd JVM expressions. Per-row IEEE
+    ops in identical order are bit-equal across engines, so no rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    ep, dc, tx, qt = (F.col(c) for c in
+                      ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (ep * (1 - dc)).alias("disc_price"),
+        (ep * (1 - dc) * (1 + tx)).alias("charge"),
+        ((ep - qt) / ep).alias("spread_ratio"),
+        ((qt + dc + tx) / 3).alias("kary_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Headline analytical queries (TPC-H-shaped, over the driver star schema).
+# These exercise the engine's scan→filter→join→agg→sort pipeline at bench
+# scale; plans are validated in tests/test_plans.py (pushdown, broadcast).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity', 'sum_qty')},
+           {_sql_dsum('l_extendedprice', 'sum_base_price')},
+           {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {_sql_davg('l_quantity', 'avg_qty')},
+           {_sql_davg('l_extendedprice', 'avg_price')},
+           {_sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregate with a pushed-down
+    timestamp predicate (check PushedFilters in the scan node). One shuffle
+    carrying ≤ |groups| x |partitions| partial rows."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    ep, dc, tx = (F.col(c) for c in ("l_extendedprice", "l_discount", "l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(ep, "sum_base_price"),
+            dsum(ep * (1 - dc), "sum_disc_price"),
+            dsum(ep * (1 - dc) * (1 + tx), "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(ep, "avg_price"),
+            davg(dc, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_unshipped",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a 3-way join,
+    grouped revenue, top-k. The filtered customer segment broadcasts; orders
+    and lineitem join on their natural key."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        joined.withColumn("orderdate", F.to_date("o_orderdate"))
+        .groupBy("l_orderkey", "orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dim (region/nation/customer) is
+    broadcast so the only shuffle is the final small group-by."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    joined = (
+        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / grouping extensions (SURVEY.md §2.4-A7, §2.6-O6: absent in
+# the reference; part of the engine's full relational surface).
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_nation_overlap",
+    oracle="""
+    SELECT n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS n_nationkey FROM supplier
+    ) t
+    ORDER BY n_nationkey
+    """,
+)
+def setop_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: INTERSECT (dedup semantics) between two key sets."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    return c.intersect(s).orderBy("n_nationkey")
+
+
+@register(
+    "setop_except_union",
+    oracle="""
+    SELECT n_nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS n_nationkey FROM supplier
+    ) u
+    WHERE n_nationkey NOT IN (SELECT n_regionkey FROM nation)
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def setop_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: UNION ALL + anti-semantics filter (left_anti join — Spark's
+    NOT IN without the null trap) + grouped count."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    rk = load(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("n_nationkey")
+    )
+    u = c.unionByName(s)
+    return (
+        u.join(F.broadcast(rk), on="n_nationkey", how="left_anti")
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "a7_rollup_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {_sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def a7_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: ROLLUP grouping sets (subtotals + grand total)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "a7_pivot_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_O')},
+           {_sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_F')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a7_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: pivot with explicit value list (explicit values avoid the extra
+    distinct-scan Spark otherwise runs to discover pivot columns)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a6_moments",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(l_quantity) AS n,
+             AVG(l_quantity) AS m1,
+             AVG(l_quantity * l_quantity) AS m2r,
+             AVG(l_quantity * l_quantity * l_quantity) AS m3r,
+             AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r
+      FROM lineitem
+    )
+    SELECT ROUND((m3r - 3*m1*m2r + 2*m1*m1*m1)
+                 / POWER(m2r - m1*m1, 1.5), 6) AS skew_qty,
+           ROUND((m4r - 4*m1*m3r + 6*m1*m1*m2r - 3*m1*m1*m1*m1)
+                 / POWER(m2r - m1*m1, 2) - 3, 6) AS kurt_qty
+    FROM s
+    """,
+)
+def a6_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: population skewness g1 and excess kurtosis (Spark's definitions;
+    the oracle derives them from raw moments so DuckDB's different
+    sample-corrected built-ins are not relied on). Rounded to 6dp — the
+    raw-moment formula is algebraically identical but associativity differs.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)

@@ -1,0 +1,139 @@
+"""Readers/writers for the engine (SURVEY.md §2.1).
+
+Scale notes
+-----------
+- ``read_parquet``/``read_csv`` accept any Hadoop-FS URI (local, ``gs://``,
+  ``s3a://``, ``hdfs://``) — the reference read from GCS buckets
+  (``G_2_rf_nordd.py:24``); nothing here is path-scheme-specific.
+- Explicit schemas by default: CSV ``inferSchema`` triggers an extra full
+  scan of the input (fatal at 100 TB); parquet schemas still get validated
+  against the declared StructType so type drift fails fast.
+- ``write_parquet`` supports ``partition_by`` (enables partition pruning +
+  dynamic partition pruning downstream) and ``bucket_by`` (enables
+  shuffle-free co-located joins on the bucket key).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_analysis_for_stock_market_data_spark.schema import TESTDATA_SCHEMAS
+
+TABLE_NAMES: tuple[str, ...] = tuple(TESTDATA_SCHEMAS)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Parquet scan. ``columns`` prunes the read schema at the scan
+    (check ``ReadSchema`` in ``.explain("formatted")``)."""
+    df = spark.read.parquet(path)
+    if schema is not None:
+        declared = {f.name: f.dataType for f in schema.fields}
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        missing = set(declared) - set(actual)
+        if missing:
+            raise ValueError(f"{path}: missing declared columns {sorted(missing)}")
+        # Parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong conf, see
+        # session.py); normalize to microsecond TimestampType losslessly
+        # with integer division (float division would lose precision —
+        # epoch-nanos exceed 2^53).
+        for name, want in declared.items():
+            if isinstance(want, T.TimestampType) and isinstance(
+                actual.get(name), T.LongType
+            ):
+                df = df.withColumn(
+                    name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+                )
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+    infer_schema: bool = False,
+) -> DataFrame:
+    """CSV ingest (reference S1: ``spark.read.csv(path, header=True,
+    inferSchema=True)`` at ``G_2_rf_nordd.py:24``). Engine default is an
+    explicit schema — pass ``infer_schema=True`` only for exploration; it
+    costs a second full pass over the input."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    else:
+        raise ValueError("read_csv requires a schema unless infer_schema=True")
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    bucket_by: tuple[int, Sequence[str]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Parquet sink (replaces reference pickle sink S3,
+    ``G_2_data_exploration.ipynb cell 45``).
+
+    ``partition_by``: hive-style directory partitioning — readers prune
+    partitions for free. ``bucket_by=(n, cols)`` requires ``table_name``
+    (bucketing is a metastore concept) and makes equi-joins on the bucket
+    columns shuffle-free.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        if not table_name:
+            raise ValueError("bucket_by requires table_name (saveAsTable)")
+        n, cols = bucket_by
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(
+            table_name
+        )
+        return
+    writer.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Sequence[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Load the driver test tables from ``sf_dir`` (TESTDATA.md)."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        out[name] = read_parquet(spark, path, schema=TESTDATA_SCHEMAS.get(name))
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (the reference's
+    ``createOrReplaceTempView('stock_data')`` idiom, ``G_2_rf_nordd.py:32``)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def to_pandas_sample(df: DataFrame, max_rows: int = 100_000):
+    """Bounded driver export (reference S6 ``df.toPandas()`` collected the
+    whole table, ``G_2_data_exploration.ipynb cell 12``). The engine caps the
+    export so a 100 TB table can never be pulled to the driver."""
+    return df.limit(max_rows).toPandas()

@@ -1,0 +1,13 @@
+import pytest
+
+from big_data_analysis_for_stock_market_data_spark.session import get_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session(
+        app_name="engine_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    yield s

@@ -1,0 +1,53 @@
+"""Unit tests for aggregate operators and quality scans (SURVEY.md §2.4)."""
+
+import pytest
+from pyspark.sql import Row
+
+from big_data_analysis_for_stock_market_data_spark.operators import aggregates as A
+
+
+def test_duplicate_stats(spark):
+    df = spark.createDataFrame(
+        [Row(t="a"), Row(t="a"), Row(t="b"), Row(t="c"), Row(t="c"), Row(t="c")]
+    )
+    r = A.duplicate_stats(df, subset=["t"]).first()
+    assert (r.n_rows, r.n_distinct, r.n_duplicates) == (6, 3, 3)
+
+
+def test_null_stats_one_pass(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=None, b="x"), Row(a=3, b=None)],
+        schema="a int, b string",
+    )
+    r = A.null_stats(df).first()
+    assert (r.n_rows, r.nulls_a, r.nulls_b) == (3, 1, 2)
+
+
+def test_assert_clean_raises_on_duplicates(spark):
+    df = spark.createDataFrame([Row(t="a"), Row(t="a")])
+    with pytest.raises(ValueError, match="duplicate"):
+        A.assert_clean(df)
+
+
+def test_assert_clean_raises_on_nulls(spark):
+    df = spark.createDataFrame([Row(t="a"), Row(t=None)], schema="t string")
+    with pytest.raises(ValueError, match="nulls"):
+        A.assert_clean(df)
+
+
+def test_grouped_avg_matches_manual(spark):
+    df = spark.createDataFrame(
+        [Row(k="x", v=1.0), Row(k="x", v=3.0), Row(k="y", v=10.0)]
+    )
+    out = {
+        r.k: r.avg_v
+        for r in A.grouped_avg(df, "k", {"v": "avg_v"}, order_by_keys=True).collect()
+    }
+    assert out == {"x": 2.0, "y": 10.0}
+
+
+def test_moments_on_symmetric_data(spark):
+    df = spark.createDataFrame([Row(v=float(x)) for x in (-2, -1, 0, 1, 2)])
+    r = A.moments(df, ["v"]).first()
+    assert abs(r.skew_v) < 1e-12          # symmetric → zero skew
+    assert r.kurt_v == pytest.approx(-1.3)  # uniform-ish platykurtic

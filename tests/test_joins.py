@@ -1,0 +1,80 @@
+"""Unit tests for joins and the join-or-fuse builder (SURVEY.md §2.3, Q4)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_analysis_for_stock_market_data_spark.operators import joins as J
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 9, minute)
+
+
+def test_equi_join_using_semantics(spark):
+    left = spark.createDataFrame([Row(k=1, a="l1"), Row(k=2, a="l2")])
+    right = spark.createDataFrame([Row(k=1, b="r1")])
+    out = J.equi_join(left, right, on="k")
+    assert out.columns == ["k", "a", "b"]  # key deduplicated (USING-style)
+    assert out.count() == 1
+
+
+def test_fuse_equals_join_back(spark):
+    """Q4: window-fused group stat must equal the reference's
+    compute-aside-then-join (G_2_rf_nordd_fe.py:47-49)."""
+    df = spark.createDataFrame(
+        [Row(day="d1", v=1.0), Row(day="d1", v=3.0), Row(day="d2", v=10.0)]
+    )
+    fused = J.fuse_group_stat(df, "day", {"v": "avg_v"})
+    aside = df.groupBy("day").agg(F.avg("v").alias("avg_v"))
+    joined = J.equi_join(df, aside, on="day")
+    f = {(r.day, r.v): r.avg_v for r in fused.collect()}
+    j = {(r.day, r.v): r.avg_v for r in joined.collect()}
+    assert f == j == {("d1", 1.0): 2.0, ("d1", 3.0): 2.0, ("d2", 10.0): 10.0}
+
+
+def test_as_of_join_backward(spark):
+    trades = spark.createDataFrame([
+        Row(sym="A", t=_ts(5), px=100.0),
+        Row(sym="A", t=_ts(10), px=101.0),
+        Row(sym="B", t=_ts(7), px=50.0),
+    ])
+    quotes = spark.createDataFrame([
+        Row(sym="A", qt=_ts(4), bid=99.0),
+        Row(sym="A", qt=_ts(9), bid=100.5),
+        Row(sym="B", qt=_ts(8), bid=49.5),
+    ])
+    out = J.as_of_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        right_values=["bid"],
+    )
+    got = {(r.sym, r.t.minute): r.bid for r in out.collect()}
+    # A@5 ← quote@4; A@10 ← quote@9; B@7 has no earlier quote → null
+    assert got == {("A", 5): 99.0, ("A", 10): 100.5, ("B", 7): None}
+
+
+def test_as_of_join_equal_timestamp_matches(spark):
+    left = spark.createDataFrame([Row(sym="A", t=_ts(5), x=1)])
+    right = spark.createDataFrame([Row(sym="A", qt=_ts(5), bid=42.0)])
+    out = J.as_of_join(left, right, "sym", "t", "qt", ["bid"])
+    assert out.first().bid == 42.0  # "at or before" includes equality
+
+
+def test_as_of_join_forward(spark):
+    left = spark.createDataFrame([Row(sym="A", t=_ts(5), x=1)])
+    right = spark.createDataFrame(
+        [Row(sym="A", qt=_ts(3), bid=1.0), Row(sym="A", qt=_ts(8), bid=2.0)]
+    )
+    out = J.as_of_join(left, right, "sym", "t", "qt", ["bid"], direction="forward")
+    assert out.first().bid == 2.0
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame([Row(v=5), Row(v=15), Row(v=25)])
+    ranges = spark.createDataFrame(
+        [Row(lo=0, hi=10, bucket="low"), Row(lo=10, hi=20, bucket="mid")]
+    )
+    out = J.range_join(points, ranges, "v", "lo", "hi")
+    got = {r.v: r.bucket for r in out.collect()}
+    assert got == {5: "low", 15: "mid"}  # 25 unmatched (inner)

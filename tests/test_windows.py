@@ -1,0 +1,75 @@
+"""Unit tests for window operators (SURVEY.md §2.5, quirks Q1-Q3)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from big_data_analysis_for_stock_market_data_spark.operators import windows as W
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 9, minute)
+
+
+def _mk(spark, highs):
+    rows = [
+        Row(symbol="SIE", date=_ts(i), high=float(h)) for i, h in enumerate(highs)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_lead_label_matches_intent(spark):
+    # highs: 10, 12, 11 → lead labels: [1 (12>10), 0 (11>12), 0 (null lead)]
+    df = W.label_buy_sell(
+        _mk(spark, [10, 12, 11]), value_col="high", order_by="date",
+        partition_by="symbol", mode="lead",
+    )
+    got = [r.buy_or_sell for r in df.orderBy("date").collect()]
+    assert got == [1, 0, 0]
+
+
+def test_lag_parity_replicates_reference_bug(spark):
+    # reference (G_2_rf_nordd.py:36-37) compares LAG(high) > high:
+    # [null>10 → 0, 10>12 → 0, 12>11 → 1]
+    df = W.label_buy_sell(
+        _mk(spark, [10, 12, 11]), value_col="high", order_by="date",
+        partition_by="symbol", mode="lag_parity",
+    )
+    got = [r.buy_or_sell for r in df.orderBy("date").collect()]
+    assert got == [0, 0, 1]
+
+
+def test_label_in_01_and_partition_isolation(spark):
+    rows = [
+        Row(symbol=s, date=_ts(i), high=float(h))
+        for s, highs in [("A", [1, 2, 3]), ("B", [9, 8, 7])]
+        for i, h in enumerate(highs)
+    ]
+    df = W.label_buy_sell(
+        spark.createDataFrame(rows), value_col="high", order_by="date",
+        partition_by="symbol", mode="lead",
+    )
+    got = {(r.symbol, r.date.minute): r.buy_or_sell for r in df.collect()}
+    # rising series all 1 until boundary; falling all 0. Boundary rows (last
+    # per partition) must not see the other partition's rows.
+    assert got[("A", 0)] == 1 and got[("A", 1)] == 1 and got[("A", 2)] == 0
+    assert got[("B", 0)] == 0 and got[("B", 1)] == 0 and got[("B", 2)] == 0
+
+
+def test_rolling_trailing_frame(spark):
+    df = W.rolling(
+        _mk(spark, [1, 2, 3, 4]), value_col="high", order_by="date",
+        partition_by="symbol", window=2, funcs={"sma2": "avg"},
+    )
+    got = [r.sma2 for r in df.orderBy("date").collect()]
+    assert got == [1.0, 1.5, 2.5, 3.5]
+
+
+def test_with_lag_lead(spark):
+    df = W.with_lead(
+        W.with_lag(_mk(spark, [5, 6, 7]), "high", "date", "symbol"),
+        "high", "date", "symbol",
+    )
+    rows = df.orderBy("date").collect()
+    assert [r.lag_high for r in rows] == [None, 5.0, 6.0]
+    assert [r.lead_high for r in rows] == [6.0, 7.0, None]
