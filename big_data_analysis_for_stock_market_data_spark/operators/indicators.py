@@ -1,0 +1,482 @@
+"""Technical-indicator library (SURVEY.md §7 step 3).
+
+The reference *consumed* 54 precomputed indicator columns from its CSV
+(schema ``G_2_data_exploration.ipynb cell 9``; consumed opaquely at
+``G_2_rf_pca.py:73``) and recomputed only simple arithmetic combinations of
+them in RDD maps (``G_2_rf_nordd_fe.py:92-313``). Computing the indicators
+natively is the engine's real time-series capability.
+
+Two execution classes, chosen per indicator:
+
+1. **Closed-form** (SMA, TRIMA, Bollinger, MOM, ROC, WILLR, stochastics,
+   TYPPRICE, Trange, simple ATR, CCI): pure window expressions over
+   ``Window.partitionBy(symbol).orderBy(date).rowsBetween(-(n-1), 0)`` —
+   JVM-side, whole-stage-codegen'd, one shuffle on the partition key shared
+   by every indicator in the projection.
+
+2. **Recursive** (EMA and everything seeded from it: MACD, APO, PPO, KAMA,
+   Wilder RSI, Wilder ATR, ADX): the recurrence ``y_t = f(y_{t-1}, x_t)``
+   has no fixed-frame window form, so these run as ``applyInPandas`` over
+   the symbol partitions — Arrow-vectorized, partition-local sequential
+   scans (pandas ``ewm`` / numpy loops), the engine's sanctioned stateful
+   escape hatch. Scale contract: ONE SYMBOL's history must fit in one
+   executor's memory (minute bars ≈ 4 M rows/decade ≈ tens of MB — holds at
+   100 TB total across many symbols, where the data is wide, not deep).
+
+Every function takes (df, n, partition_by, order_by, col...) and returns
+df + new columns, so indicators compose into a single projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _frame(partition_by: str | Sequence[str], order_by: str, n: int) -> WindowSpec:
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    return (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_by)
+        .rowsBetween(-(n - 1), 0)
+    )
+
+
+def _ordered(partition_by: str | Sequence[str], order_by: str) -> WindowSpec:
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    return Window.partitionBy(*partition_by).orderBy(order_by)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form indicators (native window expressions)
+# ---------------------------------------------------------------------------
+
+def sma(df: DataFrame, n: int, partition_by="symbol", order_by="date",
+        col="close", out: str | None = None) -> DataFrame:
+    """Simple moving average over the trailing ``n`` rows."""
+    return df.withColumn(
+        out or f"sma{n}", F.avg(col).over(_frame(partition_by, order_by, n))
+    )
+
+
+def trima(df: DataFrame, n: int, partition_by="symbol", order_by="date",
+          col="close", out: str | None = None) -> DataFrame:
+    """Triangular MA: SMA of SMA with split windows (n1 = ceil((n+1)/2),
+    n2 = floor(n/2)+1)."""
+    n1 = (n + 1) // 2 + ((n + 1) % 2)
+    n2 = n // 2 + 1
+    tmp = f"__trima_sma_{n}"
+    d = df.withColumn(tmp, F.avg(col).over(_frame(partition_by, order_by, n1)))
+    d = d.withColumn(
+        out or f"trima{n}", F.avg(tmp).over(_frame(partition_by, order_by, n2))
+    )
+    return d.drop(tmp)
+
+
+def momentum(df: DataFrame, n: int, partition_by="symbol", order_by="date",
+             col="close", out: str | None = None) -> DataFrame:
+    """MOMn = close - close_{t-n}."""
+    w = _ordered(partition_by, order_by)
+    return df.withColumn(
+        out or f"mom{n}", F.col(col) - F.lag(col, n).over(w)
+    )
+
+
+def roc(df: DataFrame, n: int, partition_by="symbol", order_by="date",
+        col="close", out: str | None = None) -> DataFrame:
+    """Rate of change: 100 * (close - close_{t-n}) / close_{t-n}."""
+    w = _ordered(partition_by, order_by)
+    prev = F.lag(col, n).over(w)
+    return df.withColumn(
+        out or f"roc{n}", F.try_divide(100.0 * (F.col(col) - prev), prev)
+    )
+
+
+def bollinger(df: DataFrame, n: int = 20, k: float = 2.0,
+              partition_by="symbol", order_by="date", col="close",
+              prefix: str = "") -> DataFrame:
+    """Bollinger bands: middle = SMA_n, upper/lower = middle ± k·stddev_n,
+    plus the reference's derived width (upper-lower)/middle
+    (``G_2_rf_nordd_fe.py:113-117``)."""
+    fr = _frame(partition_by, order_by, n)
+    mid = F.avg(col).over(fr)
+    sd = F.stddev_samp(col).over(fr)
+    p = prefix
+    return (
+        df.withColumn(f"{p}middleband", mid)
+        .withColumn(f"{p}upperband", mid + k * sd)
+        .withColumn(f"{p}lowerband", mid - k * sd)
+        .withColumn(
+            f"{p}bollinger_bands_width",
+            F.try_divide(
+                F.col(f"{p}upperband") - F.col(f"{p}lowerband"),
+                F.col(f"{p}middleband"),
+            ),
+        )
+    )
+
+
+def typprice(df: DataFrame, out: str = "typprice") -> DataFrame:
+    """Typical price (H+L+C)/3 — per-row arithmetic."""
+    return df.withColumn(
+        out, (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    )
+
+
+def willr(df: DataFrame, n: int = 14, partition_by="symbol", order_by="date",
+          out: str = "willr") -> DataFrame:
+    """Williams %R = -100 * (HH_n - close) / (HH_n - LL_n)."""
+    fr = _frame(partition_by, order_by, n)
+    hh = F.max("high").over(fr)
+    ll = F.min("low").over(fr)
+    return df.withColumn(out, F.try_divide(-100.0 * (hh - F.col("close")), hh - ll))
+
+
+def stochastic(df: DataFrame, n: int = 14, d_n: int = 3,
+               partition_by="symbol", order_by="date",
+               prefix: str = "") -> DataFrame:
+    """Stochastic oscillator: fastk = 100·(close-LL)/(HH-LL); slowk =
+    SMA_{d_n}(fastk); slowd = SMA_{d_n}(slowk)."""
+    fr = _frame(partition_by, order_by, n)
+    hh = F.max("high").over(fr)
+    ll = F.min("low").over(fr)
+    p = prefix
+    d = df.withColumn(f"{p}fastk", F.try_divide(100.0 * (F.col("close") - ll), hh - ll))
+    d = d.withColumn(
+        f"{p}slowk", F.avg(f"{p}fastk").over(_frame(partition_by, order_by, d_n))
+    )
+    d = d.withColumn(
+        f"{p}slowd", F.avg(f"{p}slowk").over(_frame(partition_by, order_by, d_n))
+    )
+    return d
+
+
+def true_range(df: DataFrame, partition_by="symbol", order_by="date",
+               out: str = "trange") -> DataFrame:
+    """True range = max(H-L, |H-prevC|, |L-prevC|)."""
+    w = _ordered(partition_by, order_by)
+    prev_c = F.lag("close", 1).over(w)
+    return df.withColumn(
+        out,
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_c),
+            F.abs(F.col("low") - prev_c),
+        ),
+    )
+
+
+def atr_sma(df: DataFrame, n: int = 14, partition_by="symbol",
+            order_by="date", out: str = "atr") -> DataFrame:
+    """SMA-smoothed ATR (closed-form). Wilder's recursive smoothing lives in
+    ``wilder_indicators`` (applyInPandas)."""
+    tmp = "__tr_for_atr"
+    d = true_range(df, partition_by, order_by, out=tmp)
+    d = d.withColumn(out, F.avg(tmp).over(_frame(partition_by, order_by, n)))
+    return d.drop(tmp)
+
+
+def cci(df: DataFrame, n: int = 20, partition_by="symbol", order_by="date",
+        out: str | None = None) -> DataFrame:
+    """Commodity Channel Index: (TP - SMA_n(TP)) / (0.015 · meandev_n) where
+    meandev is the mean |TP_i - SMA_current| over the window. The nested
+    dependence on the *current* window's SMA is expressed JVM-side with
+    ``collect_list`` over the frame + a higher-order ``aggregate`` — no
+    Python, no extra shuffle."""
+    fr = _frame(partition_by, order_by, n)
+    tmp_tp = "__cci_tp"
+    d = df.withColumn(tmp_tp, (F.col("high") + F.col("low") + F.col("close")) / 3.0)
+    sma_tp = F.avg(tmp_tp).over(fr)
+    arr = F.collect_list(tmp_tp).over(fr)
+    mean_dev = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + F.abs(x - sma_tp)
+    ) / F.size(arr)
+    d = d.withColumn(
+        out or f"cci{n}",
+        F.try_divide(F.col(tmp_tp) - sma_tp, 0.015 * mean_dev),
+    )
+    return d.drop(tmp_tp)
+
+
+# ---------------------------------------------------------------------------
+# Recursive indicators (applyInPandas over symbol partitions)
+# ---------------------------------------------------------------------------
+
+def _recursive_apply(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    order_by: str,
+    new_cols: dict[str, T.DataType],
+    fn,
+) -> DataFrame:
+    """Shared applyInPandas scaffold: one group per partition key, sorted by
+    ``order_by`` inside the pandas function, schema = input + new columns."""
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(c, t, True) for c, t in new_cols.items()]
+    )
+
+    def runner(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        return fn(pdf)
+
+    return df.groupBy(*partition_by).applyInPandas(runner, schema=out_schema)
+
+
+def ema(df: DataFrame, spans: Iterable[int], partition_by="symbol",
+        order_by="date", col="close") -> DataFrame:
+    """Exponential MA for each span n (alpha = 2/(n+1)), seeded from the
+    first value (pandas ``ewm(adjust=False)`` semantics)."""
+    spans = list(spans)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        for n in spans:
+            pdf[f"ema{n}"] = (
+                pdf[col].ewm(span=n, adjust=False).mean()
+            )
+        return pdf
+
+    return _recursive_apply(
+        df, partition_by, order_by,
+        {f"ema{n}": T.DoubleType() for n in spans}, fn,
+    )
+
+
+def macd(df: DataFrame, pairs: Iterable[tuple[int, int]] = ((12, 26),),
+         partition_by="symbol", order_by="date", col="close") -> DataFrame:
+    """MACD_{a,b} = EMA_a - EMA_b (reference consumed macd510..macd1226 and
+    differenced them in Python at ``G_2_rf_nordd_fe.py:92-96``)."""
+    pairs = [tuple(p) for p in pairs]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[int, pd.Series] = {}
+        for a, b in pairs:
+            for n in (a, b):
+                if n not in cache:
+                    cache[n] = pdf[col].ewm(span=n, adjust=False).mean()
+            pdf[f"macd{a}{b}"] = cache[a] - cache[b]
+        return pdf
+
+    return _recursive_apply(
+        df, partition_by, order_by,
+        {f"macd{a}{b}": T.DoubleType() for a, b in pairs}, fn,
+    )
+
+
+def rsi(df: DataFrame, n: int = 14, partition_by="symbol", order_by="date",
+        col="close", out: str | None = None) -> DataFrame:
+    """Wilder RSI: 100 - 100/(1+RS), RS = Wilder-EMA(gains)/Wilder-EMA(losses)
+    with alpha = 1/n."""
+    out_col = out or f"rsi{n}"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        delta = pdf[col].diff()
+        gain = delta.clip(lower=0.0)
+        loss = (-delta).clip(lower=0.0)
+        avg_gain = gain.ewm(alpha=1.0 / n, adjust=False).mean()
+        avg_loss = loss.ewm(alpha=1.0 / n, adjust=False).mean()
+        rs = avg_gain / avg_loss
+        pdf[out_col] = 100.0 - 100.0 / (1.0 + rs)
+        return pdf
+
+    return _recursive_apply(df, partition_by, order_by, {out_col: T.DoubleType()}, fn)
+
+
+def kama(df: DataFrame, n: int = 10, fast: int = 2, slow: int = 30,
+         partition_by="symbol", order_by="date", col="close",
+         out: str | None = None) -> DataFrame:
+    """Kaufman adaptive MA: efficiency ratio scales the smoothing constant
+    between fast and slow EMA alphas; recurrence runs as a numpy loop per
+    symbol partition."""
+    import numpy as np
+
+    out_col = out or f"kama{n}"
+    fast_sc = 2.0 / (fast + 1)
+    slow_sc = 2.0 / (slow + 1)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[col].to_numpy(dtype="float64")
+        m = len(x)
+        change = np.abs(x - np.roll(x, n))
+        vol = (
+            pd.Series(np.abs(np.diff(x, prepend=x[0])))
+            .rolling(n, min_periods=1).sum().to_numpy()
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            er = np.where(vol > 0, change / vol, 0.0)
+        er[:n] = 0.0
+        sc = (er * (fast_sc - slow_sc) + slow_sc) ** 2
+        y = np.empty(m)
+        if m:
+            y[0] = x[0]
+            for i in range(1, m):
+                y[i] = y[i - 1] + sc[i] * (x[i] - y[i - 1])
+        pdf[out_col] = y
+        return pdf
+
+    return _recursive_apply(df, partition_by, order_by, {out_col: T.DoubleType()}, fn)
+
+
+def adx(df: DataFrame, n: int = 14, partition_by="symbol", order_by="date",
+        out: str | None = None) -> DataFrame:
+    """Average Directional Index (Wilder): smoothed +DM/-DM over smoothed TR
+    → DX → Wilder-EMA(DX)."""
+    out_col = out or f"adx{n}"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        high, low, close = pdf["high"], pdf["low"], pdf["close"]
+        up = high.diff()
+        down = -low.diff()
+        plus_dm = ((up > down) & (up > 0)) * up
+        minus_dm = ((down > up) & (down > 0)) * down
+        prev_close = close.shift()
+        tr = pd.concat(
+            [high - low, (high - prev_close).abs(), (low - prev_close).abs()],
+            axis=1,
+        ).max(axis=1)
+        alpha = 1.0 / n
+        atr_s = tr.ewm(alpha=alpha, adjust=False).mean()
+        plus_di = 100.0 * plus_dm.ewm(alpha=alpha, adjust=False).mean() / atr_s
+        minus_di = 100.0 * minus_dm.ewm(alpha=alpha, adjust=False).mean() / atr_s
+        dx = 100.0 * (plus_di - minus_di).abs() / (plus_di + minus_di)
+        pdf[out_col] = dx.ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return _recursive_apply(df, partition_by, order_by, {out_col: T.DoubleType()}, fn)
+
+
+def recursive_enrich(
+    df: DataFrame,
+    partition_by="symbol",
+    order_by="date",
+    col="close",
+    ema_spans: Sequence[int] = (5, 10, 15, 20),
+    macd_pairs: Sequence[tuple[int, int]] = ((12, 26),),
+    rsi_ns: Sequence[int] = (14,),
+    kama_ns: Sequence[int] = (10,),
+    adx_ns: Sequence[int] = (14,),
+) -> DataFrame:
+    """ALL recursive indicators in ONE applyInPandas pass — one shuffle on
+    the symbol key instead of one per indicator family. This is the form
+    ``enrich_ohlcv`` uses; the standalone functions above exist for à-la-
+    carte use and for testing each recurrence in isolation."""
+    import numpy as np
+
+    new_cols: dict[str, T.DataType] = {}
+    for n in ema_spans:
+        new_cols[f"ema{n}"] = T.DoubleType()
+    for a, b in macd_pairs:
+        new_cols[f"macd{a}{b}"] = T.DoubleType()
+    for n in rsi_ns:
+        new_cols[f"rsi{n}"] = T.DoubleType()
+    for n in kama_ns:
+        new_cols[f"kama{n}"] = T.DoubleType()
+    for n in adx_ns:
+        new_cols[f"adx{n}"] = T.DoubleType()
+    has_ohlc = all(c in df.columns for c in ("high", "low"))
+    if not has_ohlc:
+        for n in adx_ns:
+            new_cols.pop(f"adx{n}", None)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[col]
+        emas: dict[int, pd.Series] = {}
+
+        def get_ema(n: int) -> pd.Series:
+            if n not in emas:
+                emas[n] = x.ewm(span=n, adjust=False).mean()
+            return emas[n]
+
+        for n in ema_spans:
+            pdf[f"ema{n}"] = get_ema(n)
+        for a, b in macd_pairs:
+            pdf[f"macd{a}{b}"] = get_ema(a) - get_ema(b)
+        for n in rsi_ns:
+            delta = x.diff()
+            avg_gain = delta.clip(lower=0.0).ewm(alpha=1 / n, adjust=False).mean()
+            avg_loss = (-delta).clip(lower=0.0).ewm(alpha=1 / n, adjust=False).mean()
+            pdf[f"rsi{n}"] = 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+        for n in kama_ns:
+            arr = x.to_numpy(dtype="float64")
+            m = len(arr)
+            change = np.abs(arr - np.roll(arr, n))
+            vol = (
+                pd.Series(np.abs(np.diff(arr, prepend=arr[0] if m else 0.0)))
+                .rolling(n, min_periods=1).sum().to_numpy()
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                er = np.where(vol > 0, change / vol, 0.0)
+            er[:n] = 0.0
+            sc = (er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0) ** 2
+            y = np.empty(m)
+            if m:
+                y[0] = arr[0]
+                for i in range(1, m):
+                    y[i] = y[i - 1] + sc[i] * (arr[i] - y[i - 1])
+            pdf[f"kama{n}"] = y
+        if has_ohlc:
+            for n in adx_ns:
+                high, low = pdf["high"], pdf["low"]
+                up, down = high.diff(), -low.diff()
+                plus_dm = ((up > down) & (up > 0)) * up
+                minus_dm = ((down > up) & (down > 0)) * down
+                prev_close = x.shift()
+                tr = pd.concat(
+                    [high - low, (high - prev_close).abs(),
+                     (low - prev_close).abs()], axis=1,
+                ).max(axis=1)
+                atr_s = tr.ewm(alpha=1 / n, adjust=False).mean()
+                plus_di = 100.0 * plus_dm.ewm(alpha=1 / n, adjust=False).mean() / atr_s
+                minus_di = 100.0 * minus_dm.ewm(alpha=1 / n, adjust=False).mean() / atr_s
+                dx = 100.0 * (plus_di - minus_di).abs() / (plus_di + minus_di)
+                pdf[f"adx{n}"] = dx.ewm(alpha=1 / n, adjust=False).mean()
+        return pdf
+
+    return _recursive_apply(df, partition_by, order_by, new_cols, fn)
+
+
+# ---------------------------------------------------------------------------
+# Composite enrichment: the reference's full indicator surface in two passes
+# (one window projection + one applyInPandas), instead of its 11 sequential
+# compute-aside-join stages (G_2_rf_nordd_fe.py:47-313).
+# ---------------------------------------------------------------------------
+
+def enrich_ohlcv(df: DataFrame, partition_by="symbol", order_by="date") -> DataFrame:
+    """Compute the reference schema's indicator families natively from OHLCV.
+    Closed-form indicators share one window shuffle; recursive ones share one
+    applyInPandas pass."""
+    d = df
+    for n in (5, 10, 15, 20):
+        d = sma(d, n, partition_by, order_by)
+    for n in (5, 10, 20):
+        d = trima(d, n, partition_by, order_by)
+        d = roc(d, n, partition_by, order_by)
+    for n in (10, 15, 20):
+        d = momentum(d, n, partition_by, order_by)
+    d = bollinger(d, 20, 2.0, partition_by, order_by)
+    d = typprice(d)
+    d = willr(d, 14, partition_by, order_by)
+    d = stochastic(d, 14, 3, partition_by, order_by)
+    d = true_range(d, partition_by, order_by)
+    d = atr_sma(d, 14, partition_by, order_by)
+    for n in (5, 10, 15):
+        d = cci(d, n, partition_by, order_by)
+    # single applyInPandas pass for the whole recursive family
+    d = recursive_enrich(
+        d, partition_by, order_by,
+        ema_spans=(5, 10, 15, 20),
+        macd_pairs=((5, 10), (5, 20), (10, 20), (15, 20), (12, 26)),
+        rsi_ns=(8, 14),
+        kama_ns=(10, 20, 30),
+        adx_ns=(5, 10, 20),
+    )
+    return d

@@ -657,6 +657,169 @@ def a6_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Indicator queries (operators/indicators.py) over events.value per user —
+# the engine's native recomputation of what the reference consumed
+# precomputed (SURVEY.md §2.5-W4, §7 step 3). Rolling aggregates use the
+# exact-decimal pattern inside the window frame so both engines agree.
+# ---------------------------------------------------------------------------
+
+@register(
+    "ind_sma_bollinger",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER fr AS DOUBLE)
+               AS sq,
+             COUNT(value) OVER fr AS cnt
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           s / cnt AS sma20,
+           CASE WHEN cnt > 1
+                THEN s / cnt + 2 * sqrt((sq - s * s / cnt) / (cnt - 1))
+           END AS upperband,
+           CASE WHEN cnt > 1
+                THEN s / cnt - 2 * sqrt((sq - s * s / cnt) / (cnt - 1))
+           END AS lowerband
+    FROM w
+    """,
+)
+def ind_sma_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling SMA + Bollinger bands, partitioned per user (no global
+    window — Q3). Variance from exact decimal sums of x and x² so the
+    oracle's arithmetic is bit-identical."""
+    events = load(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(-19, 0)
+    )
+    s = F.sum(F.col("value").cast("decimal(18,6)")).over(fr).cast("double")
+    sq = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        .over(fr).cast("double")
+    )
+    cnt = F.count("value").over(fr)
+    sma20 = s / cnt
+    sd = F.sqrt((sq - s * s / cnt) / (cnt - 1))
+    return events.select(
+        "event_id", "user_id", "ts", "value",
+        sma20.alias("sma20"),
+        F.when(cnt > 1, sma20 + 2 * sd).alias("upperband"),
+        F.when(cnt > 1, sma20 - 2 * sd).alias("lowerband"),
+    )
+
+
+@register(
+    "ind_mom_roc",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           value - lag(value, 10) OVER w AS mom10,
+           CASE WHEN lag(value, 10) OVER w = 0 THEN NULL
+                ELSE 100 * (value - lag(value, 10) OVER w)
+                     / lag(value, 10) OVER w END AS roc10
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def ind_mom_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Momentum + rate-of-change via the indicator library (lag-offset
+    per-row arithmetic; try_divide ↔ NULL-on-zero oracle)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    events = load(spark, sf_dir, "events")
+    out = ind.momentum(events, 10, partition_by="user_id", order_by="ts",
+                       col="value")
+    out = ind.roc(out, 10, partition_by="user_id", order_by="ts", col="value")
+    return out.select("event_id", "user_id", "ts", "mom10", "roc10")
+
+
+@register(
+    "ind_willr_stoch",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             MAX(value) OVER fr AS hh, MIN(value) OVER fr AS ll
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN hh = ll THEN NULL
+                ELSE -100 * (hh - value) / (hh - ll) END AS willr,
+           CASE WHEN hh = ll THEN NULL
+                ELSE 100 * (value - ll) / (hh - ll) END AS fastk
+    FROM w
+    """,
+)
+def ind_willr_stoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R + stochastic %K over a value series (high=low=close=value,
+    the degenerate single-series form) — rolling extrema windows."""
+    events = load(spark, sf_dir, "events")
+    fr = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-13, 0)
+    hh = F.max("value").over(fr)
+    ll = F.min("value").over(fr)
+    return events.select(
+        "event_id", "user_id", "ts", "value",
+        F.try_divide(-100.0 * (hh - F.col("value")), hh - ll).alias("willr"),
+        F.try_divide(100.0 * (F.col("value") - ll), hh - ll).alias("fastk"),
+    )
+
+
+@register("ind_recursive_family")  # no SQL closed form: rows-only check
+def ind_recursive_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA/MACD/RSI/KAMA in ONE applyInPandas pass per user series —
+    recursive recurrences with no fixed-frame SQL form (SURVEY.md §7 calls
+    this the hard part; Arrow-vectorized partition-local scan)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    events = load(spark, sf_dir, "events")
+    out = ind.recursive_enrich(
+        events, partition_by="user_id", order_by="ts", col="value",
+        ema_spans=(10, 20), macd_pairs=((12, 26),), rsi_ns=(14,),
+        kama_ns=(10,), adx_ns=(),
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ema10", "ema20", "macd1226",
+        "rsi14", "kama10",
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, l.value,
+           r.ref_value
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value AS ref_value FROM events
+      WHERE event_type = 'purchase'
+    ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J3 extension): attach the most recent 'purchase' value at
+    or before each non-purchase event, per user. Engine implements it as
+    union + sort-within-partition + last(ignorenulls) — one shuffle on the
+    key, no range explosion (operators/joins.py); oracle is DuckDB's native
+    ASOF JOIN."""
+    events = load(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") != "purchase")
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("ref_value"))
+    )
+    out = join_ops.as_of_join(
+        left, right, on="user_id", left_time="ts", right_time="ts",
+        right_values=["ref_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "value", "ref_value")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1,0 +1,161 @@
+"""Indicator library vs. independently-computed pandas expectations."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from big_data_analysis_for_stock_market_data_spark.operators import indicators as I
+
+
+@pytest.fixture(scope="module")
+def ohlcv(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    for sym in ("AAA", "BBB"):
+        px = 100.0
+        for i in range(80):
+            px *= 1 + rng.normal(0, 0.01)
+            o = px * (1 + rng.normal(0, 0.002))
+            c = px * (1 + rng.normal(0, 0.002))
+            h = max(o, c) * (1 + abs(rng.normal(0, 0.002)))
+            low = min(o, c) * (1 - abs(rng.normal(0, 0.002)))
+            rows.append(
+                {
+                    "symbol": sym,
+                    "date": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                    "open": o, "high": h, "low": low, "close": c,
+                    "volume": int(rng.integers(100, 10_000)),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    return pdf, spark.createDataFrame(pdf)
+
+
+def _series(df, sym, col):
+    rows = df.filter(df.symbol == sym).orderBy("date").collect()
+    return np.array([getattr(r, col) for r in rows], dtype="float64")
+
+
+def test_sma_matches_pandas(ohlcv):
+    pdf, df = ohlcv
+    out = I.sma(df, 5)
+    for sym in ("AAA", "BBB"):
+        exp = (
+            pdf[pdf.symbol == sym].sort_values("date").close
+            .rolling(5, min_periods=1).mean().to_numpy()
+        )
+        np.testing.assert_allclose(_series(out, sym, "sma5"), exp, rtol=1e-12)
+
+
+def test_ema_matches_pandas(ohlcv):
+    pdf, df = ohlcv
+    out = I.ema(df, [10])
+    for sym in ("AAA", "BBB"):
+        exp = (
+            pdf[pdf.symbol == sym].sort_values("date").close
+            .ewm(span=10, adjust=False).mean().to_numpy()
+        )
+        np.testing.assert_allclose(_series(out, sym, "ema10"), exp, rtol=1e-12)
+
+
+def test_momentum_roc(ohlcv):
+    pdf, df = ohlcv
+    out = I.roc(I.momentum(df, 10), 10)
+    for sym in ("AAA", "BBB"):
+        c = pdf[pdf.symbol == sym].sort_values("date").close
+        np.testing.assert_allclose(
+            _series(out, sym, "mom10")[10:], (c - c.shift(10)).to_numpy()[10:],
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            _series(out, sym, "roc10")[10:],
+            (100 * (c - c.shift(10)) / c.shift(10)).to_numpy()[10:],
+            rtol=1e-12,
+        )
+
+
+def test_bollinger_bands(ohlcv):
+    pdf, df = ohlcv
+    out = I.bollinger(df, 20)
+    for sym in ("AAA",):
+        c = pdf[pdf.symbol == sym].sort_values("date").close
+        mid = c.rolling(20, min_periods=1).mean()
+        sd = c.rolling(20, min_periods=1).std()
+        got_up = _series(out, sym, "upperband")
+        np.testing.assert_allclose(got_up[19:], (mid + 2 * sd).to_numpy()[19:], rtol=1e-12)
+        got_w = _series(out, sym, "bollinger_bands_width")
+        np.testing.assert_allclose(
+            got_w[19:], ((4 * sd) / mid).to_numpy()[19:], rtol=1e-9
+        )
+
+
+def test_rsi_bounds_and_value(ohlcv):
+    pdf, df = ohlcv
+    out = I.rsi(df, 14)
+    for sym in ("AAA", "BBB"):
+        c = pdf[pdf.symbol == sym].sort_values("date").close
+        delta = c.diff()
+        ag = delta.clip(lower=0).ewm(alpha=1 / 14, adjust=False).mean()
+        al = (-delta).clip(lower=0).ewm(alpha=1 / 14, adjust=False).mean()
+        exp = (100 - 100 / (1 + ag / al)).to_numpy()
+        got = _series(out, sym, "rsi14")
+        np.testing.assert_allclose(got[1:], exp[1:], rtol=1e-10)
+        assert np.all((got[1:] >= 0) & (got[1:] <= 100))
+
+
+def test_cci_matches_manual(ohlcv):
+    pdf, df = ohlcv
+    out = I.cci(df, 10)
+    for sym in ("AAA",):
+        g = pdf[pdf.symbol == sym].sort_values("date")
+        tp = (g.high + g.low + g.close) / 3
+        sma_tp = tp.rolling(10, min_periods=1).mean()
+        mdev = tp.rolling(10, min_periods=1).apply(
+            lambda w: np.mean(np.abs(w - w.mean())), raw=True
+        )
+        exp = ((tp - sma_tp) / (0.015 * mdev)).to_numpy()
+        np.testing.assert_allclose(_series(out, sym, "cci10")[9:], exp[9:], rtol=1e-9)
+
+
+def test_willr_range(ohlcv):
+    _, df = ohlcv
+    out = I.willr(df, 14)
+    vals = _series(out, "AAA", "willr")
+    assert np.all((vals <= 0) & (vals >= -100))
+
+
+def test_recursive_enrich_one_pass_equals_single_ops(ohlcv):
+    _, df = ohlcv
+    combined = I.recursive_enrich(
+        df, ema_spans=(10,), macd_pairs=((12, 26),), rsi_ns=(14,),
+        kama_ns=(10,), adx_ns=(14,),
+    )
+    single_ema = I.ema(df, [10])
+    single_adx = I.adx(df, 14)
+    np.testing.assert_allclose(
+        _series(combined, "AAA", "ema10"), _series(single_ema, "AAA", "ema10"),
+        rtol=1e-12,
+    )
+    got_adx = _series(combined, "AAA", "adx14")[2:]
+    exp_adx = _series(single_adx, "AAA", "adx14")[2:]
+    np.testing.assert_allclose(got_adx, exp_adx, rtol=1e-10)
+
+
+def test_enrich_ohlcv_full_surface(ohlcv):
+    _, df = ohlcv
+    out = I.enrich_ohlcv(df)
+    cols = set(out.columns)
+    expected = {
+        "sma5", "sma10", "sma15", "sma20", "trima5", "trima10", "trima20",
+        "roc5", "roc10", "roc20", "mom10", "mom15", "mom20",
+        "middleband", "upperband", "lowerband", "bollinger_bands_width",
+        "typprice", "willr", "fastk", "slowk", "slowd", "trange", "atr",
+        "cci5", "cci10", "cci15", "ema5", "ema10", "ema15", "ema20",
+        "macd510", "macd520", "macd1020", "macd1520", "macd1226",
+        "rsi8", "rsi14", "kama10", "kama20", "kama30",
+        "adx5", "adx10", "adx20",
+    }
+    assert expected <= cols
+    assert out.count() == 160
