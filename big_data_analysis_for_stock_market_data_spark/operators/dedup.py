@@ -1,0 +1,304 @@
+"""Deduplication operators (north-star surface): exact, MinHash+LSH,
+SimHash, n-gram Jaccard — the large-scale training-data pipeline family.
+
+Scale design notes
+------------------
+- Exact dedup is a hash-groupBy on the (normalized) content key: one shuffle
+  keyed by a fingerprint, never by the full text (the md5 key keeps shuffle
+  rows small even for MB-sized documents).
+- MinHash+LSH is the classic shingle → k-minhash → band → bucket-join
+  pipeline expressed entirely in DataFrame ops: one explode over shingles,
+  one groupBy for signatures, one groupBy per-band bucketing, and a
+  candidate self-join INSIDE buckets only — pair cost is Σ|bucket|², never
+  |docs|². All hashing is seeded xxhash64 (deterministic, JVM-side).
+- SimHash: 64-bit weighted-bit-vote signature; near-dup = small Hamming
+  distance; candidates found by banding the signature into 16-bit chunks
+  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+- Verification (exact Jaccard on shingle sets) only runs on candidate
+  pairs, which LSH keeps tiny relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_analysis_for_stock_market_data_spark.operators.text import tokens_col
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("text",),
+    id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Keep the lowest-``id_col`` row per content key (deterministic
+    survivor). ``normalized=True`` dedups on whitespace/case-normalized
+    text instead of raw bytes."""
+    if normalized:
+        key = [F.md5(F.concat_ws(" ", tokens_col(F.col(c))).cast("binary"))
+               for c in key_cols]
+    else:
+        key = [F.md5(F.col(c).cast("binary")) for c in key_cols]
+    w = Window.partitionBy(*key).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate group report: content hash, group size, surviving id.
+    Only groups with >1 member (the dedup 'what would be removed' view)."""
+    return (
+        df.groupBy(F.md5(F.col(key_col).cast("binary")).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def with_shingles(
+    df: DataFrame, n: int = 3, col: str = "text", out: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (token-level shingling —
+    robust to whitespace noise, the standard choice for near-dup of prose).
+    Documents shorter than ``n`` tokens contribute their whole token string
+    as a single shingle so they can still match exactly."""
+    toks = tokens_col(F.col(col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.withColumn(out, F.array_distinct(grams))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    shingle_col: str = "shingles",
+    id_col: str = "doc_id",
+    out: str = "signature",
+) -> DataFrame:
+    """k-permutation MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy (map-side partial
+    min) — the shuffle carries k longs per (doc, partition)."""
+    exploded = df.select(id_col, F.explode(shingle_col).alias("__sh"))
+    hashed = exploded.select(
+        id_col,
+        *[
+            F.xxhash64(F.col("__sh"), F.lit(i)).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        F.array(*[F.min(f"__h{i}") for i in range(num_hashes)]).alias(out)
+    )
+    return sig
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Band the signature into ``bands`` chunks, hash each chunk to a bucket,
+    and emit candidate pairs that share ≥1 (band, bucket). Collision
+    probability for Jaccard s is 1-(1-s^r)^b with r = k/bands.
+
+    The pair join happens within buckets via groupBy(bucket) + pairwise
+    explode of the (sorted, deduped) bucket membership, so cost is bounded
+    by Σ|bucket|² — with honest hashing, |bucket| is tiny unless documents
+    really are similar."""
+    k = bands  # band count; rows per band derived from signature length
+    banded = signatures.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col(sig_col),
+                                b * (F.size(F.col(sig_col)) / k).cast("int") + 1,
+                                (F.size(F.col(sig_col)) / k).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "bucket"),
+    )
+    buckets = banded.groupBy("band_id", "bucket").agg(
+        F.array_sort(F.collect_set(id_col)).alias("members")
+    ).filter(F.size("members") > 1)
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("members") - 2),
+                        lambda i: F.transform(
+                            F.slice(
+                                F.col("members"),
+                                i + 2,
+                                F.size("members") - i - 1,
+                            ),
+                            lambda right: F.struct(
+                                F.element_at(F.col("members"), i + 1).alias("id_a"),
+                                right.alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: |A∩B| / |A∪B| via
+    array_intersect/array_union on the (distinct) shingle arrays. Runs only
+    on LSH candidates, so the quadratic step never touches the full corpus."""
+    a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__sha")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__shb")
+    )
+    j = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.try_divide(
+                F.size(F.array_intersect("__sha", "__shb")).cast("double"),
+                F.size(F.array_union("__sha", "__shb")),
+            ),
+        )
+        .drop("__sha", "__shb")
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    n_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
+    pairs → exact-Jaccard verify. Returns (id_a, id_b, jaccard) with
+    id_a < id_b."""
+    shingled = with_shingles(df, n_shingle, col).select(id_col, "shingles")
+    sigs = minhash_signatures(shingled, num_hashes, "shingles", id_col)
+    pairs = lsh_candidate_pairs(sigs, bands, id_col)
+    return jaccard_verify(pairs, shingled, threshold, id_col).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    out: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash: per token, xxhash64 supplies the bit pattern; each bit
+    votes +1/-1; the signature's bit i is 1 iff the vote sum is positive.
+    Expressed as one explode + 64 conditional sums in a single groupBy —
+    JVM-side, one shuffle."""
+    toks = df.select(id_col, F.explode(tokens_col(F.col(col))).alias("__t"))
+    h = F.xxhash64("__t")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(
+            F.col(f"__b{i}") > 0, F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long")
+        ).otherwise(0)
+    return votes.select(id_col, sig.alias(out))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dups by SimHash Hamming distance ≤ ``max_hamming``. Candidates
+    via 16-bit chunk banding (any pair within Hamming ≤ 3 shares at least
+    one of the 4 chunks); verification via bit_count(xor)."""
+    sigs = simhash_signatures(df, col, id_col)
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "chunk_id", "chunk_val",
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "chunk_id", "chunk_val",
+    )
+    cand = (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Two paths, mirroring what a 100 TB pipeline needs:
+
+- **Brute-force cosine top-k** (the exactness baseline): broadcast the query
+  set, compute cosine as JVM higher-order functions (``zip_with`` +
+  ``aggregate`` in double), rank per query. Cost |corpus|·|queries| — right
+  whenever the query set is small enough to broadcast, which is the common
+  "find neighbors for these N items" shape.
+
+- **LSH-bucketed ANN** (random hyperplane / signed random projection): a
+  deterministic pseudo-random hyperplane family (seeded xxhash64 → ±1
+  components) maps each vector to a sign-bit bucket key; candidates join
+  within buckets only, then exact cosine re-ranks. Sub-linear candidate
+  generation; recall tuned by (n_planes, n_tables).
+
+Everything is expression-level (no UDF): the dot product runs inside
+whole-stage codegen. A Pandas-UDF variant is deliberately absent — at dim
+≤ a few thousand, ``aggregate(zip_with(...))`` beats the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double (inputs cast element-wise so float arrays don't
+    accumulate in float32)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def with_normalized(df: DataFrame, col: str = "embedding",
+                    out: str = "embedding_norm") -> DataFrame:
+    """Pre-normalize once so downstream cosine = plain dot product — at
+    scale, normalization is a write-once column, not a per-query cost."""
+    n = l2_norm(F.col(col))
+    return df.withColumn(
+        out, F.transform(F.col(col), lambda x: F.try_divide(x.cast("double"), n))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector. ``queries`` must
+    be broadcastable (the deliberate contract of the exact path). Ties break
+    on neighbor id for determinism. Excludes self-matches when ids collide."""
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("__qid")
+    )
+    scored = scored.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _hyperplane(plane_idx: int, dim: int, table_idx: int = 0) -> list[float]:
+    """Deterministic ±1 hyperplane components from a hash of (table, plane,
+    coordinate) — no runtime RNG, identical on every executor and run."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.sha256(f"{table_idx}:{plane_idx}:{j}".encode()).digest()
+        comps.append(1.0 if h[0] % 2 == 0 else -1.0)
+    return comps
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: sign-random-projection buckets over ``n_tables``
+    independent tables (union of candidates → recall boost), exact cosine
+    re-rank inside the candidate set. The corpus is hashed once per table;
+    at scale the bucketed corpus would be written out and reused across
+    query batches (the IVF-file pattern)."""
+    def bucket_expr(vec: Column, table: int) -> Column:
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim, table)])
+            bits.append(F.when(dot(vec, plane) >= 0, 1).otherwise(0) * (2 ** p))
+        expr = F.lit(table * (2 ** n_planes))
+        for b in bits:
+            expr = expr + b
+        return expr
+
+    c_buckets = corpus.select(
+        id_col, vec_col,
+        F.explode(
+            F.array(*[bucket_expr(F.col(vec_col), t) for t in range(n_tables)])
+        ).alias("__bucket"),
+    )
+    q_buckets = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.array(*[bucket_expr(F.col(vec_col), t) for t in range(n_tables)])
+        ).alias("__bucket"),
+    )
+    cand = (
+        c_buckets.join(F.broadcast(q_buckets), "__bucket")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col), F.col("__qvec"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cand.select(
+        query_id_col, "neighbor_id",
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup's semantic variant):
+    LSH-bucket the corpus against itself, exact-cosine verify, keep pairs
+    ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b."""
+    def bucket_cols(vec: Column) -> Column:
+        return F.array(
+            *[
+                _bucket_expr_cached(vec, t, n_planes, dim)
+                for t in range(n_tables)
+            ]
+        )
+
+    def _bucket_expr_cached(vec: Column, table: int, planes: int, d: int) -> Column:
+        expr = F.lit(table * (2 ** planes))
+        for p in range(planes):
+            plane = F.array(*[F.lit(c) for c in _hyperplane(p, d, table)])
+            expr = expr + F.when(dot(vec, plane) >= 0, 1).otherwise(0) * (2 ** p)
+        return expr
+
+    bucketed = df.select(
+        id_col, vec_col, F.explode(bucket_cols(F.col(vec_col))).alias("__bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+    )
+    cand = (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )

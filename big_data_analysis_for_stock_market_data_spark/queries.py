@@ -820,6 +820,325 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "value", "ref_value")
 
 
+# ---------------------------------------------------------------------------
+# North-star: text analysis (operators/text.py).
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
+)
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS nc
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars_calc,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN nc > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / nc END AS alpha_ratio,
+           CASE WHEN nc > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc END AS digit_ratio,
+           CASE WHEN nc > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / nc END AS punct_ratio,
+           CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks,
+                t -> list_contains(['the','and','of','to','in','is','that','with','for','a'], t))) AS DOUBLE) / len(toks)
+           END AS stopword_ratio,
+           CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           END AS mean_token_len
+    FROM t
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring — one JVM-side projection over the
+    corpus (operators/text.py)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    out = text_ops.quality_stats(docs)
+    return out.select(
+        "doc_id", "n_chars_calc", "n_tokens", "alpha_ratio", "digit_ratio",
+        "punct_ratio", "stopword_ratio", "mean_token_len",
+    )
+
+
+def _langid_oracle() -> str:
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        lang_id_oracle_sql,
+    )
+
+    return f"SELECT doc_id, {lang_id_oracle_sql('text')} AS lang_pred FROM documents"
+
+
+@register("text_langid")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language ID (oracle SQL generated from the same
+    stopword lists — see oracle registration below)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.lang_id(docs).select("doc_id", "lang_pred")
+
+
+_ORACLE["text_langid"] = _langid_oracle()
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (LLM token-budget proxy)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.token_count_bpe(docs).select("doc_id", "n_bpe_tokens")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string({_DUCK_TOKS}, ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case-normalized md5 content fingerprint."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.fingerprint_md5(docs).select("doc_id", "fingerprint")
+
+
+@register("text_rolling_fingerprint")  # xxhash64 has no DuckDB twin: rows-only
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over tokens (higher-order
+    aggregate, JVM-side)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.fingerprint_rolling(docs).select("doc_id", "rolling_fp")
+
+
+# ---------------------------------------------------------------------------
+# North-star: deduplication (operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, deterministic lowest-id survivor per content hash."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_duplicate_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group report (hash, copies, survivor)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.duplicate_groups(docs)
+
+
+@register("dedup_minhash_near")  # seeded-xxhash LSH: no SQL twin, rows-only
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → 64 minhashes → 16 bands →
+    bucket pairs → exact-Jaccard verify ≥ 0.5."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.minhash_near_dups(docs, threshold=0.5)
+
+
+@register("dedup_simhash_near")  # rows-only
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures, Hamming ≤ 6 via 16-bit chunk banding."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.simhash_near_dups(docs, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search (operators/simsearch.py).
+# ---------------------------------------------------------------------------
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS DOUBLE)"
+    )
+
+
+def _duck_norm(a: str) -> str:
+    return (
+        f"sqrt(CAST(list_sum(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE))"
+    )
+
+
+@register(
+    "simsearch_cosine_scores",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_duck_dot('e.embedding', 'q.qvec')}
+                 / ({_duck_norm('e.embedding')} * {_duck_norm('q.qvec')}),
+                 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    """,
+)
+def simsearch_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of every vector against a fixed query vector —
+    the kernel the ANN paths re-rank with (JVM higher-order functions)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qvec")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(ss.cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+
+
+@register("simsearch_bruteforce_topk")  # rows-only: rank ties under fp noise
+def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 3 query vectors (broadcast
+    brute-force baseline)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ss.brute_force_topk(emb, queries_df, k=5)
+
+
+@register("simsearch_lsh_topk")  # rows-only
+def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (sign random projections, 4 tables × 8
+    planes) — the sub-linear scale path."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ss.lsh_bucket_topk(emb, queries_df, k=5)
+
+
+@register("dedup_cosine_near")  # rows-only
+def dedup_cosine_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH candidates + exact
+    verify). The synthetic embeddings are near-orthogonal (max pairwise
+    cosine ≈ 0.51), so the threshold is set at 0.4 — the top ~0.05% of
+    pairs — to exercise the full candidate→verify path."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ss.cosine_near_dup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal binary columns (operators/multimodal.py). The
+# driver ships no media table, so payloads are synthesized from documents
+# (text bytes as stand-in blobs) — the operator surface is the real thing.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction (length, sha256 content id) —
+    expression-level, no Python."""
+    from big_data_analysis_for_stock_market_data_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    out = mm.with_payload_meta(docs)
+    return out.select("doc_id", "payload_bytes", "content_sha256")
+
+
+@register("mm_fake_features")  # Pandas-UDF stage: rows-only
+def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (deterministic
+    fake decoder; real decoder is the documented stub)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import multimodal as mm
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    feats = mm.extract_features(docs, dim=16)
+    return feats.select(
+        "asset_id",
+        F.size("features").alias("feat_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+@register("mm_frame_sample")  # rows-only
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling explode shape (stub slicing; real sampler drops in)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import multimodal as mm
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    frames = mm.frame_sample(docs, n_frames=4)
+    return frames.select(
+        "asset_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

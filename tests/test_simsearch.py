@@ -1,0 +1,73 @@
+"""Similarity-search tests (operators/simsearch.py)."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_analysis_for_stock_market_data_spark.operators import simsearch as S
+
+
+def _vecs(spark):
+    # v1 ≈ v2 (cos ~0.999), v3 orthogonal-ish, v4 = -v1
+    data = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.99, 0.1, 0.0, 0.0],
+        3: [0.0, 1.0, 0.0, 0.0],
+        4: [-1.0, 0.0, 0.0, 0.0],
+    }
+    return spark.createDataFrame(
+        [Row(vec_id=k, embedding=[float(x) for x in v]) for k, v in data.items()],
+        schema="vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_kernel(spark):
+    df = _vecs(spark)
+    a = df.filter("vec_id = 1").select(F.col("embedding").alias("a"))
+    b = df.filter("vec_id = 2").select(F.col("embedding").alias("b"))
+    got = a.crossJoin(b).select(
+        S.cosine(F.col("a"), F.col("b")).alias("c")
+    ).first().c
+    exp = 0.99 / math.sqrt(0.99**2 + 0.1**2)
+    assert abs(got - exp) < 1e-6  # float32 storage of inputs
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    df = _vecs(spark)
+    queries = df.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.brute_force_topk(df, queries, k=3).collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert out[0].cos_sim > 0.99 and abs(out[1].cos_sim) < 1e-6
+    assert out[2].cos_sim == -1.0
+
+
+def test_normalized_dot_equals_cosine(spark):
+    df = S.with_normalized(_vecs(spark))
+    a = df.filter("vec_id = 1").select(F.col("embedding_norm").alias("a"))
+    b = df.filter("vec_id = 2").select(F.col("embedding_norm").alias("b"))
+    got = a.crossJoin(b).select(S.dot(F.col("a"), F.col("b")).alias("d")).first().d
+    exp = 0.99 / math.sqrt(0.99**2 + 0.1**2)
+    assert abs(got - exp) < 1e-6
+
+
+def test_lsh_finds_the_near_identical_neighbor(spark):
+    df = _vecs(spark)
+    queries = df.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.lsh_bucket_topk(df, queries, k=2, dim=4, n_planes=4, n_tables=4)
+    rows = out.collect()
+    assert rows, "LSH returned no candidates"
+    # the near-identical vector must be the top hit when found
+    assert rows[0].neighbor_id == 2
+
+
+def test_cosine_near_dup_pairs_threshold(spark):
+    df = _vecs(spark)
+    out = S.cosine_near_dup_pairs(
+        df, threshold=0.9, n_planes=2, n_tables=4, dim=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
