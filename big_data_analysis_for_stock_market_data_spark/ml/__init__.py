@@ -1,0 +1,30 @@
+"""ML surface of the engine (SURVEY.md §2.8).
+
+DataFrame-API only: the reference's RDD/mllib path (``G_2_rf_rdd.py:157``,
+``LabeledPoint`` + ``mllib.RandomForest``) is maintenance-mode upstream and
+pays per-row Python serialization, so the engine does not reproduce it —
+``pyspark.ml`` pipelines cover the same capability (M4 vs M5) with
+whole-stage-codegen'd featurization and no Python in the training loop.
+"""
+
+from big_data_analysis_for_stock_market_data_spark.ml.metrics import (
+    binary_metrics,
+    confusion_matrix,
+    metrics_df,
+)
+from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+    FitResult,
+    make_pipeline,
+    train_linear_svc,
+    train_random_forest,
+)
+
+__all__ = [
+    "FitResult",
+    "binary_metrics",
+    "confusion_matrix",
+    "make_pipeline",
+    "metrics_df",
+    "train_linear_svc",
+    "train_random_forest",
+]

@@ -1,0 +1,185 @@
+"""Seeded DataFrame-API ML pipelines (reference M1-M4, M8).
+
+The reference builds ``Pipeline(stages=[VectorAssembler, RandomForest])``
+(``G_2_rf_nordd.py:57-66``), optionally preceded by ``StandardScaler`` +
+``PCA`` (``G_2_rf_pca.py:79-142``), and a ``LinearSVC`` variant
+(``G_2_svm.py:160-161``). Engine differences, per SURVEY.md §5/§7:
+
+- every stochastic stage takes an explicit ``seed`` (the reference left
+  ``randomSplit`` unseeded at ``G_2_rf_nordd.py:63``);
+- the feature DataFrame is cached before split/fit (the reference recomputed
+  an 11-join lineage per training pass — SURVEY.md §4 "caching");
+- transform choice is a declarative ``transform=`` parameter
+  ('none' | 'scale' | 'pca'), mirroring the reference's benchmark grid
+  {no transformation, PCA, feature engineering} (``G_2_presentation.pdf
+  p.22``) — feature engineering is upstream of this module (the caller
+  enriches columns first, e.g. via ``operators.indicators.enrich_ohlcv``).
+
+Scale notes: ``VectorAssembler``/``StandardScaler``/``LinearSVC`` are
+single-pass + treeAggregate reductions (driver holds only d-dim vectors);
+``PCA`` computes a d x d Gramian on executors — fine for d up to a few
+thousand, which covers the reference's 59 columns with orders of magnitude
+to spare. ``RandomForestClassifier`` trains on sampled instance weights with
+distributed histogram aggregation. Nothing here collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Sequence
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LinearSVC, RandomForestClassifier
+from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+from pyspark.sql import DataFrame
+
+DEFAULT_SEED = 42
+
+TRANSFORMS = ("none", "scale", "pca")
+
+
+def _feature_stages(
+    feature_cols: Sequence[str],
+    transform: str = "none",
+    pca_k: int = 12,
+    features_col: str = "features",
+) -> list:
+    """Featurization prefix shared by every estimator: assemble, then
+    optionally scale (withMean+withStd as the reference,
+    ``G_2_rf_pca.py:79-84``), then optionally project to ``pca_k``
+    components (the reference chose k=12 for 95% variance,
+    ``G_2_presentation.pdf p.14``)."""
+    if transform not in TRANSFORMS:
+        raise ValueError(f"transform must be one of {TRANSFORMS}, got {transform!r}")
+    stages: list = []
+    assembled = "__assembled" if transform != "none" else features_col
+    stages.append(
+        VectorAssembler(inputCols=list(feature_cols), outputCol=assembled)
+    )
+    if transform == "scale":
+        stages.append(
+            StandardScaler(
+                inputCol=assembled, outputCol=features_col,
+                withMean=True, withStd=True,
+            )
+        )
+    elif transform == "pca":
+        stages.append(
+            StandardScaler(
+                inputCol=assembled, outputCol="__scaled",
+                withMean=True, withStd=True,
+            )
+        )
+        stages.append(PCA(k=pca_k, inputCol="__scaled", outputCol=features_col))
+    return stages
+
+
+def make_pipeline(
+    estimator,
+    feature_cols: Sequence[str],
+    transform: str = "none",
+    pca_k: int = 12,
+) -> Pipeline:
+    """``Pipeline([assembler(, scaler)(, pca), estimator])`` — the reference's
+    exact composition shape (``G_2_rf_nordd.py:57-66``)."""
+    return Pipeline(stages=_feature_stages(feature_cols, transform, pca_k) + [estimator])
+
+
+@dataclass
+class FitResult:
+    """Trained model + held-out predictions + honestly-named metrics (Q5)."""
+
+    model: PipelineModel
+    predictions: DataFrame
+    metrics: dict[str, float] = field(default_factory=dict)
+
+
+def _fit(
+    df: DataFrame,
+    estimator,
+    feature_cols: Sequence[str],
+    label_col: str,
+    transform: str,
+    pca_k: int,
+    seed: int,
+    train_fraction: float,
+    evaluate: bool,
+) -> FitResult:
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import binary_metrics
+
+    pipeline = make_pipeline(estimator, feature_cols, transform, pca_k)
+    projected = df.select(*feature_cols, label_col).cache()
+    try:
+        train, test = projected.randomSplit(
+            [train_fraction, 1.0 - train_fraction], seed=seed
+        )
+        model = pipeline.fit(train)
+        # drop featurization intermediates (Spark's lenient multi-drop, P3)
+        predictions = model.transform(test).drop("__assembled", "__scaled")
+        metrics = (
+            binary_metrics(predictions, label_col=label_col) if evaluate else {}
+        )
+        return FitResult(model=model, predictions=predictions, metrics=metrics)
+    finally:
+        projected.unpersist()
+
+
+def train_random_forest(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "buy_or_sell",
+    transform: str = "none",
+    pca_k: int = 12,
+    num_trees: int = 10,
+    max_depth: int = 10,
+    max_bins: int = 32,
+    seed: int = DEFAULT_SEED,
+    train_fraction: float = 0.7,
+    evaluate: bool = True,
+) -> FitResult:
+    """RF pipeline (M4; hyperparameters default to the reference's mllib grid
+    — numTrees=10, maxDepth=10, maxBins=32, seed=42 at
+    ``G_2_rf_rdd.py:163-164`` — applied to the DataFrame API)."""
+    rf = RandomForestClassifier(
+        labelCol=label_col, featuresCol="features",
+        numTrees=num_trees, maxDepth=max_depth, maxBins=max_bins, seed=seed,
+    )
+    return _fit(df, rf, feature_cols, label_col, transform, pca_k, seed,
+                train_fraction, evaluate)
+
+
+def train_linear_svc(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "buy_or_sell",
+    transform: str = "none",
+    pca_k: int = 12,
+    max_iter: int = 10,
+    reg_param: float = 0.1,
+    seed: int = DEFAULT_SEED,
+    train_fraction: float = 0.7,
+    evaluate: bool = True,
+) -> FitResult:
+    """LinearSVC pipeline (M8; ``maxIter=10, regParam=0.1`` as
+    ``G_2_svm.py:160-161``)."""
+    svc = LinearSVC(
+        labelCol=label_col, featuresCol="features",
+        maxIter=max_iter, regParam=reg_param,
+    )
+    return _fit(df, svc, feature_cols, label_col, transform, pca_k, seed,
+                train_fraction, evaluate)
+
+
+def pca_explained_variance(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    k: int,
+) -> list[float]:
+    """Explained-variance ratios of the top-k principal components on
+    standardized features (the reference's k-selection step: k=59 explore →
+    k=12 at 95% cumulative variance, ``G_2_rf_pca.py:100-142``,
+    ``G_2_presentation.pdf p.14``)."""
+    stages = _feature_stages(feature_cols, transform="pca", pca_k=k)
+    model = Pipeline(stages=stages).fit(df.select(*feature_cols))
+    pca_model = model.stages[-1]
+    return [float(v) for v in pca_model.explainedVariance]

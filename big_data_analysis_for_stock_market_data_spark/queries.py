@@ -1139,6 +1139,87 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ML pipelines (ml/pipeline.py, ml/metrics.py) — the reference's primary
+# workload (SURVEY.md §2.8 M1-M9). Training is not SQL-expressible, so these
+# are rows-only entries; every stage is seeded (seed=42) so reruns agree.
+# ---------------------------------------------------------------------------
+
+_ML_FEATURES = ["value", "sma10", "mom5", "roc5"]
+
+
+def _ml_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → native indicator features + lead label, the engine's
+    transposition of the reference's FE+label pipeline (stock_minute has no
+    driver table; events.value is the series). Indicators share one window
+    shuffle on user_id; label is the partitioned lead (Q1 intent mode)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    events = load(spark, sf_dir, "events")
+    d = ind.sma(events, 10, partition_by="user_id", order_by="ts", col="value")
+    d = ind.momentum(d, 5, partition_by="user_id", order_by="ts", col="value")
+    d = ind.roc(d, 5, partition_by="user_id", order_by="ts", col="value")
+    d = win_ops.label_buy_sell(
+        d, value_col="value", order_by="ts", partition_by="user_id", mode="lead"
+    )
+    return d.na.drop(subset=_ML_FEATURES)
+
+
+@register("ml_rf_metrics")  # model training: no SQL twin, rows-only
+def ml_rf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomForest pipeline (M1+M4) on indicator features; returns the
+    honestly-named metric rows (Q5): areaUnderROC / accuracy / f1."""
+    from big_data_analysis_for_stock_market_data_spark import ml
+
+    fit = ml.train_random_forest(
+        _ml_training_frame(spark, sf_dir), _ML_FEATURES,
+        num_trees=10, max_depth=5, seed=42,
+    )
+    return ml.metrics_df(spark, fit.metrics)
+
+
+@register("ml_rf_confusion")  # rows-only
+def ml_rf_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed confusion matrix of the RF predictions (vs the
+    reference's sklearn-on-collect, G_2_svm.py:178-181)."""
+    from big_data_analysis_for_stock_market_data_spark import ml
+
+    fit = ml.train_random_forest(
+        _ml_training_frame(spark, sf_dir), _ML_FEATURES,
+        num_trees=10, max_depth=5, seed=42, evaluate=False,
+    )
+    return ml.confusion_matrix(fit.predictions)
+
+
+@register("ml_svc_pca_metrics")  # rows-only
+def ml_svc_pca_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinearSVC on scale→PCA features (M2+M3+M8), the reference's
+    svm_pca variant (G_2_svm_pca.py:75-122,224-225)."""
+    from big_data_analysis_for_stock_market_data_spark import ml
+
+    fit = ml.train_linear_svc(
+        _ml_training_frame(spark, sf_dir), _ML_FEATURES,
+        transform="pca", pca_k=3, max_iter=10, reg_param=0.1, seed=42,
+    )
+    return ml.metrics_df(spark, fit.metrics)
+
+
+@register("ml_pca_variance")  # rows-only
+def ml_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA explained-variance ratios on standardized lineitem measures —
+    the reference's k-selection step (G_2_rf_pca.py:100-142, 95%-variance
+    cut at p.14)."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        pca_explained_variance,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ratios = pca_explained_variance(li, cols, k=4)
+    rows = [(i, round(r, 6)) for i, r in enumerate(ratios)]
+    return spark.createDataFrame(rows, "component int, variance_ratio double")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1,0 +1,75 @@
+"""ML pipeline tests (SURVEY.md §2.8 M1-M9): seeded determinism, honest
+metric names, distributed confusion matrix, PCA variance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_for_stock_market_data_spark import ml
+from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+    pca_explained_variance,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled_df(spark):
+    # Deterministic separable-ish data: label correlates with x1+x2.
+    df = spark.range(600).select(
+        F.col("id"),
+        (F.sin(F.col("id") * 1.7)).alias("x1"),
+        (F.cos(F.col("id") * 0.3)).alias("x2"),
+        ((F.col("id") % 7) / 7.0).alias("x3"),
+    )
+    return df.withColumn(
+        "buy_or_sell",
+        (F.col("x1") + F.col("x2") + F.col("x3") > 0.5).cast("int"),
+    )
+
+
+FEATURES = ["x1", "x2", "x3"]
+
+
+def test_rf_metrics_named_and_bounded(labeled_df):
+    fit = ml.train_random_forest(labeled_df, FEATURES, num_trees=5, max_depth=4)
+    assert set(fit.metrics) == {"areaUnderROC", "accuracy", "f1"}
+    for v in fit.metrics.values():
+        assert 0.0 <= v <= 1.0
+    # learnable signal => far better than chance
+    assert fit.metrics["areaUnderROC"] > 0.8
+
+
+def test_rf_seeded_determinism(labeled_df):
+    a = ml.train_random_forest(labeled_df, FEATURES, num_trees=5, max_depth=4, seed=7)
+    b = ml.train_random_forest(labeled_df, FEATURES, num_trees=5, max_depth=4, seed=7)
+    assert a.metrics == b.metrics
+
+
+def test_svc_transforms(labeled_df):
+    for transform in ("none", "scale", "pca"):
+        fit = ml.train_linear_svc(
+            labeled_df, FEATURES, transform=transform, pca_k=2, max_iter=5
+        )
+        assert 0.0 <= fit.metrics["areaUnderROC"] <= 1.0
+        # featurization intermediates must not leak into the output schema
+        assert "__assembled" not in fit.predictions.columns
+
+
+def test_confusion_matrix_totals(labeled_df):
+    fit = ml.train_random_forest(
+        labeled_df, FEATURES, num_trees=5, max_depth=4, evaluate=False
+    )
+    cm = ml.confusion_matrix(fit.predictions)
+    rows = cm.collect()
+    assert sum(r.n for r in rows) == fit.predictions.count()
+    assert {(r.label, r.prediction) for r in rows} <= {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_pca_variance_ratios(labeled_df):
+    ratios = pca_explained_variance(labeled_df, FEATURES, k=3)
+    assert len(ratios) == 3
+    assert ratios == sorted(ratios, reverse=True)
+    assert abs(sum(ratios) - 1.0) < 1e-6  # k = d captures all variance
+
+
+def test_bad_transform_rejected(labeled_df):
+    with pytest.raises(ValueError, match="transform"):
+        ml.train_random_forest(labeled_df, FEATURES, transform="bogus")
