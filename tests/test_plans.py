@@ -1,0 +1,95 @@
+"""Plan-shape regression tests (SURVEY.md §4): pin the physical facts that
+make queries scale — pushdown, pruning, broadcast, shuffle counts, and the
+boundary between JVM and sanctioned-Python execution. A value-correct result
+off a degraded plan fails here first."""
+
+import pytest
+
+from big_data_analysis_for_stock_market_data_spark import queries as Q
+from big_data_analysis_for_stock_market_data_spark.plans import inspect as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return Q.queries()[name](spark, SF)
+
+
+def test_q1_filter_pushed_and_pruned(spark):
+    df = q(spark, "q1_pricing_summary")
+    pushed = " ".join(P.pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate reached the parquet scan
+    (schema,) = P.read_schemas(df)
+    # 16-col lineitem pruned to exactly the 7 referenced columns
+    assert len(schema) == 7
+    assert "l_comment" not in schema
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("j1_segment_rollup", "q5_nation_revenue", "q3_top_unshipped"):
+        df = q(spark, name)
+        assert P.has_broadcast_hash_join(df), name
+        assert not P.has_sort_merge_join(df), name  # no fact-side shuffle join
+
+
+def test_q5_all_scans_pruned(spark):
+    # star join over 5 tables: every scan reads only the referenced columns
+    for schema in P.read_schemas(q(spark, "q5_nation_revenue")):
+        assert len(schema) <= 3
+
+
+def test_projection_pipelines_shuffle_free(spark):
+    for name in ("f_scalar_arithmetic", "text_quality_stats", "mm_payload_meta"):
+        df = q(spark, name)
+        assert P.count_shuffles(df) == 0, name
+
+
+def test_topk_no_global_sort_shuffle(spark):
+    # ORDER BY + LIMIT compiles to TakeOrderedAndProject: per-partition
+    # top-k, k-row driver merge, zero Exchange nodes
+    df = q(spark, "o1_topk_orders")
+    assert P.count_shuffles(df) == 0
+    assert "TakeOrderedAndProject" in P.explain_str(df, "simple")
+
+
+def test_flagship_single_shuffle(spark):
+    # both windows (user_id) and (user_id, date_only) reuse ONE exchange:
+    # hash(user_id) already clusters the finer key (Q4 fusion payoff)
+    df = q(spark, "flagship_label_daily")
+    assert P.count_shuffles(df) == 1
+
+
+def test_core_relational_paths_jvm_only(spark):
+    for name in (
+        "q1_pricing_summary", "j1_segment_rollup", "flagship_label_daily",
+        "text_quality_stats", "text_langid", "dedup_exact_keep_first",
+        "simsearch_cosine_scores", "ind_sma_bollinger",
+    ):
+        assert P.python_stages(q(spark, name)) == [], name
+
+
+def test_recursive_indicators_use_sanctioned_crossing(spark):
+    # exactly one Arrow-vectorized crossing; never row-at-a-time Python
+    df = q(spark, "ind_recursive_family")
+    stages = P.python_stages(df)
+    assert stages == ["FlatMapGroupsInPandas"]
+    assert P.count_shuffles(df) == 1  # one shuffle on the partition key
+
+
+def test_asof_join_single_shuffle(spark):
+    # union + repartition(user_id) + last(ignorenulls): no range explosion,
+    # one exchange total
+    df = q(spark, "asof_join_events")
+    assert P.count_shuffles(df) == 1
+
+
+def test_codegen_fuses_scalar_pipeline(spark):
+    # whole-stage codegen must cover the scan->project pipeline
+    assert len(P.codegen_ids(q(spark, "f_scalar_arithmetic"))) >= 1
+
+
+@pytest.mark.parametrize("name", ["a2_sorted_avg", "j1_segment_rollup"])
+def test_aggregates_bounded_shuffles(spark, name):
+    # partial->final hash agg + output sort: at most 2 exchanges, and the
+    # shuffled rows are group-level, not row-level
+    assert P.count_shuffles(q(spark, name)) <= 2
