@@ -1140,6 +1140,125 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming (streaming/ops.py) — run under an availableNow
+# trigger into a memory sink, so replay-the-stream == run-the-batch and the
+# DuckDB oracle still applies. The reference listed streaming as future work
+# (G_2_presentation.pdf p.31-34); this is new capability, nothing ported.
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    return st.read_stream_parquet(
+        spark, os.path.join(sf_dir, "events.parquet"), TESTDATA_SCHEMAS["events"]
+    )
+
+
+@register(
+    "stream_tumbling_daily",
+    oracle=f"""
+    SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS window_start,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             + INTERVAL 1 DAY AS window_end,
+           COUNT(value) AS n_events,
+           {_sql_dsum('value', 'sum_value')},
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-day aggregate per user, replayed to completion.
+    complete-mode memory sink: append would hold back windows newer than
+    the final watermark."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    agg = st.windowed_agg(
+        _events_stream(spark, sf_dir), "ts", "1 day",
+        {
+            "n_events": ("count", "value"),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+            "max_value": ("max", "value"),
+        },
+        watermark="1 day", group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(agg, output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
+    "stream_session_30m",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — dynamic-length
+    stateful windows; the oracle is the equivalent gaps-and-islands SQL."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    agg = st.session_agg(
+        _events_stream(spark, sf_dir), "ts", "30 minutes",
+        {"n_events": ("count", "value")},
+        watermark="1 day", group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(agg, output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type): first-seen
+    survivor with state evicted past the watermark; output projected to the
+    keys so the surviving-row choice cannot leak nondeterminism."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    dd = st.stream_dedup(
+        _events_stream(spark, sf_dir),
+        keys=["user_id", "event_type"], ts_col="ts", watermark="365 days",
+    ).select("user_id", "event_type")
+    _, sink = st.run_to_memory(dd, output_mode="append")
+    return spark.table(sink)
+
+
+@register("stream_ema_user")  # recursive state: no SQL twin, rows-only
+def stream_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EMA per user (applyInPandasWithState, O(1) state
+    per key) — the streaming twin of ind_recursive_family; full replay
+    equals the batch recurrence (asserted in tests/test_streaming.py)."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    ema = st.streaming_ema(
+        _events_stream(spark, sf_dir), "user_id", "ts", "value", span=10
+    )
+    _, sink = st.run_to_memory(ema, output_mode="append")
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
 # ML pipelines (ml/pipeline.py, ml/metrics.py) — the reference's primary
 # workload (SURVEY.md §2.8 M1-M9). Training is not SQL-expressible, so these
 # are rows-only entries; every stage is seeded (seed=42) so reruns agree.

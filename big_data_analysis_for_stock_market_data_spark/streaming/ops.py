@@ -1,0 +1,244 @@
+"""Streaming operators: watermarked windows, dedup, stateful recurrences.
+
+Scale notes
+-----------
+- Every op keys its state by a partition column (user/symbol): state is
+  sharded across executors by the same hash shuffle batch ops use; no
+  global ordering is ever required (the batch engine's Q3 rule, applied to
+  streams).
+- Watermarks bound state: windowed aggregates drop windows older than the
+  watermark; ``dropDuplicatesWithinWatermark`` evicts seen-key state.
+  Without a watermark, 100 TB of stream would accumulate unbounded state.
+- ``streaming_ema`` carries O(1) state per key (last EMA + last timestamp),
+  the minimal sufficient statistic of the recurrence — state size is
+  |keys|, independent of stream length.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+AggSpec = "dict[str, tuple[str, str] | Column]"
+
+
+def _agg_exprs(aggs) -> list[Column]:
+    """out_col -> ('avg','value') shorthand, or a full Column expression
+    (callers needing exact-decimal sums pass the Column form)."""
+    exprs = []
+    for out, spec in aggs.items():
+        if isinstance(spec, Column):
+            exprs.append(spec.alias(out))
+        else:
+            fn, col = spec
+            exprs.append(getattr(F, fn)(col).alias(out))
+    return exprs
+
+
+def read_stream_parquet(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-source stream. Streaming reads REQUIRE an explicit schema (no
+    inference pass is possible on an unbounded source) — the engine's
+    explicit-schema default (S1) is mandatory here, not a style choice.
+    Applies the same TIMESTAMP(NANOS)->micros normalization as the batch
+    reader (sources/io.py) so batch and stream agree on types."""
+    read_fields = []
+    nanos_cols = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            read_fields.append(T.StructField(f.name, T.LongType(), f.nullable))
+            nanos_cols.append(f.name)
+        else:
+            read_fields.append(f)
+    reader = spark.readStream.schema(T.StructType(read_fields))
+    # The file source requires a directory; a single-file path becomes
+    # parent-dir + pathGlobFilter so callers can point at one table file
+    # (e.g. /root/testdata/sf0.01/events.parquet) like the batch reader.
+    import os
+
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    for name in nanos_cols:
+        df = df.withColumn(
+            name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+        )
+    return df
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs,
+    slide: str | None = None,
+    watermark: str = "1 day",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling (or sliding, with ``slide``) event-time windowed aggregate
+    with a late-data watermark. ``aggs`` maps out_col -> (fn, in_col) or
+    out_col -> Column expression.
+    Output columns: group keys, window_start, window_end, aggregates."""
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    exprs = _agg_exprs(aggs)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*group_by, w.alias("__w"))
+        .agg(*exprs)
+        .select(
+            *group_by,
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *[F.col(out) for out in aggs],
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs,
+    watermark: str = "1 day",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Session windows: rows within ``gap`` of each other merge into one
+    session per group key (dynamic-length windows; state merges sessions as
+    late rows arrive up to the watermark)."""
+    exprs = _agg_exprs(aggs)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*group_by, F.session_window(ts_col, gap).alias("__w"))
+        .agg(*exprs)
+        .select(
+            *group_by,
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            *[F.col(out) for out in aggs],
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup on ``keys``. With a watermark, uses
+    ``dropDuplicatesWithinWatermark`` so per-key state is EVICTED once the
+    key is older than the watermark — the only form that survives an
+    unbounded stream. Without one, state grows with distinct keys
+    (exploration only)."""
+    if watermark:
+        if not ts_col:
+            raise ValueError("watermarked dedup requires ts_col")
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))
+
+
+def streaming_ema(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    span: int = 10,
+) -> DataFrame:
+    """Per-key streaming EMA via ``applyInPandasWithState`` — the streaming
+    twin of the batch recursive indicators (operators/indicators.py).
+
+    State per key is the recurrence's sufficient statistic: (last_ema,
+    last_ts_micros). Each micro-batch folds its rows in timestamp order into
+    the carried EMA, so a full replay reproduces the batch
+    ``ewm(span, adjust=False)`` exactly. Out-of-order rows *within* a batch
+    are sorted; rows older than the carried timestamp are late arrivals and
+    are passed through with null ema (they cannot be retro-folded into an
+    already-emitted recurrence — the documented streaming-vs-batch delta).
+
+    Output: key, ts, value, ema.
+    """
+    alpha = 2.0 / (span + 1)
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ema", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ema", T.DoubleType()),
+            T.StructField("last_ts_micros", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            last_ema, last_ts = state.get
+        else:
+            last_ema, last_ts = None, -(2**62)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            ts_micros = pdf[ts_col].astype("int64") // 1000
+            values = pdf[value_col].astype("float64")
+            emas = []
+            for t, x in zip(ts_micros, values):
+                if t < last_ts:
+                    emas.append(None)  # late row: passthrough, not folded
+                    continue
+                last_ema = x if last_ema is None else (
+                    alpha * x + (1.0 - alpha) * last_ema
+                )
+                last_ts = t
+                emas.append(last_ema)
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "ts": pdf[ts_col],
+                    "value": values,
+                    "ema": pd.array(emas, dtype="float64"),
+                }
+            )
+        state.update((last_ema, last_ts))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+) -> tuple[SparkSession, str]:
+    """Execute a streaming DataFrame to completion over the data available
+    now (``trigger(availableNow=True)``) into a memory sink; returns the
+    session and sink table name. This is how the query registry exposes
+    streaming ops to the batch-shaped oracle harness: replay-the-stream ==
+    run-the-batch."""
+    sink = name or f"stream_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession, sink

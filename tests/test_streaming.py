@@ -1,0 +1,182 @@
+"""Structured Streaming tests: batch/stream parity for windowed aggregates,
+session windows, dedup, and the stateful streaming EMA (state carried across
+micro-batches)."""
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(dir_path: str, name: str, pdf: pd.DataFrame, mtime: float):
+    # pyarrow writes timestamp[ns] — same physical type as the driver
+    # testdata, exercising the nanos->micros normalization path
+    path = os.path.join(dir_path, name)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    os.utime(path, (mtime, mtime))
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    d = tmp_path_factory.mktemp("stream_events")
+    base = pd.Timestamp("2024-01-01")
+    frames = []
+    for batch in range(2):
+        n = 300
+        pdf = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 5, n),
+                "ts": base
+                + pd.to_timedelta(
+                    batch * 3 * 86_400 + rng.integers(0, 3 * 86_400, n), unit="s"
+                ),
+                "value": rng.normal(100.0, 5.0, n),
+            }
+        )
+        frames.append(pdf)
+        _write_batch(str(d), f"batch_{batch}.parquet", pdf, time.time() - 100 + batch)
+    return str(d), pd.concat(frames, ignore_index=True)
+
+
+def _static_df(spark, pdf: pd.DataFrame):
+    return spark.createDataFrame(pdf, schema=EVENTS_SCHEMA)
+
+
+def test_windowed_agg_stream_equals_batch(spark, stream_dir):
+    path, pdf = stream_dir
+    stream = st.read_stream_parquet(spark, path, EVENTS_SCHEMA)
+    agg = st.windowed_agg(
+        stream, "ts", "1 day",
+        {"n": ("count", "value"), "mx": ("max", "value")},
+        group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(agg, output_mode="complete")
+    got = {
+        (r.user_id, r.window_start, r.window_end): (r.n, r.mx)
+        for r in spark.table(sink).collect()
+    }
+    want = {
+        (r.user_id, r.window_start, r.window_end): (r.n, r.mx)
+        for r in _static_df(spark, pdf)
+        .groupBy("user_id", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("value").alias("n"), F.max("value").alias("mx"))
+        .select("user_id", F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "n", "mx")
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_agg_stream_equals_batch(spark, stream_dir):
+    path, pdf = stream_dir
+    stream = st.read_stream_parquet(spark, path, EVENTS_SCHEMA)
+    agg = st.session_agg(
+        stream, "ts", "30 minutes", {"n": ("count", "value")},
+        group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(agg, output_mode="complete")
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n
+        for r in spark.table(sink).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end): r.n
+        for r in _static_df(spark, pdf)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("value").alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_matches_distinct(spark, stream_dir):
+    path, pdf = stream_dir
+    stream = st.read_stream_parquet(spark, path, EVENTS_SCHEMA)
+    dd = st.stream_dedup(
+        stream, keys=["user_id"], ts_col="ts", watermark="30 days"
+    ).select("user_id")
+    _, sink = st.run_to_memory(dd, output_mode="append")
+    got = {r.user_id for r in spark.table(sink).collect()}
+    assert got == set(pdf["user_id"].unique())
+
+
+def test_streaming_ema_state_carries_across_batches(spark, stream_dir):
+    path, pdf = stream_dir
+    stream = st.read_stream_parquet(spark, path, EVENTS_SCHEMA)
+    ema = st.streaming_ema(stream, "user_id", "ts", "value", span=10)
+    _, sink = st.run_to_memory(ema, output_mode="append")
+    got = (
+        spark.table(sink)
+        .orderBy("key", "ts")
+        .toPandas()
+        .set_index(["key", "ts"])["ema"]
+    )
+    # batch truth: pandas ewm(adjust=False) over each user's full series
+    want = (
+        pdf.sort_values(["user_id", "ts"], kind="mergesort")
+        .set_index(["user_id", "ts"])
+        .groupby(level=0)["value"]
+        .apply(lambda s: s.droplevel(0).ewm(span=10, adjust=False).mean())
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got.sort_index().to_numpy(), want.sort_index().to_numpy(), rtol=1e-12
+    )
+
+
+def test_streaming_ema_multibatch_resumes(spark, stream_dir):
+    path, pdf = stream_dir
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("ts", T.LongType()),  # nanos-as-long
+                    T.StructField("value", T.DoubleType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    ema = st.streaming_ema(stream, "user_id", "ts", "value", span=10)
+    _, sink = st.run_to_memory(ema, output_mode="append")
+    got = spark.table(sink).orderBy("key", "ts").toPandas()
+    # batches are time-disjoint (batch 1 is 3 days after batch 0), so the
+    # full-replay EMA must equal the batch EMA — proving state resumed
+    want = (
+        pdf.sort_values(["user_id", "ts"], kind="mergesort")
+        .groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(span=10, adjust=False).mean())
+    )
+    want_df = pdf.assign(ema=want).sort_values(["user_id", "ts"], kind="mergesort")
+    np.testing.assert_allclose(
+        got["ema"].to_numpy(), want_df["ema"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_dedup_without_watermark_requires_no_ts(spark, stream_dir):
+    path, _ = stream_dir
+    stream = st.read_stream_parquet(spark, path, EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="ts_col"):
+        st.stream_dedup(stream, keys=["user_id"], watermark="1 day")
