@@ -1140,6 +1140,128 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scalar-function families (functions/scalar.py): JSON, string, datetime,
+# array (SURVEY.md §2.7-F6 — absent in the reference, engine extension).
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50 THEN 'high'
+                ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (get_json_object) + a
+    derived band — parses only the referenced path, no struct
+    materialization."""
+    from big_data_analysis_for_stock_market_data_spark import functions as fns
+
+    events = load(spark, sf_dir, "events")
+    k = fns.json_long(F.col("props"), "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           regexp_extract(p_type, '^(\\S+)', 1) AS type_first,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           concat(p_brand, '#', p_type) AS brand_type,
+           substring(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family over part: case, regexp extraction, split
+    cardinality, concatenation, substring, length, replace."""
+    from big_data_analysis_for_stock_market_data_spark import functions as fns
+
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        fns.first_word(F.col("p_type")).alias("type_first"),
+        F.size(F.split("p_name", " ", -1)).alias("n_words"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "fn_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS y,
+           EXTRACT(MONTH FROM o_orderdate) AS m,
+           EXTRACT(DAY FROM o_orderdate) AS d,
+           CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+             AS days_to_eoy
+    FROM orders
+    """,
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family over orders: calendar decomposition (Spark dayofweek
+    convention 1=Sunday), interval arithmetic, day difference."""
+    from big_data_analysis_for_stock_market_data_spark import functions as fns
+
+    orders = load(spark, sf_dir, "orders")
+    parts = fns.with_date_parts(orders, "o_orderdate")
+    return parts.select(
+        "o_orderkey",
+        F.col("year").cast("bigint").alias("y"),
+        F.col("month").cast("bigint").alias("m"),
+        F.col("day").cast("bigint").alias("d"),
+        F.col("dayofweek").cast("bigint").alias("dow"),
+        F.timestamp_add("DAY", F.lit(30), F.col("o_orderdate")).alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("date_only"))
+        .cast("bigint").alias("days_to_eoy"),
+    )
+
+
+@register(
+    "fn_array_suite",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           list_min(embedding) AS v_min,
+           list_max(embedding) AS v_max,
+           embedding[1] AS v_first,
+           embedding[1:4] AS v_head
+    FROM embeddings
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over embeddings: size, extrema, element access, slice —
+    all JVM higher-order/collection functions (no hash-join with floats:
+    values pass through unchanged, so bit-exact vs the oracle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min("embedding").alias("v_min"),
+        F.array_max("embedding").alias("v_max"),
+        F.element_at("embedding", 1).alias("v_first"),
+        F.slice("embedding", 1, 4).alias("v_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming (streaming/ops.py) — run under an availableNow
 # trigger into a memory sink, so replay-the-stream == run-the-batch and the
 # DuckDB oracle still applies. The reference listed streaming as future work
