@@ -3,9 +3,19 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count()-style action so results materialize
-fully but never collect to the driver. One warm-up pass of the flagship query
-absorbs JVM/codegen start-up so the numbers measure the plans, not the JVM.
+Two sections:
+- headline registry queries at the given SF (scan/join/agg/window/dedup/
+  text/ANN/streaming breadth);
+- the reference-scale ML grid point (BASELINE.md): the stock feature
+  pipeline + RandomForest at the reference's exact 671,024-row scale.
+  ``stock_fe_671k`` corresponds to the baseline's "feature engineering"
+  overhead; ``stock_rf_671k`` to its "RF (DataFrame), no transform" train+
+  eval (2'41'' on 3 Dataproc workers; FE+RF total 10'59''). Disable with
+  SPARK_GRAFT_BENCH_ML=0.
+
+Each query materializes via a noop sink (full execution, zero driver
+collect). One warm-up pass absorbs JVM/codegen start-up so the numbers
+measure the plans, not the JVM.
 """
 
 from __future__ import annotations
@@ -24,10 +34,35 @@ HEADLINE = [
     "q5_nation_revenue",
     "w2_daily_lag_avg",
     "j2_daygrain_fanout",
-    "dedup_exact_groups",
+    "asof_join_events",
+    "ind_sma_bollinger",
+    "ind_recursive_family",
+    "dedup_duplicate_groups",
+    "dedup_minhash_near",
     "text_quality_stats",
     "simsearch_cosine_scores",
+    "stream_tumbling_daily",
 ]
+
+STOCK_ROWS = 671_024  # the reference dataset's exact row count
+
+
+def bench_stock_ml(spark, timings: dict[str, float]) -> None:
+    from big_data_analysis_for_stock_market_data_spark import ml, stock
+
+    t0 = time.time()
+    bars = stock.make_stock_fixture(spark, n_rows=STOCK_ROWS, n_symbols=4)
+    feats = stock.feature_frame(bars).na.drop(subset=stock.FEATURE_COLS).cache()
+    feats.count()
+    timings["stock_fe_671k"] = round(time.time() - t0, 3)
+
+    t1 = time.time()
+    ml.train_random_forest(
+        feats, stock.FEATURE_COLS, label_col="buy_or_sell",
+        num_trees=10, max_depth=10, seed=42,
+    )
+    timings["stock_rf_671k"] = round(time.time() - t1, 3)
+    feats.unpersist()
 
 
 def main() -> None:
@@ -48,6 +83,9 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ML", "1") != "0":
+        bench_stock_ml(spark, timings)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

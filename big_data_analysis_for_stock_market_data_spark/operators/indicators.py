@@ -142,16 +142,17 @@ def willr(df: DataFrame, n: int = 14, partition_by="symbol", order_by="date",
 def stochastic(df: DataFrame, n: int = 14, d_n: int = 3,
                partition_by="symbol", order_by="date",
                prefix: str = "") -> DataFrame:
-    """Stochastic oscillator: fastk = 100·(close-LL)/(HH-LL); slowk =
-    SMA_{d_n}(fastk); slowd = SMA_{d_n}(slowk)."""
+    """Stochastic oscillator: fastk = 100·(close-LL)/(HH-LL); fastd =
+    SMA_{d_n}(fastk) (≡ slowk at default periods); slowd = SMA_{d_n}(slowk)."""
     fr = _frame(partition_by, order_by, n)
     hh = F.max("high").over(fr)
     ll = F.min("low").over(fr)
     p = prefix
     d = df.withColumn(f"{p}fastk", F.try_divide(100.0 * (F.col("close") - ll), hh - ll))
     d = d.withColumn(
-        f"{p}slowk", F.avg(f"{p}fastk").over(_frame(partition_by, order_by, d_n))
+        f"{p}fastd", F.avg(f"{p}fastk").over(_frame(partition_by, order_by, d_n))
     )
+    d = d.withColumn(f"{p}slowk", F.col(f"{p}fastd"))
     d = d.withColumn(
         f"{p}slowd", F.avg(f"{p}slowk").over(_frame(partition_by, order_by, d_n))
     )
@@ -203,6 +204,64 @@ def cci(df: DataFrame, n: int = 20, partition_by="symbol", order_by="date",
         F.try_divide(F.col(tmp_tp) - sma_tp, 0.015 * mean_dev),
     )
     return d.drop(tmp_tp)
+
+
+def mfi(df: DataFrame, n: int = 14, partition_by="symbol", order_by="date",
+        high="high", low="low", close="close", volume="volume",
+        out: str | None = None) -> DataFrame:
+    """Money Flow Index: volume-weighted RSI analogue. Raw money flow =
+    typical_price · volume, split into positive/negative by tp direction;
+    MFI = 100 - 100/(1 + Σpos/Σneg) over the trailing n rows. All
+    closed-form window sums. Σneg=0 ⇒ 100 (all-positive flow), both zero ⇒
+    null (flat warm-up)."""
+    w = _ordered(partition_by, order_by)
+    fr = _frame(partition_by, order_by, n)
+    tp = (F.col(high) + F.col(low) + F.col(close)) / 3.0
+    tmp_tp, tmp_pos, tmp_neg = "__mfi_tp", "__mfi_pos", "__mfi_neg"
+    d = df.withColumn(tmp_tp, tp)
+    prev_tp = F.lag(tmp_tp, 1).over(w)
+    mf = F.col(tmp_tp) * F.col(volume)
+    d = d.withColumn(tmp_pos, F.when(F.col(tmp_tp) > prev_tp, mf).otherwise(0.0))
+    d = d.withColumn(tmp_neg, F.when(F.col(tmp_tp) < prev_tp, mf).otherwise(0.0))
+    pos_sum = F.sum(F.col(tmp_pos).cast("decimal(28,8)")).over(fr).cast("double")
+    neg_sum = F.sum(F.col(tmp_neg).cast("decimal(28,8)")).over(fr).cast("double")
+    out_col = out or f"mfi{n}"
+    d = d.withColumn(
+        out_col,
+        F.when((pos_sum > 0) & (neg_sum == 0), F.lit(100.0)).otherwise(
+            100.0 - 100.0 / (1.0 + F.try_divide(pos_sum, neg_sum))
+        ),
+    )
+    return d.drop(tmp_tp, tmp_pos, tmp_neg)
+
+
+def ultosc(df: DataFrame, n1: int = 7, n2: int = 14, n3: int = 28,
+           partition_by="symbol", order_by="date",
+           high="high", low="low", close="close",
+           out: str = "ultosc") -> DataFrame:
+    """Ultimate Oscillator: 100·(4·A_{n1}+2·A_{n2}+A_{n3})/7 where
+    A_n = Σ(buying pressure)/Σ(true range) over n rows, BP = close -
+    min(low, prev_close), TR = max(high, prev_close) - min(low, prev_close).
+    Three shared closed-form frames, one window shuffle."""
+    w = _ordered(partition_by, order_by)
+    prev_c = F.lag(close, 1).over(w)
+    tmp_bp, tmp_tr = "__uo_bp", "__uo_tr"
+    d = df.withColumn(tmp_bp, F.col(close) - F.least(F.col(low), prev_c))
+    d = d.withColumn(
+        tmp_tr, F.greatest(F.col(high), prev_c) - F.least(F.col(low), prev_c)
+    )
+
+    def avg_n(n: int):
+        fr = _frame(partition_by, order_by, n)
+        bp = F.sum(F.col(tmp_bp).cast("decimal(28,8)")).over(fr).cast("double")
+        tr = F.sum(F.col(tmp_tr).cast("decimal(28,8)")).over(fr).cast("double")
+        return F.try_divide(bp, tr)
+
+    d = d.withColumn(
+        out,
+        100.0 * (4.0 * avg_n(n1) + 2.0 * avg_n(n2) + avg_n(n3)) / 7.0,
+    )
+    return d.drop(tmp_bp, tmp_tr)
 
 
 # ---------------------------------------------------------------------------
@@ -364,11 +423,17 @@ def recursive_enrich(
     rsi_ns: Sequence[int] = (14,),
     kama_ns: Sequence[int] = (10,),
     adx_ns: Sequence[int] = (14,),
+    apo_pairs: Sequence[tuple[int, int]] = (),
+    ppo_pairs: Sequence[tuple[int, int]] = (),
 ) -> DataFrame:
     """ALL recursive indicators in ONE applyInPandas pass — one shuffle on
     the symbol key instead of one per indicator family. This is the form
     ``enrich_ohlcv`` uses; the standalone functions above exist for à-la-
-    carte use and for testing each recurrence in isolation."""
+    carte use and for testing each recurrence in isolation.
+
+    APO_{a,b} = EMA_a - EMA_b (absolute price oscillator; MACD with
+    arbitrary spans); PPO_{a,b} = 100·(EMA_a - EMA_b)/EMA_b (the percentage
+    form) — both ride the shared EMA cache."""
     import numpy as np
 
     new_cols: dict[str, T.DataType] = {}
@@ -376,6 +441,10 @@ def recursive_enrich(
         new_cols[f"ema{n}"] = T.DoubleType()
     for a, b in macd_pairs:
         new_cols[f"macd{a}{b}"] = T.DoubleType()
+    for a, b in apo_pairs:
+        new_cols[f"apo{a}{b}"] = T.DoubleType()
+    for a, b in ppo_pairs:
+        new_cols[f"ppo{a}{b}"] = T.DoubleType()
     for n in rsi_ns:
         new_cols[f"rsi{n}"] = T.DoubleType()
     for n in kama_ns:
@@ -400,6 +469,10 @@ def recursive_enrich(
             pdf[f"ema{n}"] = get_ema(n)
         for a, b in macd_pairs:
             pdf[f"macd{a}{b}"] = get_ema(a) - get_ema(b)
+        for a, b in apo_pairs:
+            pdf[f"apo{a}{b}"] = get_ema(a) - get_ema(b)
+        for a, b in ppo_pairs:
+            pdf[f"ppo{a}{b}"] = 100.0 * (get_ema(a) - get_ema(b)) / get_ema(b)
         for n in rsi_ns:
             delta = x.diff()
             avg_gain = delta.clip(lower=0.0).ewm(alpha=1 / n, adjust=False).mean()
@@ -468,6 +541,8 @@ def enrich_ohlcv(df: DataFrame, partition_by="symbol", order_by="date") -> DataF
     d = stochastic(d, 14, 3, partition_by, order_by)
     d = true_range(d, partition_by, order_by)
     d = atr_sma(d, 14, partition_by, order_by)
+    d = mfi(d, 14, partition_by, order_by)
+    d = ultosc(d, 7, 14, 28, partition_by, order_by)
     for n in (5, 10, 15):
         d = cci(d, n, partition_by, order_by)
     # single applyInPandas pass for the whole recursive family
@@ -478,5 +553,7 @@ def enrich_ohlcv(df: DataFrame, partition_by="symbol", order_by="date") -> DataF
         rsi_ns=(8, 14),
         kama_ns=(10, 20, 30),
         adx_ns=(5, 10, 20),
+        apo_pairs=((12, 26),),
+        ppo_pairs=((12, 26),),
     )
     return d

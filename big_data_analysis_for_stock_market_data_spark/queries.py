@@ -770,6 +770,69 @@ def ind_willr_stoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ind_mfi_ultosc",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(props->>'$.k' AS DOUBLE) AS vol,
+             lag(value) OVER w AS prev_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), f AS (
+      SELECT *,
+             CASE WHEN value > prev_v THEN value * vol ELSE 0 END AS pos_mf,
+             CASE WHEN value < prev_v THEN value * vol ELSE 0 END AS neg_mf,
+             value - least(value, prev_v) AS bp,
+             greatest(value, prev_v) - least(value, prev_v) AS tr
+      FROM b
+    ), s AS (
+      SELECT event_id, user_id, ts,
+             CAST(SUM(CAST(pos_mf AS DECIMAL(28,8))) OVER f14 AS DOUBLE) AS ps,
+             CAST(SUM(CAST(neg_mf AS DECIMAL(28,8))) OVER f14 AS DOUBLE) AS ns,
+             CAST(SUM(CAST(bp AS DECIMAL(28,8))) OVER f7 AS DOUBLE) AS bp7,
+             CAST(SUM(CAST(tr AS DECIMAL(28,8))) OVER f7 AS DOUBLE) AS tr7,
+             CAST(SUM(CAST(bp AS DECIMAL(28,8))) OVER f14 AS DOUBLE) AS bp14,
+             CAST(SUM(CAST(tr AS DECIMAL(28,8))) OVER f14 AS DOUBLE) AS tr14,
+             CAST(SUM(CAST(bp AS DECIMAL(28,8))) OVER f28 AS DOUBLE) AS bp28,
+             CAST(SUM(CAST(tr AS DECIMAL(28,8))) OVER f28 AS DOUBLE) AS tr28
+      FROM f
+      WINDOW f7 AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             f14 AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             f28 AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN ps > 0 AND ns = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + ps / ns) END AS mfi14,
+           100.0 * (4.0 * (bp7 / tr7) + 2.0 * (bp14 / tr14) + bp28 / tr28)
+             / 7.0 AS ultosc
+    FROM s
+    """,
+)
+def ind_mfi_ultosc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFI + Ultimate Oscillator in the degenerate single-series form
+    (high=low=close=value; volume from the JSON props) — closed-form
+    decimal-summed window frames, per-user partitions."""
+    from big_data_analysis_for_stock_market_data_spark import functions as fns
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "vol", fns.json_double(F.col("props"), "$.k")
+    )
+    d = ind.mfi(
+        events, 14, partition_by="user_id", order_by="ts",
+        high="value", low="value", close="value", volume="vol", out="mfi14",
+    )
+    d = ind.ultosc(
+        d, 7, 14, 28, partition_by="user_id", order_by="ts",
+        high="value", low="value", close="value",
+    )
+    return d.select("event_id", "user_id", "ts", "mfi14", "ultosc")
+
+
 @register("ind_recursive_family")  # no SQL closed form: rows-only check
 def ind_recursive_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA/MACD/RSI/KAMA in ONE applyInPandas pass per user series —
@@ -1459,6 +1522,81 @@ def ml_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = pca_explained_variance(li, cols, k=4)
     rows = [(i, round(r, 6)) for i, r in enumerate(ratios)]
     return spark.createDataFrame(rows, "component int, variance_ratio double")
+
+
+# ---------------------------------------------------------------------------
+# Reference-workload replication (stock.py) + remaining operator surface.
+# ---------------------------------------------------------------------------
+
+@register("stock_feature_frame")  # fixture-generated: rows-only
+def stock_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full FE+label pipeline (G_2_rf_nordd_fe.py:47-313)
+    on the deterministic synthetic stock fixture — fused single-shuffle
+    form; fused==join-back parity is asserted in tests/test_stock.py."""
+    from big_data_analysis_for_stock_market_data_spark import stock
+
+    bars = stock.make_stock_fixture(spark, n_rows=4_000, n_symbols=2)
+    d = stock.feature_frame(bars)
+    return d.select(
+        "symbol", "date", "close", "buy_or_sell", "macd",
+        "bollinger_bands_width", "sma_mean", "avg_close",
+        "avg_close_prev_day",
+    )
+
+
+@register("o3_random_split")  # Spark-specific Bernoulli sampling: rows-only
+def o3_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 seeded randomSplit: the engine standard is ALWAYS-seeded splits
+    (the reference left G_2_rf_nordd.py:63 unseeded). Returns per-split
+    counts — deterministic for a fixed seed."""
+    orders = load(spark, sf_dir, "orders")
+    train, test = orders.randomSplit([0.7, 0.3], seed=42)
+    return spark.createDataFrame(
+        [("train", train.count()), ("test", test.count())],
+        "split string, n_rows long",
+    )
+
+
+@register(
+    "s1_csv_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV source fidelity: parquet -> CSV (header) -> explicit-schema
+    CSV scan -> aggregate must equal the oracle on the original table.
+    Exercises the engine's no-inferSchema policy (Q6: inference costs a
+    second full pass)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from big_data_analysis_for_stock_market_data_spark.sources.io import read_csv
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_csv_rt_")
+    li.write.mode("overwrite").option("header", "true").csv(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, out_dir, schema=schema)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, QueryFn]:
