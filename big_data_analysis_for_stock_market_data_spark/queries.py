@@ -154,6 +154,32 @@ def w3_lead_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w1_scalable_global_lag",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN lag(value, 1) OVER (ORDER BY ts) > value
+                THEN 1 ELSE 0 END AS buy_or_sell
+    FROM events
+    """,
+)
+def w1_scalable_global_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as w1_lag_label_parity but WITHOUT the single-
+    partition window (Q3 at scale): range-repartition + partition-local lag
+    + broadcast boundary stitch (operators/windows.py global_lag_lead).
+    Identical oracle — proving plan change, not semantics change."""
+    events = load(spark, sf_dir, "events")
+    d = win_ops.global_lag_lead(
+        events, "value", order_by="ts", kind="lag", out_col="__prev"
+    )
+    return d.select(
+        "event_id", "ts", "value",
+        F.when(F.col("__prev") > F.col("value"), 1).otherwise(0).alias(
+            "buy_or_sell"
+        ),
+    )
+
+
+@register(
     "w2_daily_lag_avg",
     oracle="""
     SELECT CAST(ts AS DATE) AS day,

@@ -1,0 +1,71 @@
+"""Scalable global-order window (windows.global_lag_lead): value parity
+with the single-partition form, boundary stitching, empty partitions, and
+the plan property that no single-partition exchange exists."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_analysis_for_stock_market_data_spark.operators import windows as win_ops
+from big_data_analysis_for_stock_market_data_spark.plans import inspect as P
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # unique order key, non-monotonic values
+    return spark.range(500).select(
+        F.col("id").alias("t"),
+        (F.sin(F.col("id") * 0.37) * 100).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("kind", ["lag", "lead"])
+@pytest.mark.parametrize("n_parts", [1, 7, 64])
+def test_matches_single_partition_window(spark, series, kind, n_parts):
+    # n_parts=64 > distinct range buckets for 500 rows => exercises
+    # empty/sparse partitions in the boundary stitch
+    got = (
+        win_ops.global_lag_lead(
+            series, "v", order_by="t", kind=kind, num_partitions=n_parts
+        )
+        .orderBy("t")
+        .collect()
+    )
+    fn = F.lag if kind == "lag" else F.lead
+    want = (
+        series.withColumn(f"{kind}_v", fn("v", 1).over(Window.orderBy("t")))
+        .orderBy("t")
+        .collect()
+    )
+    assert got == want
+
+
+def test_no_single_partition_exchange(series):
+    df = win_ops.global_lag_lead(series, "v", order_by="t", kind="lag")
+    plan = P.explain_str(df, "simple")
+    # the big side shuffles by the deterministic bucket id (parallel
+    # windows); the ONLY SinglePartition exchange is the |buckets|-row
+    # bounds frame that gets broadcast back
+    assert "hashpartitioning(__bkt" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_range_exchange_reused_not_recomputed(series):
+    # boundary stitch must reuse the SAME range shuffle output the window
+    # consumed: a recomputed exchange could re-sample different bounds and
+    # mis-stitch. AQE reuse shows as ReusedExchange/table-cache reuse.
+    df = win_ops.global_lag_lead(series, "v", order_by="t", kind="lag")
+    df.write.format("noop").mode("overwrite").save()  # force execution
+    # value parity across 3 runs guards against nondeterministic stitching
+    runs = [
+        win_ops.global_lag_lead(series, "v", order_by="t", kind="lag")
+        .orderBy("t")
+        .collect()
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_bad_kind_rejected(series):
+    with pytest.raises(ValueError, match="kind"):
+        win_ops.global_lag_lead(series, "v", order_by="t", kind="middle")
