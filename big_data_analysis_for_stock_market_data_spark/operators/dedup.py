@@ -25,6 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
 from big_data_analysis_for_stock_market_data_spark.operators.text import tokens_col
 
 
@@ -96,20 +97,25 @@ def minhash_signatures(
     out: str = "signature",
 ) -> DataFrame:
     """k-permutation MinHash signature: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One explode + one groupBy (map-side partial
-    min) — the shuffle carries k longs per (doc, partition)."""
-    exploded = df.select(id_col, F.explode(shingle_col).alias("__sh"))
-    hashed = exploded.select(
-        id_col,
-        *[
-            F.xxhash64(F.col("__sh"), F.lit(i)).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ],
+    xxhash64(xxhash64(shingle), seed=i).
+
+    Computed as a pure per-row fold — ``aggregate`` over the shingle array
+    with a k-wide accumulator — so signatures need NO shuffle at all (the
+    earlier explode+groupBy formulation shuffled |docs|x|shingles| rows).
+    Each shingle string is hashed once to a long; the k permutations rehash
+    that 8-byte long, not the string — same independence, ~length(shingle)x
+    less hashing work."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    base = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda a, s: F.least(a, F.xxhash64(h, s))
+        ),
     )
-    sig = hashed.groupBy(id_col).agg(
-        F.array(*[F.min(f"__h{i}") for i in range(num_hashes)]).alias(out)
-    )
-    return sig
+    return df.select(id_col, sig.alias(out))
 
 
 def lsh_candidate_pairs(
@@ -220,6 +226,7 @@ def minhash_near_dups(
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
     pairs → exact-Jaccard verify. Returns (id_a, id_b, jaccard) with
     id_a < id_b."""
+    df = ensure_parallelism(df)
     shingled = with_shingles(df, n_shingle, col).select(id_col, "shingles")
     sigs = minhash_signatures(shingled, num_hashes, "shingles", id_col)
     pairs = lsh_candidate_pairs(sigs, bands, id_col)
@@ -267,6 +274,7 @@ def simhash_near_dups(
     """Near-dups by SimHash Hamming distance ≤ ``max_hamming``. Candidates
     via 16-bit chunk banding (any pair within Hamming ≤ 3 shares at least
     one of the 4 chunks); verification via bit_count(xor)."""
+    df = ensure_parallelism(df)
     sigs = simhash_signatures(df, col, id_col)
     chunks = sigs.select(
         id_col, "simhash",

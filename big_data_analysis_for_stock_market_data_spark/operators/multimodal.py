@@ -103,7 +103,9 @@ def extract_features(
             ]
             yield pdf
 
-    return df.mapInPandas(run, schema=out_schema)
+    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema=out_schema)
 
 
 def frame_sample(
@@ -139,4 +141,8 @@ def frame_sample(
                     )
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_payload"])
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        run, schema=out_schema
+    )

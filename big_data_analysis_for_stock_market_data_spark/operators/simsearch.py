@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double (inputs cast element-wise so float arrays don't
@@ -68,6 +70,7 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for each query vector. ``queries`` must
     be broadcastable (the deliberate contract of the exact path). Ties break
     on neighbor id for determinism. Excludes self-matches when ids collide."""
+    corpus = ensure_parallelism(corpus)
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
@@ -127,6 +130,7 @@ def lsh_bucket_topk(
             expr = expr + b
         return expr
 
+    corpus = ensure_parallelism(corpus)
     c_buckets = corpus.select(
         id_col, vec_col,
         F.explode(
@@ -191,6 +195,7 @@ def cosine_near_dup_pairs(
             expr = expr + F.when(dot(vec, plane) >= 0, 1).otherwise(0) * (2 ** p)
         return expr
 
+    df = ensure_parallelism(df)
     bucketed = df.select(
         id_col, vec_col, F.explode(bucket_cols(F.col(vec_col))).alias("__bucket")
     )
