@@ -235,6 +235,50 @@ def minhash_near_dups(
     )
 
 
+def ngram_jaccard_near_dups(
+    df: DataFrame,
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dups WITHOUT minhash approximation, via an
+    inverted shingle index: candidates = pairs sharing ≥1 shingle, then
+    exact Jaccard verify. Deterministic recall for every pair with any
+    shared shingle (MinHash can miss; this cannot, down to its
+    ``max_doc_freq`` cap).
+
+    Scale control: shingles occurring in more than ``max_doc_freq``
+    documents are dropped from the INDEX (boilerplate n-grams would
+    otherwise create |hot|² candidate blowup). A pair sharing ONLY
+    ultra-common shingles is below any useful similarity threshold anyway —
+    the verify step still computes Jaccard on the full shingle sets."""
+    df = ensure_parallelism(df)
+    shingled = with_shingles(df, n_shingle, col).select(id_col, "shingles")
+    posting = shingled.select(
+        id_col, F.explode("shingles").alias("__sh")
+    )
+    rare = (
+        posting.groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("__sh")
+    )
+    indexed = posting.join(rare, "__sh")
+    a = indexed.select(F.col(id_col).alias("id_a"), "__sh")
+    b = indexed.select(F.col(id_col).alias("id_b"), "__sh")
+    pairs = (
+        a.join(b, "__sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(pairs, shingled, threshold, id_col).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

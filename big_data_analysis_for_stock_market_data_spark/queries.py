@@ -1064,6 +1064,18 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_dups(docs, threshold=0.5)
 
 
+@register("dedup_ngram_jaccard")  # rows-only (set-ops SQL twin is impractical)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups via inverted shingle index (no
+    minhash approximation; deterministic recall) with hot-shingle capping.
+    Superset-or-equal of the MinHash pairs at the same threshold — asserted
+    in tests/test_dedup.py."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_near_dups(docs, threshold=0.5)
+
+
 @register("dedup_simhash_near")  # rows-only
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures, Hamming ≤ 6 via 16-bit chunk banding."""
@@ -1568,6 +1580,45 @@ def stock_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bollinger_bands_width", "sma_mean", "avg_close",
         "avg_close_prev_day",
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_sql_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+             / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation on a 3-distinct-key grouping (the
+    hot-key shape): salt spreads each key over 16 reducers, merge stage
+    recombines. Decimal sums make the re-association value-identical to
+    the direct plan — the oracle is the plain GROUP BY."""
+    from big_data_analysis_for_stock_market_data_spark.operators.skew import (
+        salted_group_agg,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_group_agg(
+        li, "l_returnflag",
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_rows": ("count", "l_quantity"),
+            "avg_price": ("avg", "l_extendedprice"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        salt_buckets=16,
+    )
+    return out.orderBy("l_returnflag")
 
 
 @register("o3_random_split")  # Spark-specific Bernoulli sampling: rows-only

@@ -76,3 +76,23 @@ def test_simhash_near_detects_small_edit(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in out}
     assert pairs.get((1, 3), 99) <= 12   # 1-token edit → small hamming
     assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_superset_of_minhash(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+    from big_data_analysis_for_stock_market_data_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    mh = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    ng = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_near_dups(docs, threshold=0.5).collect()
+    }
+    # exact inverted-index recall can only add pairs LSH banding missed
+    assert mh <= ng
+    # and every returned pair really clears the threshold
+    for r in dd.ngram_jaccard_near_dups(docs, threshold=0.5).collect():
+        assert r.jaccard >= 0.5

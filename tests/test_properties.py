@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis) for engine invariants (SURVEY.md §5):
+label domain, row-order invariance of grouped aggregates, dedup
+idempotence, salted-vs-direct aggregation equality, scalable-lag parity."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+from big_data_analysis_for_stock_market_data_spark.operators import windows as win_ops
+from big_data_analysis_for_stock_market_data_spark.operators.skew import (
+    salted_group_agg,
+)
+
+SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=2, max_size=40,
+)
+
+
+@given(vals=values)
+@SETTINGS
+def test_label_binary_and_lead_semantics(spark, vals):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, v double"
+    )
+    out = win_ops.label_buy_sell(
+        df, value_col="v", order_by="t", partition_by=None, mode="lead"
+    ).orderBy("t").collect()
+    for i, row in enumerate(out):
+        assert row.buy_or_sell in (0, 1)
+        if i + 1 < len(vals):
+            assert row.buy_or_sell == int(vals[i + 1] > vals[i])
+        else:
+            assert row.buy_or_sell == 0  # lead is null -> otherwise(0)
+
+
+@given(vals=values, seed=st.integers(min_value=0, max_value=2**31 - 1))
+@SETTINGS
+def test_grouped_avg_invariant_under_row_order(spark, vals, seed):
+    import random
+
+    rows = [(i % 3, v) for i, v in enumerate(vals)]
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    mk = lambda rs: (
+        spark.createDataFrame(rs, "k int, v double")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,8)")).cast("double").alias("s"),
+            F.count("v").alias("n"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert mk(rows) == mk(shuffled)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12),
+        min_size=1, max_size=15,
+    )
+)
+@SETTINGS
+def test_exact_dedup_idempotent_and_content_unique(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    once = dd.exact_dedup(df)
+    twice = dd.exact_dedup(once)
+    a = sorted(r.doc_id for r in once.collect())
+    b = sorted(r.doc_id for r in twice.collect())
+    assert a == b
+    # post-dedup, content is unique and survivors are the min ids
+    kept = {r.text: r.doc_id for r in once.collect()}
+    assert len(kept) == once.count()
+    for text, doc_id in kept.items():
+        assert doc_id == min(i for i, t in enumerate(texts) if t == text)
+
+
+@given(vals=values)
+@SETTINGS
+def test_salted_agg_equals_direct(spark, vals):
+    df = spark.createDataFrame(
+        [(i % 2, v) for i, v in enumerate(vals)], "k int, v double"
+    )
+    salted = {
+        (r.k): (r.s, r.n, r.mn, r.mx)
+        for r in salted_group_agg(
+            df, "k",
+            {"s": ("sum", "v"), "n": ("count", "v"),
+             "mn": ("min", "v"), "mx": ("max", "v")},
+            salt_buckets=4,
+        ).collect()
+    }
+    direct = {
+        (r.k): (r.s, r.n, r.mn, r.mx)
+        for r in df.groupBy("k").agg(
+            F.sum(F.col("v").cast("decimal(28,8)")).cast("double").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert set(salted) == set(direct)
+    for k in direct:
+        for got, want in zip(salted[k], direct[k]):
+            if isinstance(want, float):
+                assert math.isclose(got, want, rel_tol=0, abs_tol=1e-7)
+            else:
+                assert got == want
+
+
+@given(vals=values)
+@SETTINGS
+def test_global_lag_matches_window(spark, vals):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t int, v double"
+    )
+    got = (
+        win_ops.global_lag_lead(df, "v", order_by="t", kind="lag",
+                                num_partitions=3)
+        .orderBy("t").collect()
+    )
+    want = (
+        df.withColumn("lag_v", F.lag("v", 1).over(Window.orderBy("t")))
+        .orderBy("t").collect()
+    )
+    assert got == want
