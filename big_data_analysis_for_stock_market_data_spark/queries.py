@@ -653,6 +653,72 @@ def a7_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a7_cube_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {_sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def a7_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: CUBE grouping sets (all 2^k key subsets in one pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "sql_entry_daily_label",
+    oracle="""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           CASE WHEN lead(e.value, 1) OVER (PARTITION BY e.user_id
+                                            ORDER BY e.ts) > e.value
+                THEN 1 ELSE 0 END AS buy_or_sell,
+           d.n_day
+    FROM events e
+    JOIN (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_day
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ) d ON e.user_id = d.user_id AND CAST(e.ts AS DATE) = d.day
+    """,
+)
+def sql_entry_daily_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point A (SURVEY.md §3.1): the reference drove everything
+    through ``createOrReplaceTempView`` + ``spark.sql`` SQL strings
+    (G_2_rf_nordd.py:32,36). Same Catalyst backend as the DataFrame chain —
+    this entry proves the engine's SQL surface end-to-end (view registry in
+    sources/io.register_views)."""
+    from big_data_analysis_for_stock_market_data_spark.sources.io import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT e.event_id, e.ts,
+               CASE WHEN lead(e.value, 1) OVER (PARTITION BY e.user_id
+                                                ORDER BY e.ts) > e.value
+                    THEN 1 ELSE 0 END AS buy_or_sell,
+               d.n_day
+        FROM events e
+        JOIN (
+          SELECT user_id, to_date(ts) AS day, COUNT(*) AS n_day
+          FROM events GROUP BY user_id, to_date(ts)
+        ) d ON e.user_id = d.user_id AND to_date(e.ts) = d.day
+        """
+    )
+
+
+@register(
     "a6_moments",
     oracle="""
     WITH s AS (
