@@ -276,9 +276,17 @@ def _recursive_apply(
     fn,
 ) -> DataFrame:
     """Shared applyInPandas scaffold: one group per partition key, sorted by
-    ``order_by`` inside the pandas function, schema = input + new columns."""
+    ``order_by`` inside the pandas function, schema = input + new columns.
+
+    The pre-shuffle is pinned with an explicit partition count
+    (REPARTITION_BY_NUM): AQE's byte-based coalescing would otherwise shrink
+    a small-but-CPU-heavy Python stage to a couple of tasks (observed 3
+    tasks on 32 cores — the bytes are tiny, the compute is not). The groupBy
+    reuses this hash partitioning, so no second exchange appears."""
     if isinstance(partition_by, str):
         partition_by = [partition_by]
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n, *[F.col(c) for c in partition_by])
     out_schema = T.StructType(
         df.schema.fields
         + [T.StructField(c, t, True) for c, t in new_cols.items()]
