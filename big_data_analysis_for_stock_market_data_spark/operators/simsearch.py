@@ -168,6 +168,98 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: seeded k-means over the corpus; every vector is
+    assigned to its nearest centroid. Returns (assigned corpus with a
+    ``__cluster`` column, centroids DataFrame (__cluster, __center)).
+
+    At scale this is the write-once index step: the assigned corpus is
+    persisted clustered/partitioned by ``__cluster``, so probing reads only
+    n_probe/n_clusters of the data (partition pruning does the skipping)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus = ensure_parallelism(corpus)
+    with_vec = corpus.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__features",
+                predictionCol="__cluster")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("__features")
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "__cluster int, __center array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, each query probes
+    its ``n_probe`` nearest centroids, exact cosine re-ranks within the
+    probed cells. ``n_probe == n_clusters`` degrades gracefully to exact
+    brute force (asserted in tests). Candidate cost ≈ |corpus|·n_probe/
+    n_clusters per query versus |corpus| for brute force."""
+    assigned, centroids = ivf_index(corpus, n_clusters, id_col, vec_col, seed)
+
+    # squared L2 to each centroid; top n_probe cells per query
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__qvec"), F.col("__center"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    q_cells = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__d2", d2)
+    )
+    pw = Window.partitionBy("__qid").orderBy(F.col("__d2").asc(), F.col("__cluster"))
+    probes = (
+        q_cells.withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= n_probe)
+        .select("__qid", "__qvec", "__cluster")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "__cluster")
+        .filter(F.col(id_col) != F.col("__qid"))
+    )
+    scored = cand.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1228,6 +1228,21 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ss.lsh_bucket_topk(emb, queries_df, k=5)
 
 
+@register("simsearch_ivf_topk")  # k-means index: rows-only
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: seeded k-means coarse quantizer + 4-probe search +
+    exact cosine re-rank. Full-probe == brute-force is asserted in
+    tests/test_simsearch.py; at scale the assigned corpus is persisted
+    partitioned by cell so probes prune partitions."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ss.ivf_topk(emb, queries_df, k=5, n_clusters=16, n_probe=4)
+
+
 @register("dedup_cosine_near")  # rows-only
 def dedup_cosine_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact

@@ -71,3 +71,45 @@ def test_cosine_near_dup_pairs_threshold(spark):
         df, threshold=0.9, n_planes=2, n_tables=4, dim=4
     ).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+    from big_data_analysis_for_stock_market_data_spark.queries import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ss.brute_force_topk(emb, queries, k=5).collect()
+    }
+    # probing every cell makes IVF exhaustive -> must equal brute force
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ss.ivf_topk(
+            emb, queries, k=5, n_clusters=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_partial_probe_shape_and_recall(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+    from big_data_analysis_for_stock_market_data_spark.queries import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ss.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3).collect()
+    # k results per query, ranks contiguous from 1
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
