@@ -1494,6 +1494,39 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_2d",
+    oracle=f"""
+    SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             - o.o * INTERVAL 1 DAY AS window_start,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             - o.o * INTERVAL 1 DAY + INTERVAL 2 DAY AS window_end,
+           COUNT(value) AS n_events,
+           {_sql_dsum('value', 'sum_value')}
+    FROM events, (VALUES (0), (1)) AS o(o)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (width 2 days, slide 1 day): every row
+    lands in 2 overlapping windows. The oracle enumerates both member
+    windows per row with a VALUES lateral — Spark aligns window starts to
+    the epoch (day-aligned), matching date_trunc."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    agg = st.windowed_agg(
+        _events_stream(spark, sf_dir), "ts", "2 days",
+        {
+            "n_events": ("count", "value"),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+        },
+        slide="1 day", watermark="1 day", group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(agg, output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
     "stream_session_30m",
     oracle="""
     WITH x AS (

@@ -180,3 +180,61 @@ def test_dedup_without_watermark_requires_no_ts(spark, stream_dir):
     stream = st.read_stream_parquet(spark, path, EVENTS_SCHEMA)
     with pytest.raises(ValueError, match="ts_col"):
         st.stream_dedup(stream, keys=["user_id"], watermark="1 day")
+
+
+def test_watermark_drops_late_rows_in_append(spark, tmp_path):
+    """Late-data contract: a row arriving after the watermark passed its
+    window is DROPPED from an append-mode windowed aggregate — bounded
+    state has a price and this pins it."""
+    d = str(tmp_path)
+    day = pd.Timestamp("2024-02-01 12:00:00")
+    batch0 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [day, day + pd.Timedelta(minutes=5), day + pd.Timedelta(days=3)],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    # advances the watermark past the first window's end; the first window
+    # is emitted and its state evicted at the end of THIS batch
+    batch1 = pd.DataFrame(
+        {"user_id": [1], "ts": [day + pd.Timedelta(days=5)], "value": [4.0]}
+    )
+    # late arrival for the already-emitted first window + a fresh row
+    batch2 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": [day + pd.Timedelta(minutes=10), day + pd.Timedelta(days=7)],
+            "value": [100.0, 5.0],
+        }
+    )
+    _write_batch(d, "b0.parquet", batch0, time.time() - 50)
+    _write_batch(d, "b1.parquet", batch1, time.time() - 30)
+    _write_batch(d, "b2.parquet", batch2, time.time() - 10)
+
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("ts", T.LongType()),  # nanos-as-long
+                    T.StructField("value", T.DoubleType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = st.windowed_agg(
+        stream, "ts", "1 day", {"n": ("count", "value")},
+        watermark="1 day", group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(agg, output_mode="append")
+    rows = {
+        str(r.window_start.date()): r.n for r in spark.table(sink).collect()
+    }
+    # Feb 1 window was emitted+evicted once batch 1 pushed the watermark
+    # past its end; batch 2's late value=100 row must NOT appear (append
+    # emits each window exactly once, late rows past the watermark drop)
+    assert rows.get("2024-02-01") == 2
