@@ -1581,6 +1581,51 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks within 1 hour after
+    a purchase by the same user. Both sides are streams over the same
+    source; the time bound + watermarks keep buffered state finite."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = st.stream_stream_interval_join(
+        purchases, clicks, on=["user_id"],
+        left_ts="purchase_ts", right_ts="click_ts",
+        within="1 hour", watermark="365 days",
+    )
+    _, sink = st.run_to_memory(joined, output_mode="append")
+    return spark.table(sink).select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"
+    )
+
+
 @register("stream_ema_user")  # recursive state: no SQL twin, rows-only
 def stream_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming EMA per user (applyInPandasWithState, O(1) state

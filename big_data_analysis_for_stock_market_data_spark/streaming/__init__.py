@@ -19,6 +19,7 @@ from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
     run_to_memory,
     session_agg,
     stream_dedup,
+    stream_stream_interval_join,
     streaming_ema,
     windowed_agg,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "run_to_memory",
     "session_agg",
     "stream_dedup",
+    "stream_stream_interval_join",
     "streaming_ema",
     "windowed_agg",
 ]

@@ -222,6 +222,35 @@ def streaming_ema(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows within
+    ``[left_ts, left_ts + within]`` for matching keys. Both sides carry
+    watermarks and the join condition is time-bounded — the two facts that
+    let Spark EVICT buffered rows instead of holding both streams forever
+    (an unbounded-state stream-stream join is a memory leak, not an
+    operator). Column names must be disjoint apart from ``on``."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for key in on:
+        c = lw[key] == rw[key]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop(*[rw[k] for k in on])
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "append",

@@ -238,3 +238,39 @@ def test_watermark_drops_late_rows_in_append(spark, tmp_path):
     # past its end; batch 2's late value=100 row must NOT appear (append
     # emits each window exactly once, late rows past the watermark drop)
     assert rows.get("2024-02-01") == 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    path, pdf = stream_dir
+    mk = lambda: st.read_stream_parquet(spark, path, EVENTS_SCHEMA)
+    left = mk().filter(F.col("value") > 100).select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("value").alias("l_v")
+    )
+    right = mk().filter(F.col("value") <= 100).select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("value").alias("r_v")
+    )
+    joined = st.stream_stream_interval_join(
+        left, right, on=["user_id"], left_ts="l_ts", right_ts="r_ts",
+        within="1 hour", watermark="30 days",
+    )
+    _, sink = st.run_to_memory(joined, output_mode="append")
+    got = {
+        (r.user_id, r.l_ts, r.r_ts) for r in spark.table(sink).collect()
+    }
+    sdf = _static_df(spark, pdf)
+    l = sdf.filter(F.col("value") > 100).select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    r = sdf.filter(F.col("value") <= 100).select(
+        F.col("user_id").alias("r_uid"), F.col("ts").alias("r_ts")
+    )
+    want = {
+        (row.user_id, row.l_ts, row.r_ts)
+        for row in l.join(
+            r,
+            (l.user_id == r.r_uid)
+            & (r.r_ts >= l.l_ts)
+            & (r.r_ts <= l.l_ts + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
