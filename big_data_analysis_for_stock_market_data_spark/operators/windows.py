@@ -92,6 +92,165 @@ def with_lead(
     )
 
 
+def _quantile_buckets(df: DataFrame, order_by: str, n: int) -> Column:
+    """Deterministic bucket id from n-1 quantile cut points of ``order_by``
+    (numeric/timestamp). Unlike ``repartitionByRange``, the cut points are
+    computed ONCE and baked into the expression, so every plan branch that
+    evaluates it assigns identical buckets — recomputation-safe."""
+    key = F.col(order_by).cast("double")
+    probs = [i / n for i in range(1, n)]
+    cuts = sorted(
+        set(df.select(key.alias("__k")).stat.approxQuantile("__k", probs, 0.001))
+    ) if probs else []
+    if not cuts:
+        return F.lit(0)
+    # plain conditional sum, not a higher-order aggregate(): lambda
+    # functions inside expressions that later become grouping keys hit
+    # Catalyst binding bugs when the plan branches (observed
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND); CASE chains bind everywhere
+    bucket: Column = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(key > c, 1).otherwise(0)
+    return bucket
+
+
+def prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    partition_by: str | Sequence[str] | None = None,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+    exact_decimal: bool = True,
+) -> DataFrame:
+    """Distributed inclusive prefix sum (cumulative sum) in global or
+    per-key order — the two-phase parallel scan: bucket-local running sums
+    in parallel, then each bucket shifted by the cumulative total of its
+    predecessors (a |keys×buckets|-row frame, broadcast back).
+
+    ``Window.orderBy(...).rowsBetween(unboundedPreceding, 0)`` computes the
+    same thing through ONE task; this form computes it at full width. With
+    ``exact_decimal`` the re-association is exact (decimal addition is
+    associative), so the result is bit-identical to the sequential window.
+    """
+    keys: list[str] = (
+        [] if partition_by is None
+        else [partition_by] if isinstance(partition_by, str)
+        else list(partition_by)
+    )
+    out = out_col or f"cumsum_{value_col}"
+    n = int(
+        num_buckets or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n))
+    val = (
+        F.col(value_col).cast("decimal(28,8)")
+        if exact_decimal else F.col(value_col)
+    )
+    local_w = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("__local", F.sum(val).over(local_w))
+
+    totals = d.groupBy(*keys, "__bkt").agg(F.sum(val).alias("__tot"))
+    off_w = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *keys, "__bkt", F.sum("__tot").over(off_w).alias("__off")
+    )
+    d = d.join(F.broadcast(offsets), on=[*keys, "__bkt"], how="left")
+    if exact_decimal:
+        # sum(decimal(28,8)) widens to (38,8); adding two of those would
+        # overflow precision 38 and Spark silently DROPS scale to 7 —
+        # quantizing the result. Cast back to (28,8) so the final addition
+        # stays at scale 8 (documented bound: |total| < 1e20).
+        local = F.col("__local").cast("decimal(28,8)")
+        off = F.coalesce(F.col("__off").cast("decimal(28,8)"), F.lit(0))
+        total = (local + off).cast("double")
+    else:
+        total = F.col("__local") + F.coalesce(F.col("__off"), F.lit(0))
+    return d.withColumn(out, total).drop("__bkt", "__local", "__off")
+
+
+def rolling_apply_parallel(
+    df: DataFrame,
+    fn,
+    new_cols: dict,
+    lookback: int,
+    order_by: str,
+    partition_by: str | Sequence[str] | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Parallel bounded-history rolling computation INSIDE a partition key —
+    the answer to 'one symbol's decade of history still runs on one core'.
+
+    Rows are bucketed by deterministic quantile cuts of ``order_by``; each
+    bucket additionally receives the previous bucket's last ``lookback``
+    rows as read-only context, so any computation whose dependence is
+    bounded by ``lookback`` rows (rolling means/extrema/sums, lags up to
+    ``lookback``) is EXACT at bucket boundaries while buckets run in
+    parallel. ``fn(pdf) -> pdf`` is applied per (keys, bucket) group on the
+    timestamp-sorted frame (context included); context rows are dropped
+    from the output afterwards.
+
+    Contract: every preceding bucket must hold ≥ ``lookback`` rows
+    (quantile buckets are near-equal-count; choose ``num_buckets`` ≤
+    |rows| / (4·lookback) to be safe). Unbounded recursions (EMA-family)
+    do NOT satisfy the bounded-dependence contract — use the exact
+    per-key ``applyInPandas`` pass for those.
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    keys: list[str] = (
+        [] if partition_by is None
+        else [partition_by] if isinstance(partition_by, str)
+        else list(partition_by)
+    )
+    n = int(
+        num_buckets or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n))
+
+    # One pass marks each bucket's last `lookback` rows and EXPLODES them
+    # into (own bucket, next bucket as context) — no union of two plan
+    # branches, so the ranking window runs exactly once.
+    tail_w = Window.partitionBy(*keys, "__bkt").orderBy(F.col(order_by).desc())
+    d = d.withColumn("__rn_end", F.row_number().over(tail_w))
+    d = d.withColumn(
+        "__dst",
+        F.explode(
+            F.when(
+                F.col("__rn_end") <= lookback,
+                F.array(F.col("__bkt"), F.col("__bkt") + 1),
+            ).otherwise(F.array(F.col("__bkt")))
+        ),
+    )
+    d = d.withColumn("__ctx", F.col("__dst") != F.col("__bkt"))
+    drop_cols = ["__bkt", "__rn_end", "__dst", "__ctx"]
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(c, t, True) for c, t in new_cols.items()]
+    )
+
+    def wrapper(pdf):
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        res = fn(pdf)
+        res = res[~res["__ctx"]]
+        return res.drop(columns=drop_cols)
+
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = d.repartition(shuffle_n, *[F.col(c) for c in [*keys, "__dst"]])
+    return d.groupBy(*keys, "__dst").applyInPandas(wrapper, out_schema)
+
+
 def global_lag_lead(
     df: DataFrame,
     value_col: str,
@@ -130,22 +289,7 @@ def global_lag_lead(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    key = F.col(order_by).cast("double")
-
-    # n-1 deterministic cut points (eager, one aggregation pass).
-    probs = [i / n for i in range(1, n)]
-    cuts = sorted(
-        set(df.select(key.alias("__k")).stat.approxQuantile("__k", probs, 0.001))
-    ) if probs else []
-    if cuts:
-        bucket = F.aggregate(
-            F.array(*[F.lit(float(c)) for c in cuts]),
-            F.lit(0),
-            lambda acc, c: acc + F.when(key > c, 1).otherwise(0),
-        )
-    else:  # single bucket (n=1 or constant key): degenerates gracefully
-        bucket = F.lit(0)
-    d = df.withColumn("__bkt", bucket)
+    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n))
 
     local_w = Window.partitionBy("__bkt").orderBy(order_by)
     neighbor = (F.lag if kind == "lag" else F.lead)(value_col, 1).over(local_w)

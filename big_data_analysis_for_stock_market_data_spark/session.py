@@ -75,6 +75,12 @@ def get_session(
         builder = builder.master(f"local[{cpus}]")
     conf: dict[str, str] = dict(ENGINE_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if master or not os.environ.get("SPARK_MASTER"):
+        # local mode: the driver JVM hosts all executor threads, but Spark's
+        # default heap is 1g — 32 concurrent tasks starve execution memory
+        # (observed UNABLE_TO_ACQUIRE_MEMORY). Only effective at JVM launch;
+        # a cluster deploy sets executor memory through spark-submit.
+        conf.setdefault("spark.driver.memory", "24g")
     if legacy_time_parser:
         conf["spark.sql.legacy.timeParserPolicy"] = "LEGACY"
     if configs:

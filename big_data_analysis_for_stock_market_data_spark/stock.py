@@ -60,16 +60,27 @@ def make_stock_fixture(
         days=day, mins=minute
     )
     # per-minute log-return ~ Uniform(-0.001, 0.001), cumulated per symbol
+    # via the distributed two-phase prefix sum (windows.prefix_sum) — the
+    # sequential unbounded window would serialize each symbol on one core
     step = (_uniform(F.col("id") + seed, 1) - 0.5) * 0.002
-    w = (
-        Window.partitionBy("symbol_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    log_price = F.log(F.lit(100.0) + F.col("symbol_id") * 10) + F.sum(step).over(w)
-    d = df.select(
+    stepped = df.select(
         F.concat(F.lit("SYM"), F.col("symbol_id")).alias("symbol"),
         ts.alias("date"),
+        F.col("id"),
+        F.col("symbol_id"),
+        F.col("i"),
+        step.alias("__step"),
+    )
+    summed = win_ops.prefix_sum(
+        stepped, "__step", order_by="i", partition_by="symbol_id",
+        out_col="__cumret",
+    )
+    log_price = (
+        F.log(F.lit(100.0) + F.col("symbol_id") * 10) + F.col("__cumret")
+    )
+    d = summed.select(
+        "symbol",
+        "date",
         F.exp(log_price).alias("close"),
         F.col("id"),
         F.col("symbol_id"),

@@ -69,3 +69,52 @@ def test_range_exchange_reused_not_recomputed(series):
 def test_bad_kind_rejected(series):
     with pytest.raises(ValueError, match="kind"):
         win_ops.global_lag_lead(series, "v", order_by="t", kind="middle")
+
+
+def test_prefix_sum_matches_sequential_window(spark, series):
+    from pyspark.sql import functions as F
+
+    got = (
+        win_ops.prefix_sum(series, "v", order_by="t", num_buckets=7)
+        .orderBy("t")
+        .collect()
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        series.withColumn(
+            "cumsum_v",
+            F.sum(F.col("v").cast("decimal(28,8)")).over(w).cast("double"),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    assert got == want
+
+
+def test_prefix_sum_per_key(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(400).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") % 17 * 1.0).alias("v"),
+    )
+    got = (
+        win_ops.prefix_sum(df, "v", order_by="t", partition_by="k", num_buckets=5)
+        .orderBy("k", "t")
+        .collect()
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = (
+        df.withColumn(
+            "cumsum_v",
+            F.sum(F.col("v").cast("decimal(28,8)")).over(w).cast("double"),
+        )
+        .orderBy("k", "t")
+        .collect()
+    )
+    assert got == want

@@ -159,3 +159,63 @@ def test_enrich_ohlcv_full_surface(ohlcv):
     }
     assert expected <= cols
     assert out.count() == 160
+
+
+def test_cci_numpy_matches_expression_form(spark):
+    from big_data_analysis_for_stock_market_data_spark import stock
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        indicators as ind,
+    )
+
+    bars = stock.make_stock_fixture(spark, n_rows=1200, n_symbols=2)
+    expr_form = ind.cci(bars, 10, "symbol", "date").select(
+        "symbol", "date", "cci10"
+    )
+    np_form = ind.recursive_enrich(
+        bars, "symbol", "date", ema_spans=(), macd_pairs=(), rsi_ns=(),
+        kama_ns=(), adx_ns=(), cci_ns=(10,),
+    ).select("symbol", "date", "cci10")
+    a = expr_form.orderBy("symbol", "date").collect()
+    b = np_form.orderBy("symbol", "date").collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        if ra.cci10 is None or rb.cci10 is None:
+            assert (ra.cci10 is None) == (rb.cci10 is None or rb.cci10 != rb.cci10)
+        else:
+            assert abs(ra.cci10 - rb.cci10) < 1e-6 * max(1.0, abs(ra.cci10))
+
+
+def test_enrich_parallel_matches_expr_engine(spark):
+    import math
+
+    from big_data_analysis_for_stock_market_data_spark import stock
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        indicators as ind,
+    )
+
+    bars = stock.make_stock_fixture(spark, n_rows=3000, n_symbols=2).cache()
+    cols = ["symbol", "date"] + ind.CLOSED_FORM_COLS
+    a = (
+        ind.enrich_ohlcv(bars, engine="expr")
+        .select(cols).orderBy("symbol", "date").collect()
+    )
+    b = (
+        ind.enrich_ohlcv(bars, engine="parallel")
+        .select(cols).orderBy("symbol", "date").collect()
+    )
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        for c in ind.CLOSED_FORM_COLS:
+            va, vb = getattr(ra, c), getattr(rb, c)
+            na = va is None or (isinstance(va, float) and math.isnan(va))
+            nb = vb is None or (isinstance(vb, float) and math.isnan(vb))
+            if na or nb:
+                assert na == nb, (c, ra.date, va, vb)
+            else:
+                # mfi14/ultosc: the expr engine quantizes addends to
+                # DECIMAL(28,8) (oracle exactness), pandas keeps floats —
+                # agreement is 1e-5-relative, not ulp-level
+                tol = 1e-5 if c in ("mfi14", "ultosc") else 1e-9
+                assert math.isclose(va, vb, rel_tol=tol, abs_tol=tol), (
+                    c, ra.date, va, vb,
+                )
