@@ -180,6 +180,56 @@ def w1_scalable_global_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_prefix_sum",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,8)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+    FROM events
+    """,
+)
+def w_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total via the DISTRIBUTED two-phase prefix sum
+    (windows.prefix_sum): bucket-local scans + broadcast offsets, exact
+    under decimal addition — same oracle as the sequential window, scalable
+    plan."""
+    events = load(spark, sf_dir, "events")
+    out = win_ops.prefix_sum(
+        events, "value", order_by="ts", partition_by="user_id",
+        out_col="cum_value",
+    )
+    return out.select("event_id", "user_id", "ts", "cum_value")
+
+
+@register(
+    "fn_time_bucket",
+    oracle=f"""
+    SELECT user_id,
+           time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+             AS bucket_start,
+           COUNT(*) AS n_events,
+           {_sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket rollup: 15-minute buckets via
+    window(ts, ...).start — epoch-aligned, matching DuckDB time_bucket."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.window("ts", "15 minutes").start.alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+@register(
     "w2_daily_lag_avg",
     oracle="""
     SELECT CAST(ts AS DATE) AS day,
@@ -1070,6 +1120,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return text_ops.fingerprint_md5(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "text_ngram_freq",
+    oracle=f"""
+    SELECT bigram, COUNT(*) AS n FROM (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents) t
+    ) b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 token bigrams: per-row n-gram construction with
+    JVM higher-order functions, explode, grouped count, top-k (partial
+    aggregation keeps the shuffle at |distinct bigram| rows)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import tokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    bigrams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY md5(array_to_string({_DUCK_TOKS}, ' '))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on whitespace/case-NORMALIZED content (catches the
+    trivial near-dups raw-byte hashing misses), lowest-id survivor."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, normalized=True).select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register("text_rolling_fingerprint")  # xxhash64 has no DuckDB twin: rows-only
