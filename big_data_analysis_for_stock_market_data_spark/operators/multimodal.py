@@ -108,6 +108,61 @@ def extract_features(
     return ensure_parallelism(df).mapInPandas(run, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    payload_col: str = "payload",
+    out: str = "resized_payload",
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Image resize stage. Output schema = input + ``resized_payload:
+    binary`` (exactly width*height*3 bytes) + ``resized_width``/
+    ``resized_height``.
+
+    ``decode_backend='stub'`` marks the real integration point (PIL
+    ``Image.open(...).resize(...)``); 'fake' emits a deterministic
+    sha256-keystream "bitmap" of the right SIZE and SHAPE so downstream
+    stages (fixed-size binary handling, Arrow batch memory, partitioning)
+    are exercised for real."""
+    if decode_backend not in ("fake", "stub"):
+        raise ValueError("decode_backend must be 'fake' or 'stub'")
+    n_bytes = width * height * 3
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(out, T.BinaryType(), True),
+            T.StructField("resized_width", T.IntegerType(), False),
+            T.StructField("resized_height", T.IntegerType(), False),
+        ]
+    )
+
+    def fake_bitmap(payload: bytes) -> bytes:
+        if payload is None:
+            return b"\x00" * n_bytes
+        digest = hashlib.sha256(payload).digest()
+        reps = (n_bytes // len(digest)) + 1
+        return (digest * reps)[:n_bytes]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode_backend == "stub":
+            raise NotImplementedError(
+                "image resize requires an imaging library (e.g. pillow) "
+                "which is not installed in this environment; use "
+                "decode_backend='fake' for plumbing tests"
+            )
+        for pdf in batches:
+            pdf[out] = [fake_bitmap(p) for p in pdf[payload_col]]
+            pdf["resized_width"] = width
+            pdf["resized_height"] = height
+            yield pdf
+
+    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     n_frames: int = 4,

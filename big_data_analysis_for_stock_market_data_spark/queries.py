@@ -1411,6 +1411,25 @@ def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm_resize")  # Pandas-UDF stage with fake decoder: rows-only
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage shape: fixed-size (w*h*3) binary output per
+    asset from the deterministic fake decoder (real PIL decode is the
+    documented stub)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = mm.resize_images(docs, width=16, height=16)
+    return out.select(
+        "asset_id",
+        F.length("resized_payload").alias("bitmap_bytes"),
+        "resized_width", "resized_height",
+    )
+
+
 @register("mm_frame_sample")  # rows-only
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling explode shape (stub slicing; real sampler drops in)."""

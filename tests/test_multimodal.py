@@ -54,3 +54,36 @@ def test_frame_sample_explode_shape(spark):
     for r in out:
         by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_asset.values())
+
+
+def test_resize_fake_shape_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abc" * 50), (2, b"xyz" * 9), (3, None)], "asset_id long, payload binary"
+    )
+    out = mm.resize_images(df, width=8, height=4).collect()
+    for r in sorted(out, key=lambda r: r.asset_id):
+        assert len(r.resized_payload) == 8 * 4 * 3
+        assert (r.resized_width, r.resized_height) == (8, 4)
+    # deterministic across runs
+    again = mm.resize_images(df, width=8, height=4).collect()
+    assert {r.asset_id: bytes(r.resized_payload) for r in out} == {
+        r.asset_id: bytes(r.resized_payload) for r in again
+    }
+
+
+def test_resize_stub_raises(spark):
+    import pytest as _pytest
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    df = spark.createDataFrame([(1, b"abc")], "asset_id long, payload binary")
+    with _pytest.raises(Exception, match="NotImplementedError|imaging"):
+        mm.resize_images(df, decode_backend="stub").collect()
