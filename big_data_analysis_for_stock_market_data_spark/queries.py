@@ -769,6 +769,123 @@ def sql_entry_daily_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_ranking_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def w_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 ranking family: rank/dense_rank/row_number/ntile/percent_rank/
+    cume_dist over per-user time order (partitioned — no global window)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return events.select(
+        "event_id", "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont, both linear interpolation; rounded to 6dp because the
+    interpolation arithmetic orders differently)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias(
+                "p95_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q18_big_orders",
+    oracle=f"""
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS orderdate,
+           o.o_totalprice,
+           {_sql_dsum('l.l_quantity', 'total_qty')}
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join filter
+    (left_semi — no row duplication, build side is the small qualified-key
+    set), then join + re-aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o2 = o.join(
+        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    joined = o2.join(li, li.l_orderkey == o2.o_orderkey)
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+@register("agg_approx_distinct")  # HLL sketch: engine-specific, rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts — the sketch path for
+    100 TB cardinality estimation (exact distinct shuffles every value;
+    the sketch shuffles a fixed-size register set). Accuracy vs exact is
+    asserted in tests/test_aggregates.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@register(
     "a6_moments",
     oracle="""
     WITH s AS (

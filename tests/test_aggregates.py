@@ -51,3 +51,16 @@ def test_moments_on_symmetric_data(spark):
     r = A.moments(df, ["v"]).first()
     assert abs(r.skew_v) < 1e-12          # symmetric → zero skew
     assert r.kurt_v == pytest.approx(-1.3)  # uniform-ish platykurtic
+
+
+def test_approx_distinct_within_rsd(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.queries import load
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F.count_distinct("l_orderkey").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) <= 0.05 * row.exact
