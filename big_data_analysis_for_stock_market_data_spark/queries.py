@@ -412,6 +412,71 @@ def j2_daygrain_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j3_outer_join",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           {_sql_dsum('o.o_totalprice', 'sum_spend')}
+    FROM customer c
+    LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def j3_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer join preserving customers with zero orders
+    (COUNT over the nullable side counts matches only; SUM of no rows is
+    null on both engines)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    joined = c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+    SELECT {_sql_dsum('l.l_extendedprice', 'sum_price')},
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(l_quantity)) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.half_avg_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + self-join — the form Catalyst's
+    RewriteCorrelatedScalarSubquery produces; written directly so the plan
+    is explicit. Compare threshold uses AVG (not decimal-summed): both
+    engines divide once over the same addends — and the FILTER result
+    feeds decimal-summed outputs, so hash-stable."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_q = (
+        li.groupBy(F.col("l_partkey").alias("p_key"))
+        .agg((0.5 * davg(F.col("l_quantity"), "a")).alias("half_avg_qty"))
+    )
+    joined = li.join(avg_q, li.l_partkey == avg_q.p_key).filter(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return joined.agg(
+        dsum(F.col("l_extendedprice"), "sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "o1_topk_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
