@@ -1410,6 +1410,68 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_groups(docs)
 
 
+@register(
+    "w_sessionize_batch",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id, session_id
+    """,
+)
+def w_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-user session ids from
+    30-minute inactivity gaps — lag + running sum + grouped bounds, all
+    partitioned by user. The streaming twin is stream_session_30m."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    d = events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int"),
+    )
+    return (
+        d.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("dedup_clusters")  # iterative algorithm: rows-only
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: MinHash near-dup pairs -> connected
+    components (iterative min-label propagation, localCheckpoint per
+    round) -> (doc_id, canonical component id)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    return dd.connected_components(pairs).orderBy("doc_id")
+
+
 @register("dedup_minhash_near")  # seeded-xxhash LSH: no SQL twin, rows-only
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline: shingle → 64 minhashes → 16 bands →

@@ -96,3 +96,22 @@ def test_ngram_jaccard_superset_of_minhash(spark):
     # and every returned pair really clears the threshold
     for r in dd.ngram_jaccard_near_dups(docs, threshold=0.5).collect():
         assert r.jaccard >= 0.5
+
+
+def test_connected_components_clusters(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
