@@ -92,16 +92,30 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane_idx: int, dim: int, table_idx: int = 0) -> list[float]:
-    """Deterministic ±1 hyperplane components from a hash of (table, plane,
-    coordinate) — no runtime RNG, identical on every executor and run."""
-    import hashlib
+def _hyperplane_dot(vec: Column, table: int, plane: int, dim: int) -> Column:
+    """Σ_j vec[j] · s(table, plane, j) with ±1 components derived from
+    seeded xxhash64 INSIDE the expression — no dim-sized literal arrays.
+    (The literal-array form made the 32-plane plan tree so large that
+    analysis+codegen dominated runtime: 7s for 500 vectors.)"""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    signed = F.zip_with(
+        vec, idx,
+        lambda x, j: x.cast("double")
+        * (F.xxhash64(j, F.lit(table), F.lit(plane)) % 2 * 2 - 1).cast("double"),
+    )
+    return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
 
-    comps = []
-    for j in range(dim):
-        h = hashlib.sha256(f"{table_idx}:{plane_idx}:{j}".encode()).digest()
-        comps.append(1.0 if h[0] % 2 == 0 else -1.0)
-    return comps
+
+def _bucket_expr(vec: Column, table: int, n_planes: int, dim: int) -> Column:
+    """Sign-random-projection bucket id for one hash table (bits packed
+    into an int, offset by the table id so tables never collide)."""
+    expr: Column = F.lit(table * (2 ** n_planes))
+    for p in range(n_planes):
+        expr = expr + (
+            F.when(_hyperplane_dot(vec, table, p, dim) >= 0, 1).otherwise(0)
+            * (2 ** p)
+        )
+    return expr
 
 
 def lsh_bucket_topk(
@@ -120,28 +134,20 @@ def lsh_bucket_topk(
     re-rank inside the candidate set. The corpus is hashed once per table;
     at scale the bucketed corpus would be written out and reused across
     query batches (the IVF-file pattern)."""
-    def bucket_expr(vec: Column, table: int) -> Column:
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim, table)])
-            bits.append(F.when(dot(vec, plane) >= 0, 1).otherwise(0) * (2 ** p))
-        expr = F.lit(table * (2 ** n_planes))
-        for b in bits:
-            expr = expr + b
-        return expr
-
     corpus = ensure_parallelism(corpus)
     c_buckets = corpus.select(
         id_col, vec_col,
         F.explode(
-            F.array(*[bucket_expr(F.col(vec_col), t) for t in range(n_tables)])
+            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim)
+                      for t in range(n_tables)])
         ).alias("__bucket"),
     )
     q_buckets = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
         F.explode(
-            F.array(*[bucket_expr(F.col(vec_col), t) for t in range(n_tables)])
+            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim)
+                      for t in range(n_tables)])
         ).alias("__bucket"),
     )
     cand = (
@@ -272,24 +278,13 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (dedup's semantic variant):
     LSH-bucket the corpus against itself, exact-cosine verify, keep pairs
     ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b."""
-    def bucket_cols(vec: Column) -> Column:
-        return F.array(
-            *[
-                _bucket_expr_cached(vec, t, n_planes, dim)
-                for t in range(n_tables)
-            ]
-        )
-
-    def _bucket_expr_cached(vec: Column, table: int, planes: int, d: int) -> Column:
-        expr = F.lit(table * (2 ** planes))
-        for p in range(planes):
-            plane = F.array(*[F.lit(c) for c in _hyperplane(p, d, table)])
-            expr = expr + F.when(dot(vec, plane) >= 0, 1).otherwise(0) * (2 ** p)
-        return expr
-
     df = ensure_parallelism(df)
     bucketed = df.select(
-        id_col, vec_col, F.explode(bucket_cols(F.col(vec_col))).alias("__bucket")
+        id_col, vec_col,
+        F.explode(
+            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim)
+                      for t in range(n_tables)])
+        ).alias("__bucket"),
     )
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"

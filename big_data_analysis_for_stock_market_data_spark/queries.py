@@ -1569,15 +1569,16 @@ def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simsearch_lsh_topk")  # rows-only
 def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-5 (sign random projections, 4 tables × 8
-    planes) — the sub-linear scale path."""
+    """LSH-bucketed ANN top-5 (sign random projections, 8 tables × 6
+    planes — tuned so near-orthogonal vectors still fill the top-k) — the
+    sub-linear scale path."""
     from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
 
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ss.lsh_bucket_topk(emb, queries_df, k=5)
+    return ss.lsh_bucket_topk(emb, queries_df, k=5, n_planes=6, n_tables=8)
 
 
 @register("simsearch_ivf_topk")  # k-means index: rows-only
