@@ -1724,6 +1724,66 @@ def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json into a struct column, then field
+    access — the schema-on-read path (vs get_json_object's single-path
+    extraction in fn_json_props)."""
+    events = load(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "__props", F.from_json("props", "k BIGINT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("__props.k").alias("k"),
+        (F.col("__props.k") % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking over returned items — selective
+    fact filter pushed to the scan, dims broadcast, grouped revenue,
+    top-k."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    joined = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "fn_string_suite",
     oracle="""
     SELECT p_partkey,
