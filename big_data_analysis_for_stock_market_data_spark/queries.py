@@ -1788,6 +1788,103 @@ def fn_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filtered aggregate — every predicate pushes to
+    the parquet scan; the whole query is one codegen'd scan-agg pipeline
+    with a 1-row shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q14_promo_ratio",
+    oracle=f"""
+    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_revenue_pct
+    FROM (
+      SELECT
+        CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS promo,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ) t
+    """,
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio over a broadcast
+    dim join (promo-type revenue share)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    ).cast("double")
+    total = F.sum(disc).cast("double")
+    return joined.agg(
+        (100.0 * promo / total).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q19_disjunctive",
+    oracle=f"""
+    SELECT {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column predicates across both
+    join sides — Catalyst extracts the common l_partkey equi-condition so
+    the join stays hash-based with the OR as a post-join filter."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "q10_returned_revenue",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
