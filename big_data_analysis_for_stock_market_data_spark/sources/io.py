@@ -34,7 +34,18 @@ def read_parquet(
     columns: Sequence[str] | None = None,
 ) -> DataFrame:
     """Parquet scan. ``columns`` prunes the read schema at the scan
-    (check ``ReadSchema`` in ``.explain("formatted")``)."""
+    (check ``ReadSchema`` in ``.explain("formatted")``).
+
+    Self-sufficient on parquet TIMESTAMP(NANOS) columns: Spark rejects the
+    physical type INT64 (TIMESTAMP(NANOS)) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set, and callers (e.g. a
+    driver harness) may hand us a vanilla SparkSession — so the reader sets
+    the runtime SQL conf itself instead of relying on session.py defaults.
+    The column then arrives as LongType epoch-nanos and is normalized to
+    microsecond TimestampType below.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if schema is not None:
         declared = {f.name: f.dataType for f in schema.fields}

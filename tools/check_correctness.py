@@ -61,9 +61,18 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from big_data_analysis_for_stock_market_data_spark.session import get_session
+    from pyspark.sql import SparkSession
 
-    spark = get_session(app_name="check_correctness")
+    # Vanilla session on purpose: the driver's harness does NOT use the
+    # engine's session.py defaults, so queries must be self-sufficient
+    # (see VERDICT r01: nanosAsLong dependency broke 17 oracle rows).
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("check_correctness")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
 
     con = duckdb.connect()
     for t in TABLES:
