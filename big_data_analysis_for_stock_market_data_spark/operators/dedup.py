@@ -12,8 +12,8 @@ Scale design notes
   candidate self-join INSIDE buckets only — pair cost is Σ|bucket|², never
   |docs|². All hashing is seeded xxhash64 (deterministic, JVM-side).
 - SimHash: 64-bit weighted-bit-vote signature; near-dup = small Hamming
-  distance; candidates found by banding the signature into 16-bit chunks
-  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal).
+  distance; candidates found by banding the signature into max_hamming+1
+  chunks (pigeonhole: hamming ≤ h ⇒ at least one of h+1 chunks equal).
 - Verification (exact Jaccard on shingle sets) only runs on candidate
   pairs, which LSH keeps tiny relative to the corpus.
 """
@@ -123,6 +123,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     sig_col: str = "signature",
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Band the signature into ``bands`` chunks, hash each chunk to a bucket,
     and emit candidate pairs that share ≥1 (band, bucket). Collision
@@ -131,7 +132,17 @@ def lsh_candidate_pairs(
     The pair join happens within buckets via groupBy(bucket) + pairwise
     explode of the (sorted, deduped) bucket membership, so cost is bounded
     by Σ|bucket|² — with honest hashing, |bucket| is tiny unless documents
-    really are similar."""
+    really are similar.
+
+    Scale control: buckets larger than ``max_bucket_size`` are DROPPED
+    (mirroring ``max_doc_freq`` in the inverted-index path). A degenerate
+    hot bucket — empty documents, boilerplate — would otherwise explode
+    |bucket|² pairs inside a single task and OOM the executor; with the cap
+    the per-bucket pair cost is bounded by ``max_bucket_size``². Members of
+    an oversized bucket are near-identical to hundreds of other documents;
+    exact/normalized dedup is the right tool for that mass, and any pair
+    that is genuinely near-dup still has ``bands - 1`` other chances to
+    collide in a non-degenerate bucket. Pass ``None`` to disable."""
     k = bands  # band count; rows per band derived from signature length
     banded = signatures.select(
         id_col,
@@ -154,6 +165,18 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "bucket"),
     )
+    if max_bucket_size is not None:
+        # Filter oversized buckets BEFORE collect_set: the size check must
+        # not itself materialize the |bucket|-element array it is guarding
+        # against. COUNT is map-side partial-aggregatable, so the pre-pass
+        # shuffles only (band, bucket, partial_count) rows.
+        keep = (
+            banded.groupBy("band_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
+            .select("band_id", "bucket")
+        )
+        banded = banded.join(keep, ["band_id", "bucket"])
     buckets = banded.groupBy("band_id", "bucket").agg(
         F.array_sort(F.collect_set(id_col)).alias("members")
     ).filter(F.size("members") > 1)
@@ -217,19 +240,28 @@ def jaccard_verify(
 def minhash_near_dups(
     df: DataFrame,
     n_shingle: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.7,
     col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
     pairs → exact-Jaccard verify. Returns (id_a, id_b, jaccard) with
-    id_a < id_b."""
+    id_a < id_b.
+
+    Defaults are 32 hashes × 16 bands (r=2): candidate probability
+    1-(1-s²)^16 ≈ 0.99 at s=0.5 — a steeper, higher-recall S-curve than
+    the earlier 64×16 (r=4, ≈0.64 at s=0.5) at HALF the signature fold
+    cost. Extra low-similarity candidates are discarded by the exact
+    verify, so the output contract (every pair clears ``threshold``) is
+    unchanged; recall can only improve."""
     df = ensure_parallelism(df)
     shingled = with_shingles(df, n_shingle, col).select(id_col, "shingles")
     sigs = minhash_signatures(shingled, num_hashes, "shingles", id_col)
-    pairs = lsh_candidate_pairs(sigs, bands, id_col)
+    pairs = lsh_candidate_pairs(sigs, bands, id_col,
+                                max_bucket_size=max_bucket_size)
     return jaccard_verify(pairs, shingled, threshold, id_col).orderBy(
         "id_a", "id_b"
     )
@@ -371,6 +403,59 @@ def simhash_signatures(
     return votes.select(id_col, sig.alias(out))
 
 
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Candidate pairs from 64-bit signatures with GUARANTEED recall at
+    radius ``max_hamming``: the signature is banded into ``max_hamming + 1``
+    chunks, so a pair within Hamming ≤ ``max_hamming`` cannot differ in all
+    chunks (pigeonhole) and must collide on at least one (chunk_id, value)
+    key. Chunk widths are ⌈64/n⌉/⌊64/n⌋ (e.g. radius 6 → 7 chunks of
+    10/9 bits). Radius 0 degenerates to a single 64-bit chunk — exact
+    signature equality.
+
+    The earlier fixed 4×16-bit banding guaranteed recall only to radius 3;
+    shipping it with radius 6 silently dropped pairs whose 4-6 differing
+    bits spread across all four chunks."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned(sig_col, off).bitwiseAND(
+                # all-ones long for the degenerate 1-chunk (radius 0) case:
+                # (1 << 64) - 1 overflows a signed long literal
+                F.lit((1 << w) - 1 if w < 64 else -1).cast("long")
+            )
+            for off, w in zip(offsets, widths)
+        ]
+    )
+    chunks = sigs.select(
+        id_col, sig_col,
+        F.posexplode(chunk_arr).alias("chunk_id", "chunk_val"),
+    )
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"),
+        "chunk_id", "chunk_val",
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"),
+        "chunk_id", "chunk_val",
+    )
+    return (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     max_hamming: int = 3,
@@ -378,35 +463,12 @@ def simhash_near_dups(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dups by SimHash Hamming distance ≤ ``max_hamming``. Candidates
-    via 16-bit chunk banding (any pair within Hamming ≤ 3 shares at least
-    one of the 4 chunks); verification via bit_count(xor)."""
+    via (max_hamming+1)-chunk banding — guaranteed recall at the requested
+    radius (see ``simhash_candidate_pairs``); verification via
+    bit_count(xor)."""
     df = ensure_parallelism(df)
     sigs = simhash_signatures(df, col, id_col)
-    chunks = sigs.select(
-        id_col, "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_id", "chunk_val"),
-    )
-    left = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
-        "chunk_id", "chunk_val",
-    )
-    right = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
-        "chunk_id", "chunk_val",
-    )
-    cand = (
-        left.join(right, ["chunk_id", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    cand = simhash_candidate_pairs(sigs, max_hamming, id_col)
     return (
         cand.withColumn(
             "hamming",

@@ -1514,8 +1514,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_near")  # seeded-xxhash LSH: no SQL twin, rows-only
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: shingle → 64 minhashes → 16 bands →
-    bucket pairs → exact-Jaccard verify ≥ 0.5."""
+    """MinHash+LSH near-dup pipeline: shingle → 32 minhashes → 16 bands
+    (r=2) → capped bucket pairs → exact-Jaccard verify ≥ 0.5."""
     from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
 
     docs = load(spark, sf_dir, "documents")
@@ -1536,7 +1536,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash_near")  # rows-only
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures, Hamming ≤ 6 via 16-bit chunk banding."""
+    """SimHash 64-bit signatures, Hamming ≤ 6 via 7-chunk banding
+    (pigeonhole-guaranteed recall at the shipped radius)."""
     from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
 
     docs = load(spark, sf_dir, "documents")

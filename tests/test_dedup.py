@@ -78,6 +78,82 @@ def test_simhash_near_detects_small_edit(spark):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_simhash_banding_recall_at_radius_6(spark):
+    """Pigeonhole guarantee at the SHIPPED radius: plant signature pairs at
+    every Hamming distance 1..6 with the differing bits SPREAD ACROSS
+    chunks (the adversarial case the old fixed 4x16-bit banding dropped
+    for distances 4-6) and assert candidate generation finds them all."""
+    base = 0x0123_4567_89AB_CDEF
+    rows = [(0, base)]
+    expected = set()
+    for d in range(1, 7):
+        # flip d bits at positions 0, 11, 22, ... — one per ~11-bit stride,
+        # so they land in d DIFFERENT chunks of any ≥6-chunk banding and
+        # in 4 different chunks of the old 16-bit banding when d >= 4
+        sig = base
+        for j in range(d):
+            sig ^= 1 << (j * 11)
+        rows.append((d, sig))
+        expected.add((0, d))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    cand = D.simhash_candidate_pairs(sigs, max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert expected <= got
+    # and the verified distances match the planted flips
+    from pyspark.sql import functions as F
+
+    out = cand.withColumn(
+        "hamming", F.bit_count(cand.sig_a.bitwiseXOR(cand.sig_b))
+    ).filter("hamming <= 6")
+    got_d = {r.id_b: r.hamming for r in out.collect() if r.id_a == 0}
+    assert got_d == {d: d for d in range(1, 7)}
+
+
+def test_simhash_radius_zero_is_exact_equality(spark):
+    sigs = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_candidate_pairs(sigs, max_hamming=0).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """1,000 byte-identical documents put every doc in the same bucket for
+    every band: uncapped, that is a single-task 999,000-pair explosion.
+    With the cap the hot buckets are dropped and the pipeline completes
+    with zero candidate pairs (exact dedup is the right tool for that
+    mass); a distinct near-dup pair in the same corpus is still found."""
+    from pyspark.sql import functions as F
+
+    clones = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    extras = spark.createDataFrame(
+        [Row(doc_id=2001, text=NEAR), Row(doc_id=2002, text=NEAR + " tail")]
+    )
+    docs = clones.unionByName(extras)
+    out = D.minhash_near_dups(docs, threshold=0.5, max_bucket_size=200)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (2001, 2002) in pairs
+    assert all(a >= 2000 and b >= 2000 for a, b in pairs)
+    # uncapped on the normal fixture: output unchanged by the cap
+    small = _docs(spark)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dups(small, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dups(
+            small, threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
 def test_ngram_jaccard_superset_of_minhash(spark):
     from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
     from big_data_analysis_for_stock_market_data_spark.queries import load
