@@ -124,46 +124,62 @@ def prefix_sum(
     exact_decimal: bool = True,
 ) -> DataFrame:
     """Distributed inclusive prefix sum (cumulative sum) in global or
-    per-key order — the two-phase parallel scan: bucket-local running sums
-    in parallel, then each bucket shifted by the cumulative total of its
-    predecessors (a |keys×buckets|-row frame, broadcast back).
+    per-key order.
 
-    ``Window.orderBy(...).rowsBetween(unboundedPreceding, 0)`` computes the
-    same thing through ONE task; this form computes it at full width. With
-    ``exact_decimal`` the re-association is exact (decimal addition is
-    associative), so the result is bit-identical to the sequential window.
-    """
+    With a ``partition_by`` key this is the plain per-key running-sum
+    window — one hash shuffle on the key, parallelism = |keys|, no
+    auxiliary frames. That IS the scalable plan when a key exists: the
+    earlier always-bucketed form built a |keys × buckets| offsets frame
+    and broadcast it, which for a high-cardinality key (user_id at
+    100 TB) is a multi-GB broadcast to every executor.
+
+    The keyless (global-order) case uses the two-phase parallel scan:
+    bucket-local running sums in parallel, then each bucket shifted by the
+    cumulative total of its predecessors — an offsets frame of exactly
+    |buckets| rows (bounded by config, never by data), safely broadcast.
+    ``Window.orderBy(...)`` alone would compute this through ONE task.
+
+    With ``exact_decimal`` the re-association is exact (decimal addition
+    is associative), so either plan is bit-identical to the sequential
+    window."""
     keys: list[str] = (
         [] if partition_by is None
         else [partition_by] if isinstance(partition_by, str)
         else list(partition_by)
     )
     out = out_col or f"cumsum_{value_col}"
-    n = int(
-        num_buckets or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n))
     val = (
         F.col(value_col).cast("decimal(28,8)")
         if exact_decimal else F.col(value_col)
     )
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(order_by)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        result = F.sum(val).over(w)
+        if exact_decimal:
+            result = result.cast("double")
+        return df.withColumn(out, result)
+
+    n = int(
+        num_buckets or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n))
     local_w = (
-        Window.partitionBy(*keys, "__bkt")
+        Window.partitionBy("__bkt")
         .orderBy(order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     d = d.withColumn("__local", F.sum(val).over(local_w))
 
-    totals = d.groupBy(*keys, "__bkt").agg(F.sum(val).alias("__tot"))
-    off_w = (
-        Window.partitionBy(*keys)
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    totals = d.groupBy("__bkt").agg(F.sum(val).alias("__tot"))
+    off_w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        *keys, "__bkt", F.sum("__tot").over(off_w).alias("__off")
+        "__bkt", F.sum("__tot").over(off_w).alias("__off")
     )
-    d = d.join(F.broadcast(offsets), on=[*keys, "__bkt"], how="left")
+    d = d.join(F.broadcast(offsets), on=["__bkt"], how="left")
     if exact_decimal:
         # sum(decimal(28,8)) widens to (38,8); adding two of those would
         # overflow precision 38 and Spark silently DROPS scale to 7 —

@@ -190,10 +190,11 @@ def w1_scalable_global_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running total via the DISTRIBUTED two-phase prefix sum
-    (windows.prefix_sum): bucket-local scans + broadcast offsets, exact
-    under decimal addition — same oracle as the sequential window, scalable
-    plan."""
+    """Per-user running total via windows.prefix_sum. With a partition
+    key this is the plain per-key running-sum window (parallelism =
+    |users|, no auxiliary broadcast — the scalable plan for keyed data);
+    the keyless form uses the two-phase bucket scan with a |buckets|-row
+    broadcast. Exact under decimal addition either way."""
     events = load(spark, sf_dir, "events")
     out = win_ops.prefix_sum(
         events, "value", order_by="ts", partition_by="user_id",

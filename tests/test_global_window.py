@@ -91,6 +91,32 @@ def test_prefix_sum_matches_sequential_window(spark, series):
     assert got == want
 
 
+def test_prefix_sum_keyed_plan_is_pure_window(spark):
+    # With a partition key the scalable plan is the plain per-key running
+    # sum: ONE hash shuffle on the key, no auxiliary offsets frame, and
+    # critically no broadcast — the old always-bucketed form broadcast a
+    # |keys × buckets| frame, which for a high-cardinality key (user_id
+    # at 100 TB) is a multi-GB broadcast to every executor.
+    df = spark.range(400).select(
+        (F.col("id") % 97).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") % 17 * 1.0).alias("v"),
+    )
+    out = win_ops.prefix_sum(df, "v", order_by="t", partition_by="k")
+    plan = P.explain_str(out, "formatted")
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_prefix_sum_keyless_offsets_broadcast_is_bounded(spark, series):
+    # The keyless two-phase scan broadcasts ONLY the |buckets|-row offsets
+    # frame (bounded by config, never by data) — exactly one broadcast.
+    out = win_ops.prefix_sum(series, "v", order_by="t", num_buckets=7)
+    plan = P.explain_str(out, "simple")
+    assert plan.count("BroadcastExchange") == 1
+
+
 def test_prefix_sum_per_key(spark):
     from pyspark.sql import functions as F
 
