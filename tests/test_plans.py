@@ -93,3 +93,29 @@ def test_aggregates_bounded_shuffles(spark, name):
     # partial->final hash agg + output sort: at most 2 exchanges, and the
     # shuffled rows are group-level, not row-level
     assert P.count_shuffles(q(spark, name)) <= 2
+
+
+def test_ensure_parallelism_never_converts_to_rdd(spark, monkeypatch):
+    # partition estimation must stay driver-side metadata: df.rdd triggers
+    # a full plan->RDD translation per call (VERDICT r2 item 4)
+    from pyspark.sql import DataFrame
+
+    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
+
+    def _boom(self):
+        raise AssertionError("ensure_parallelism converted the plan to an RDD")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+
+    scan = spark.read.parquet(f"{SF}/documents.parquet")
+    widened = ensure_parallelism(scan)
+    # sf0.001 documents is a single small file -> round-robin repartition
+    assert "RoundRobinPartitioning" in P.explain_str(widened, "simple")
+
+    # in-memory frame (no input files): trust upstream parallelism, no-op
+    local = spark.range(100).toDF("n")
+    assert ensure_parallelism(local) is local
+
+    # enough files/splits already: no repartition inserted
+    wide = ensure_parallelism(scan, min_partitions=1)
+    assert "RoundRobinPartitioning" not in P.explain_str(wide, "simple")
