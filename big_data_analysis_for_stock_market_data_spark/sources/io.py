@@ -27,6 +27,39 @@ from big_data_analysis_for_stock_market_data_spark.schema import TESTDATA_SCHEMA
 TABLE_NAMES: tuple[str, ...] = tuple(TESTDATA_SCHEMAS)
 
 
+def _nanos_to_timestamp(name: str):
+    """Epoch-nanos LongType -> microsecond TimestampType, floor semantics.
+
+    Integer arithmetic throughout (float division loses precision —
+    epoch-nanos exceed 2^53). Spark's ``div`` truncates toward zero, which
+    would round pre-1970 nanos UP by 1µs versus the floor conversion DuckDB
+    and Arrow use (-1ns must become -1µs, not 0µs); subtracting ``pmod``
+    first makes the operand an exact multiple of 1000, so ``div`` == floor.
+    """
+    expr = F.expr(f"(`{name}` - pmod(`{name}`, 1000L)) div 1000L")
+    return F.timestamp_micros(expr)
+
+
+def _footer_nano_columns(path: str) -> set[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), read driver-side
+    from the file footer (pyarrow). Best-effort: schemes pyarrow cannot
+    open (``s3a://`` etc. without fsspec) yield an empty set — callers on
+    such stores should pass an explicit ``schema`` instead."""
+    try:
+        import pyarrow.dataset as pads
+        import pyarrow.types as patypes
+
+        local = path[len("file://"):] if path.startswith("file://") else path
+        arrow_schema = pads.dataset(local, format="parquet").schema
+        return {
+            f.name
+            for f in arrow_schema
+            if patypes.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return set()
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,
@@ -36,34 +69,49 @@ def read_parquet(
     """Parquet scan. ``columns`` prunes the read schema at the scan
     (check ``ReadSchema`` in ``.explain("formatted")``).
 
-    Self-sufficient on parquet TIMESTAMP(NANOS) columns: Spark rejects the
-    physical type INT64 (TIMESTAMP(NANOS)) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set, and callers (e.g. a
-    driver harness) may hand us a vanilla SparkSession — so the reader sets
-    the runtime SQL conf itself instead of relying on session.py defaults.
-    The column then arrives as LongType epoch-nanos and is normalized to
-    microsecond TimestampType below.
+    Self-sufficient on vanilla SparkSessions (e.g. a driver harness):
+
+    - Parquet TIMESTAMP(NANOS): Spark rejects the physical type INT64
+      (TIMESTAMP(NANOS)) unless ``spark.sql.legacy.parquet.nanosAsLong`` is
+      set, so the reader sets the runtime SQL conf itself instead of relying
+      on session.py defaults. The column then arrives as LongType
+      epoch-nanos and is normalized to microsecond TimestampType — via the
+      declared ``schema`` when given, else by reading the parquet footer —
+      so a raw epoch-nanos long can never flow downstream silently.
+    - Session timezone: engine semantics are UTC (matching the reference
+      data and the DuckDB oracle); date-deriving expressions
+      (``to_date(ts)``, day grouping) must not depend on the host JVM's
+      zone. Pinned here for the same vanilla-session reason.
+
+    Both confs are deliberate session-wide mutations; they match
+    ``session.py`` ``ENGINE_DEFAULTS`` so engine-built sessions see no
+    change at all.
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
+    actual = {f.name: f.dataType for f in df.schema.fields}
     if schema is not None:
         declared = {f.name: f.dataType for f in schema.fields}
-        actual = {f.name: f.dataType for f in df.schema.fields}
         missing = set(declared) - set(actual)
         if missing:
             raise ValueError(f"{path}: missing declared columns {sorted(missing)}")
-        # Parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong conf, see
-        # session.py); normalize to microsecond TimestampType losslessly
-        # with integer division (float division would lose precision —
-        # epoch-nanos exceed 2^53).
-        for name, want in declared.items():
-            if isinstance(want, T.TimestampType) and isinstance(
-                actual.get(name), T.LongType
-            ):
-                df = df.withColumn(
-                    name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
-                )
+        nano_cols = {
+            name
+            for name, want in declared.items()
+            if isinstance(want, T.TimestampType)
+            and isinstance(actual.get(name), T.LongType)
+        }
+    else:
+        nano_cols = {
+            name
+            for name in _footer_nano_columns(path)
+            if isinstance(actual.get(name), T.LongType)
+        }
+    for name in sorted(nano_cols):
+        df = df.withColumn(name, _nanos_to_timestamp(name))
     if columns:
         df = df.select(*columns)
     return df

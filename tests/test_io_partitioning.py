@@ -39,3 +39,54 @@ def test_partition_column_roundtrip_values(spark, tmp_path):
     got = {(r.id, r.k, r.v) for r in back.collect()}
     want = {(r.id, r.k, r.v) for r in df.collect()}
     assert got == want
+
+
+def test_nanos_normalized_without_declared_schema(spark, tmp_path):
+    # ADVICE r2: schema=None reads must not leak raw epoch-nanos longs —
+    # the footer carries TIMESTAMP(NANOS) and the reader normalizes from it
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nanos")
+    table = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_123_456_789, 1_700_000_001_000_000_000],
+                type=pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(table, path + ".parquet")
+
+    back = read_parquet(spark, path + ".parquet")
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    got = {r.id: r.ts for r in back.collect()}
+    # nanos floor to micros
+    assert got[1].microsecond == 123456
+
+
+def test_pre_epoch_nanos_floor_to_micros(spark, tmp_path):
+    # ADVICE r2: div truncates toward zero; pre-1970 nanos must floor
+    # (-1ns -> -1µs) to match DuckDB/Arrow conversion semantics
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "preepoch.parquet")
+    table = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array([-1, -999, 1], type=pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, path)
+
+    back = read_parquet(spark, path)
+    got = {r.id: r.ts for r in back.collect()}
+    epoch = dt.datetime(1970, 1, 1)
+    # Arrow floor semantics: -1ns and -999ns both land in the -1µs bucket
+    assert got[1] == epoch - dt.timedelta(microseconds=1)
+    assert got[2] == epoch - dt.timedelta(microseconds=1)
+    assert got[3] == epoch
