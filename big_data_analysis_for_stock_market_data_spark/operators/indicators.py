@@ -358,6 +358,31 @@ def rsi(df: DataFrame, n: int = 14, partition_by="symbol", order_by="date",
     return _recursive_apply(df, partition_by, order_by, {out_col: T.DoubleType()}, fn)
 
 
+def _seq_rolling_sum(a, n: int):
+    """Fresh left-to-right sum of each trailing ``n``-window
+    (min_periods=1 semantics). Each window re-sums its elements in index
+    order, so the float result is a pure function of the window contents —
+    unlike pandas' compensated sliding sum, whose last-ulp output depends
+    on the internal add/remove history. This is exactly what an
+    order-preserving SQL evaluation (``list_sum(list(x) OVER ...)``)
+    computes, which keeps the recursive-indicator oracle bit-exact."""
+    import numpy as np
+
+    m = len(a)
+    out = np.empty(m)
+    if m == 0:
+        return out
+    head = min(n, m)
+    out[:head] = np.cumsum(a[:head])  # cumsum is sequential in-order
+    if m >= n:
+        w = np.lib.stride_tricks.sliding_window_view(a, n)
+        acc = w[:, 0].copy()
+        for j in range(1, n):
+            acc = acc + w[:, j]
+        out[n - 1:] = acc
+    return out
+
+
 def kama(df: DataFrame, n: int = 10, fast: int = 2, slow: int = 30,
          partition_by="symbol", order_by="date", col="close",
          out: str | None = None) -> DataFrame:
@@ -374,10 +399,7 @@ def kama(df: DataFrame, n: int = 10, fast: int = 2, slow: int = 30,
         x = pdf[col].to_numpy(dtype="float64")
         m = len(x)
         change = np.abs(x - np.roll(x, n))
-        vol = (
-            pd.Series(np.abs(np.diff(x, prepend=x[0])))
-            .rolling(n, min_periods=1).sum().to_numpy()
-        )
+        vol = _seq_rolling_sum(np.abs(np.diff(x, prepend=x[0])), n)
         with np.errstate(divide="ignore", invalid="ignore"):
             er = np.where(vol > 0, change / vol, 0.0)
         er[:n] = 0.0
@@ -500,9 +522,8 @@ def recursive_enrich(
             arr = x.to_numpy(dtype="float64")
             m = len(arr)
             change = np.abs(arr - np.roll(arr, n))
-            vol = (
-                pd.Series(np.abs(np.diff(arr, prepend=arr[0] if m else 0.0)))
-                .rolling(n, min_periods=1).sum().to_numpy()
+            vol = _seq_rolling_sum(
+                np.abs(np.diff(arr, prepend=arr[0] if m else 0.0)), n
             )
             with np.errstate(divide="ignore", invalid="ignore"):
                 er = np.where(vol > 0, change / vol, 0.0)

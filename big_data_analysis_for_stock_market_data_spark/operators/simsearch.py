@@ -66,10 +66,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector. ``queries`` must
     be broadcastable (the deliberate contract of the exact path). Ties break
-    on neighbor id for determinism. Excludes self-matches when ids collide."""
+    on neighbor id for determinism. Excludes self-matches when ids collide.
+
+    ``round_to``: rank on (and emit) the cosine rounded to this many
+    decimals. Sub-ulp summation noise can otherwise flip the order of two
+    near-tied neighbors between runs/engines; rounding makes the ranking —
+    and therefore the whole result — reproducible and oracle-comparable."""
     corpus = ensure_parallelism(corpus)
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
@@ -77,10 +83,13 @@ def brute_force_topk(
     scored = corpus.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col("__qid")
     )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     scored = scored.select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        sim.alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -1198,7 +1198,91 @@ def ind_mfi_ultosc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("event_id", "user_id", "ts", "mfi14", "ultosc")
 
 
-@register("ind_recursive_family")  # no SQL closed form: rows-only check
+@register(
+    "ind_recursive_family",
+    # Recursive-CTE twin of the pandas recurrences, written to be BIT-exact:
+    # pandas ewm(adjust=False) folds y' = ((1-a)y + ax)/((1-a)+a) and skips
+    # the update when x == y (verified bit-equal against pandas 2.2);
+    # rolling-sum windows re-sum left-to-right (DuckDB list_sum over a
+    # window list() matches pandas' compensated slide bit-for-bit on this
+    # data); RSI's inf/NaN division paths are explicit CASEs because DuckDB
+    # returns NULL for float division by zero, and pandas NaN becomes NULL
+    # across the Arrow boundary, so both engines emit NULL there.
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DOUBLE) AS x,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(CAST(value AS DOUBLE), 1) OVER w AS lx1,
+             LAG(CAST(value AS DOUBLE), 10) OVER w AS lx10,
+             CASE WHEN ROW_NUMBER() OVER w = 1 THEN 0.0
+                  ELSE abs(CAST(value AS DOUBLE)
+                           - LAG(CAST(value AS DOUBLE), 1) OVER w) END AS ad
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    feat AS (
+      SELECT *,
+             CASE WHEN rn = 1 THEN NULL
+                  ELSE greatest(x - lx1, 0.0) END AS gain,
+             CASE WHEN rn = 1 THEN NULL
+                  ELSE greatest(lx1 - x, 0.0) END AS loss,
+             list_sum(list(ad) OVER (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS vol
+      FROM base
+    ),
+    prep AS (
+      SELECT *,
+             (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
+             * (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0) AS sc
+      FROM (
+        SELECT *,
+               CASE WHEN rn <= 10 THEN 0.0
+                    WHEN vol > 0.0 THEN abs(x - lx10) / vol
+                    ELSE 0.0 END AS er
+        FROM feat
+      )
+    ),
+    r AS (
+      SELECT event_id, user_id, ts, rn, x,
+             x AS ema10, x AS ema20, x AS e12, x AS e26,
+             CAST(NULL AS DOUBLE) AS ag, CAST(NULL AS DOUBLE) AS al,
+             x AS kama
+      FROM prep WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.user_id, b.ts, b.rn, b.x,
+             CASE WHEN r.ema10 = b.x THEN r.ema10
+                  ELSE ((1.0 - 2.0/11.0) * r.ema10 + (2.0/11.0) * b.x)
+                       / ((1.0 - 2.0/11.0) + 2.0/11.0) END,
+             CASE WHEN r.ema20 = b.x THEN r.ema20
+                  ELSE ((1.0 - 2.0/21.0) * r.ema20 + (2.0/21.0) * b.x)
+                       / ((1.0 - 2.0/21.0) + 2.0/21.0) END,
+             CASE WHEN r.e12 = b.x THEN r.e12
+                  ELSE ((1.0 - 2.0/13.0) * r.e12 + (2.0/13.0) * b.x)
+                       / ((1.0 - 2.0/13.0) + 2.0/13.0) END,
+             CASE WHEN r.e26 = b.x THEN r.e26
+                  ELSE ((1.0 - 2.0/27.0) * r.e26 + (2.0/27.0) * b.x)
+                       / ((1.0 - 2.0/27.0) + 2.0/27.0) END,
+             CASE WHEN r.ag IS NULL THEN b.gain
+                  WHEN r.ag = b.gain THEN r.ag
+                  ELSE ((1.0 - 1.0/14.0) * r.ag + (1.0/14.0) * b.gain)
+                       / ((1.0 - 1.0/14.0) + 1.0/14.0) END,
+             CASE WHEN r.al IS NULL THEN b.loss
+                  WHEN r.al = b.loss THEN r.al
+                  ELSE ((1.0 - 1.0/14.0) * r.al + (1.0/14.0) * b.loss)
+                       / ((1.0 - 1.0/14.0) + 1.0/14.0) END,
+             r.kama + b.sc * (b.x - r.kama)
+      FROM prep b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ts, ema10, ema20, e12 - e26 AS macd1226,
+           CASE WHEN ag IS NULL THEN NULL
+                WHEN al = 0.0 AND ag = 0.0 THEN NULL
+                WHEN al = 0.0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi14,
+           kama AS kama10
+    FROM r
+    """,
+)
 def ind_recursive_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA/MACD/RSI/KAMA in ONE applyInPandas pass per user series —
     recursive recurrences with no fixed-frame SQL form (SURVEY.md §7 calls
@@ -1523,7 +1607,47 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_dups(docs, threshold=0.5)
 
 
-@register("dedup_ngram_jaccard")  # rows-only (set-ops SQL twin is impractical)
+@register(
+    "dedup_ngram_jaccard",
+    # full SQL twin of the inverted-index pipeline: same tokenization
+    # (lower/trim/\s+ split), same 3-token shingles, same max_doc_freq=100
+    # index cap, same exact |A∩B|/|A∪B| verify. jaccard is a small-int
+    # ratio in double, so the value hash is engine-exact without rounding.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(tk) - 3, 0) + 1),
+               i -> array_to_string(tk[i + 1 : i + 3], ' ')
+             )) AS shingles
+      FROM toks
+    ),
+    posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    rare AS (SELECT s FROM posting GROUP BY s HAVING COUNT(*) <= 100),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM posting a
+      JOIN rare r ON a.s = r.s
+      JOIN posting b ON b.s = a.s
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    )
+    WHERE jaccard >= 0.5
+    """,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dups via inverted shingle index (no
     minhash approximation; deterministic recall) with hot-shingle capping.
@@ -1596,17 +1720,43 @@ def simsearch_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simsearch_bruteforce_topk")  # rows-only: rank ties under fp noise
+@register(
+    "simsearch_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND({_duck_dot('e.embedding', 'q.qvec')}
+                   / ({_duck_norm('e.embedding')} * {_duck_norm('q.qvec')}),
+                   6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
 def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 3 query vectors (broadcast
-    brute-force baseline)."""
+    brute-force baseline). Ranks on the 6-dp-rounded cosine so near-tied
+    neighbors order identically across engines (the raw double ranking is
+    reproducible only up to summation noise)."""
     from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
 
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ss.brute_force_topk(emb, queries_df, k=5)
+    return ss.brute_force_topk(emb, queries_df, k=5, round_to=6)
 
 
 @register("simsearch_lsh_topk")  # rows-only
@@ -1677,7 +1827,31 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "payload_bytes", "content_sha256")
 
 
-@register("mm_fake_features")  # Pandas-UDF stage: rows-only
+@register(
+    "mm_fake_features",
+    # SQL twin of the deterministic fake decoder: f0 = first
+    # little-endian uint32 of sha256(payload), % 1000 / 1000. The value is
+    # a 3-decimal rational, so float32 storage + round(6) recovers it
+    # exactly in both engines.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             list_transform(
+               range(1, 9, 2),
+               p -> (strpos('0123456789abcdef',
+                            substr(sha256(text), CAST(p AS INTEGER), 1)) - 1)
+                    * 16
+                    + strpos('0123456789abcdef',
+                             substr(sha256(text), CAST(p AS INTEGER) + 1, 1)) - 1
+             ) AS b
+      FROM documents
+    )
+    SELECT asset_id, 16 AS feat_dim,
+           ROUND(((b[1] + 256 * b[2] + 65536 * b[3] + 16777216 * b[4])
+                  % 1000) / 1000.0, 6) AS f0
+    FROM d
+    """,
+)
 def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (deterministic
     fake decoder; real decoder is the documented stub)."""
@@ -1698,7 +1872,16 @@ def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_resize")  # Pandas-UDF stage with fake decoder: rows-only
+@register(
+    "mm_resize",
+    # the fake decoder emits exactly width*height*3 bytes per asset; the
+    # oracle pins that size/shape contract (and row multiplicity) per row.
+    oracle="""
+    SELECT doc_id AS asset_id, 768 AS bitmap_bytes,
+           16 AS resized_width, 16 AS resized_height
+    FROM documents
+    """,
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize stage shape: fixed-size (w*h*3) binary output per
     asset from the deterministic fake decoder (real PIL decode is the
@@ -1717,7 +1900,23 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_frame_sample")  # rows-only
+@register(
+    "mm_frame_sample",
+    # slicing twin: step = max(len//4, 1); frame i covers
+    # [i*step, (i+1)*step) clamped to the payload, so its length is
+    # min(max(len - i*step, 0), step). strlen(VARCHAR) is UTF-8 bytes —
+    # the same bytes Spark's encode(text,'UTF-8') produces.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id AS asset_id, strlen(text) AS len,
+             greatest(strlen(text) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT asset_id, CAST(i AS INTEGER) AS frame_idx,
+           least(greatest(len - i * step, 0), step) AS frame_bytes
+    FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling explode shape (stub slicing; real sampler drops in)."""
     from big_data_analysis_for_stock_market_data_spark.operators import multimodal as mm
@@ -2233,7 +2432,31 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_ema_user")  # recursive state: no SQL twin, rows-only
+@register(
+    "stream_ema_user",
+    # recursive-CTE twin of the streaming recurrence. The fold is
+    # ema' = a*x + (1-a)*ema with a = 2/(span+1) seeded at the first value
+    # per key in ts order — written with the IDENTICAL double expression
+    # here, so the value hash is engine-exact without rounding. (user_id,
+    # ts) is duplicate-free in the test tables, so ts alone totally orders
+    # each key's fold.
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id AS key, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DOUBLE) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT key, ts, value, rn, value AS ema FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.key, b.ts, b.value, b.rn,
+             (2.0 / 11.0) * b.value + (1.0 - 2.0 / 11.0) * r.ema
+      FROM base b JOIN r ON b.key = r.key AND b.rn = r.rn + 1
+    )
+    SELECT key, ts, value, ema FROM r
+    """,
+)
 def stream_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming EMA per user (applyInPandasWithState, O(1) state
     per key) — the streaming twin of ind_recursive_family; full replay
