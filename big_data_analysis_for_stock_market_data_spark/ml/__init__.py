@@ -14,7 +14,11 @@ from big_data_analysis_for_stock_market_data_spark.ml.metrics import (
 )
 from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
     FitResult,
+    cross_validate_rf,
+    hash_split,
     make_pipeline,
+    split_bucket,
+    train_gbt,
     train_linear_svc,
     train_random_forest,
 )
@@ -23,8 +27,12 @@ __all__ = [
     "FitResult",
     "binary_metrics",
     "confusion_matrix",
+    "cross_validate_rf",
+    "hash_split",
     "make_pipeline",
     "metrics_df",
+    "split_bucket",
+    "train_gbt",
     "train_linear_svc",
     "train_random_forest",
 ]

@@ -170,6 +170,133 @@ def train_linear_svc(
                 train_fraction, evaluate)
 
 
+def split_bucket(key_col, seed: int = DEFAULT_SEED, buckets: int = 10_000):
+    """Deterministic [0, buckets) bucket for a row key: first 8 hex digits
+    of md5(key ':' seed). Unlike ``randomSplit``'s Bernoulli sampling —
+    whose per-row outcome depends on partition layout and recomputation —
+    this is a pure function of the key, so the split is stable under
+    repartitioning, AQE re-planning, and lineage recomputation, and any
+    engine (or SQL oracle) reproduces it exactly."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat_ws(":", key_col.cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Sequence[float],
+    key_col: str,
+    seed: int = DEFAULT_SEED,
+) -> list[DataFrame]:
+    """``randomSplit``-shaped API over the deterministic ``split_bucket``
+    (weights normalized like randomSplit's)."""
+    from pyspark.sql import functions as F
+
+    total = float(sum(weights))
+    buckets = 10_000
+    b = split_bucket(F.col(key_col), seed, buckets)
+    out, lo = [], 0.0
+    for i, w in enumerate(weights):
+        hi = lo + w / total
+        hi_b = buckets if i == len(weights) - 1 else int(hi * buckets)
+        out.append(df.filter((b >= int(lo * buckets)) & (b < hi_b)))
+        lo = hi
+    return out
+
+
+def train_gbt(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "buy_or_sell",
+    transform: str = "none",
+    pca_k: int = 12,
+    max_iter: int = 10,
+    max_depth: int = 5,
+    step_size: float = 0.1,
+    seed: int = DEFAULT_SEED,
+    train_fraction: float = 0.7,
+    evaluate: bool = True,
+) -> FitResult:
+    """Gradient-boosted-trees pipeline (reference M10: ``GBTClassifier``
+    imported at ``G_2_rf_rdd.py:24`` but never invoked — completed here as
+    a first-class estimator). Boosting is sequential over iterations, but
+    each tree fit is the same distributed histogram aggregation as RF —
+    ``max_iter`` bounds the sequential depth, not the data scale."""
+    from pyspark.ml.classification import GBTClassifier
+
+    gbt = GBTClassifier(
+        labelCol=label_col, featuresCol="features",
+        maxIter=max_iter, maxDepth=max_depth, stepSize=step_size, seed=seed,
+    )
+    return _fit(df, gbt, feature_cols, label_col, transform, pca_k, seed,
+                train_fraction, evaluate)
+
+
+def cross_validate_rf(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "buy_or_sell",
+    num_trees_grid: Sequence[int] = (5, 10),
+    max_depth_grid: Sequence[int] = (3, 5),
+    num_folds: int = 3,
+    parallelism: int = 4,
+    seed: int = DEFAULT_SEED,
+) -> "tuple[dict[str, float], DataFrame]":
+    """Seeded k-fold model selection over an RF hyperparameter grid
+    (reference M10: ``CrossValidator``/``ParamGridBuilder`` imported at
+    ``G_2_rf_rdd.py:32`` but never invoked). Returns (best-params dict,
+    grid DataFrame of mean AUC per combination).
+
+    Scale notes: ``parallelism`` fits that many grid points concurrently —
+    each fit is itself distributed, so this multiplies cluster utilization,
+    not driver memory; fold assignment is a seeded hash on rows (no
+    materialized fold copies)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    rf = RandomForestClassifier(
+        labelCol=label_col, featuresCol="features", seed=seed,
+    )
+    pipeline = make_pipeline(rf, feature_cols, transform="none")
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(num_trees_grid))
+        .addGrid(rf.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipeline, estimatorParamMaps=grid, evaluator=evaluator,
+        numFolds=num_folds, parallelism=parallelism, seed=seed,
+    )
+    projected = df.select(*feature_cols, label_col).cache()
+    try:
+        model = cv.fit(projected)
+    finally:
+        projected.unpersist()
+    best_rf = model.bestModel.stages[-1]
+    best = {
+        "num_trees": float(best_rf.getNumTrees),
+        "max_depth": float(best_rf.getMaxDepth()),
+        "best_avg_auc": round(float(max(model.avgMetrics)), 6),
+    }
+    spark = df.sparkSession
+    rows = [
+        (
+            int(pm[rf.numTrees]), int(pm[rf.maxDepth]),
+            round(float(metric), 6),
+        )
+        for pm, metric in zip(grid, model.avgMetrics)
+    ]
+    grid_df = spark.createDataFrame(
+        rows, "num_trees int, max_depth int, avg_auc double"
+    )
+    return best, grid_df
+
+
 def pca_explained_variance(
     df: DataFrame,
     feature_cols: Sequence[str],

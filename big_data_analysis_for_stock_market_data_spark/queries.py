@@ -2551,6 +2551,35 @@ def ml_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "component int, variance_ratio double")
 
 
+@register("ml_gbt_metrics")  # model training: no SQL twin, rows-only
+def ml_gbt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBTClassifier pipeline (reference M10: imported at G_2_rf_rdd.py:24,
+    never called — completed as a first-class estimator); honestly-named
+    metric rows (Q5)."""
+    from big_data_analysis_for_stock_market_data_spark import ml
+
+    fit = ml.train_gbt(
+        _ml_training_frame(spark, sf_dir), _ML_FEATURES,
+        max_iter=5, max_depth=3, seed=42,
+    )
+    return ml.metrics_df(spark, fit.metrics)
+
+
+@register("ml_cv_rf_grid")  # model selection: no SQL twin, rows-only
+def ml_cv_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 3-fold CrossValidator over an RF ParamGridBuilder grid
+    (reference M10: imported at G_2_rf_rdd.py:32, never called). Returns
+    one row per grid point with its mean held-out AUC."""
+    from big_data_analysis_for_stock_market_data_spark import ml
+
+    _, grid_df = ml.cross_validate_rf(
+        _ml_training_frame(spark, sf_dir), _ML_FEATURES,
+        num_trees_grid=(5, 10), max_depth_grid=(3, 5),
+        num_folds=3, parallelism=4, seed=42,
+    )
+    return grid_df
+
+
 # ---------------------------------------------------------------------------
 # Reference-workload replication (stock.py) + remaining operator surface.
 # ---------------------------------------------------------------------------
@@ -2620,6 +2649,40 @@ def o3_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("train", train.count()), ("test", test.count())],
         "split string, n_rows long",
+    )
+
+
+@register(
+    "o3_hash_split",
+    # exact SQL twin: the bucket is md5(key ':' seed) first-8-hex-digits
+    # mod 10000 in both engines — the reproducible-under-repartitioning
+    # alternative to randomSplit's partition-layout-dependent sampling.
+    oracle="""
+    SELECT CASE WHEN b < 7000 THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_rows
+    FROM (
+      SELECT ('0x' || substr(md5(o_orderkey::VARCHAR || ':42'), 1, 8))::BIGINT
+             % 10000 AS b
+      FROM orders
+    )
+    GROUP BY 1
+    """,
+)
+def o3_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 deterministic hash split (ml.pipeline.hash_split): split
+    membership is a pure function of the row key, so it survives
+    repartitioning/recomputation — the 100 TB-safe form of randomSplit,
+    and the one a SQL oracle can verify exactly."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import split_bucket
+
+    orders = load(spark, sf_dir, "orders")
+    b = split_bucket(F.col("o_orderkey"), seed=42)
+    return (
+        orders.select(
+            F.when(b < 7000, "train").otherwise("test").alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
 
@@ -2714,7 +2777,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # new entries this round ----------------------------------------------
     "o3_hash_split",
     "ml_gbt_metrics",
-    "ml_cv_rf_best",
+    "ml_cv_rf_grid",
     # representative re-checks of already-green families (fill to 50) ------
     "flagship_label_daily",
     "q1_pricing_summary",

@@ -73,3 +73,43 @@ def test_pca_variance_ratios(labeled_df):
 def test_bad_transform_rejected(labeled_df):
     with pytest.raises(ValueError, match="transform"):
         ml.train_random_forest(labeled_df, FEATURES, transform="bogus")
+
+
+def test_gbt_metrics_named_and_bounded(labeled_df):
+    fit = ml.train_gbt(labeled_df, FEATURES, max_iter=5, max_depth=3)
+    assert set(fit.metrics) == {"areaUnderROC", "accuracy", "f1"}
+    assert fit.metrics["areaUnderROC"] > 0.8
+
+
+def test_cross_validate_rf_grid(labeled_df):
+    best, grid_df = ml.cross_validate_rf(
+        labeled_df, FEATURES, num_trees_grid=(3, 5), max_depth_grid=(2, 3),
+        num_folds=2, parallelism=2, seed=7,
+    )
+    rows = grid_df.collect()
+    assert len(rows) == 4  # full 2x2 grid evaluated
+    assert {(r.num_trees, r.max_depth) for r in rows} == {
+        (3, 2), (3, 3), (5, 2), (5, 3)
+    }
+    assert best["best_avg_auc"] == max(r.avg_auc for r in rows)
+    assert (best["num_trees"], best["max_depth"]) in {
+        (3.0, 2.0), (3.0, 3.0), (5.0, 2.0), (5.0, 3.0)
+    }
+
+
+def test_hash_split_deterministic_and_partition_invariant(labeled_df):
+    train1, test1 = ml.hash_split(labeled_df, [0.7, 0.3], "id", seed=42)
+    # same split under a different physical layout (randomSplit is NOT)
+    shuffled = labeled_df.repartition(13)
+    train2, test2 = ml.hash_split(shuffled, [0.7, 0.3], "id", seed=42)
+    ids1, ids2 = (
+        {r.id for r in train1.select("id").collect()},
+        {r.id for r in train2.select("id").collect()},
+    )
+    assert ids1 == ids2
+    # disjoint + exhaustive
+    test_ids = {r.id for r in test1.select("id").collect()}
+    assert not (ids1 & test_ids)
+    assert len(ids1) + len(test_ids) == labeled_df.count()
+    # roughly honors the weights
+    assert 0.6 < len(ids1) / labeled_df.count() < 0.8
