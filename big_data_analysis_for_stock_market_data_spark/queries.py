@@ -2121,6 +2121,428 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H shapes q7-q22 (adapted to the driver tables: no partsupp /
+# commitdate / phone columns, so supply-cost, receipt-lateness and
+# country-code predicates are transposed to available columns; the join/
+# aggregation shapes — the part that exercises the engine — are faithful).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_sql_dsum('volume', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year. Both nation-annotated sides collapse to broadcast
+    mini-dims FILTERED to the two nations before touching the fact
+    tables, so the only big work is one lineitem-orders shuffle join."""
+    nations = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sdim = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cdim = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cdim), o.o_custkey == cdim.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                 THEN CAST(volume AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share within a region-filtered
+    market — conditional-sum ratio per order year. Parts, suppliers and
+    region-filtered customers are all broadcast dims; the fact-side work
+    is one lineitem-orders shuffle join."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    n = load(spark, sf_dir, "nation")
+    sdim = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cdim = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cdim), o.o_custkey == cdim.c_custkey)
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {_sql_dsum('volume', 'profit')}
+    FROM (
+      SELECT n.n_name AS nation,
+             EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name pattern (no partsupp table, so profit is discounted revenue
+    — the five-way join/aggregate shape is the point). Pattern filter is
+    pushed into the broadcast part dim before the fact join."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey")
+    n = load(spark, sf_dir, "nation")
+    sdim = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        joined.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey,
+             {_sql_dsum('l_extendedprice * (1 - l_discount)', 'part_rev')}
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_rev
+    FROM pr
+    WHERE part_rev > 1.5 * (
+      SELECT CAST(SUM(CAST(part_rev AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      FROM pr
+    )
+    ORDER BY part_rev DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value HAVING > a global-aggregate
+    threshold (no partsupp, so value is lineitem revenue and the cut is
+    1.5x the mean part revenue — SF-independent by construction). The
+    global scalar is computed once and broadcast; no second scan of the
+    grouped frame."""
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "part_rev")
+    )
+    threshold = pr.agg(
+        (
+            1.5
+            * (
+                F.sum(F.col("part_rev").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("__cut")
+    )
+    return (
+        pr.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_rev") > F.col("__cut"))
+        .select("l_partkey", "part_rev")
+        .orderBy(F.col("part_rev").desc(), F.col("l_partkey"))
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram including
+    zero-order customers. Engine plan pre-aggregates orders per customer
+    BEFORE the outer join (map-side partial aggregation shrinks the
+    shuffle to one row per customer), then left-joins and coalesces
+    missing counts to 0 — same result as join-then-count with a fraction
+    of the shuffle at 100 TB."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_cust = c.join(
+        counts, c.c_custkey == counts.o_custkey, "left"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the quarter's maximum
+    revenue — scalar-max subquery as a broadcast of one row; exact
+    decimal sums make the equality comparison engine-stable."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, excluding a supplier blacklist (negative balance stands in
+    for the complaints predicate; no partsupp, so supply relationships
+    come from lineitem). Blacklist exclusion is a broadcast anti-join."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    filtered = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    ).join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    return (
+        filtered.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+    )
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           {_sql_dsum('c_acctbal', 'totacctbal')}
+    FROM pool
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM pool WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = pool.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, counted per country (nation key stands in for the phone
+    country code; 'no orders at all' never happens in the synthetic data,
+    so recency bounds the anti-join). Scalar average is broadcast; the
+    anti-join's right side is pre-filtered to recent orders only."""
+    pool = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avgbal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg_bal")
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 @register(
     "q10_returned_revenue",
     oracle=f"""
@@ -2778,19 +3200,19 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "o3_hash_split",
     "ml_gbt_metrics",
     "ml_cv_rf_grid",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q22_sales_opportunity",
     # representative re-checks of already-green families (fill to 50) ------
     "flagship_label_daily",
     "q1_pricing_summary",
     "q5_nation_revenue",
     "q18_big_orders",
-    "q4_order_priority",
-    "q17_small_quantity",
-    "j1_segment_rollup",
-    "j3_outer_join",
-    "asof_join_events",
-    "a2_sorted_avg",
-    "w_ranking_suite",
-    "w_sessionize_batch",
 )
 
 

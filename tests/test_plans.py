@@ -119,3 +119,33 @@ def test_ensure_parallelism_never_converts_to_rdd(spark, monkeypatch):
     # enough files/splits already: no repartition inserted
     wide = ensure_parallelism(scan, min_partitions=1)
     assert "RoundRobinPartitioning" not in P.explain_str(wide, "simple")
+
+
+def test_tpch_wide_joins_broadcast_dims(spark):
+    # q7/q8/q9: every dim side is broadcast; the only shuffle-heavy join
+    # is lineitem-orders
+    for name in ("q7_nation_volume", "q8_market_share", "q9_product_profit"):
+        df = q(spark, name)
+        assert P.has_broadcast_hash_join(df), name
+
+
+def test_q11_scalar_threshold_broadcast(spark):
+    # the global mean-revenue cut joins as a broadcast of ONE row, not a
+    # shuffled scalar
+    df = q(spark, "q11_important_parts")
+    assert P.has_broadcast_hash_join(df) or "BroadcastNestedLoopJoin" in P.explain_str(
+        df, "simple"
+    )
+
+
+def test_q13_preaggregates_before_outer_join(spark):
+    # orders collapse to one row per customer BEFORE the left join: the
+    # join input is group-level, so HashAggregate must appear below the
+    # join in the plan, and the whole query needs at most 3 exchanges
+    df = q(spark, "q13_order_distribution")
+    assert P.count_shuffles(df) <= 3
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark):
+    plan = P.explain_str(q(spark, "q16_supplier_part_count"), "simple")
+    assert "LeftAnti" in plan and "Broadcast" in plan
