@@ -182,15 +182,22 @@ def feature_frame(
     """Full reference feature pipeline, engine-style: native indicators
     (closed-form window pass + one applyInPandas recursive pass), row-wise
     derived features, day-grain features, and the buy/sell label — the
-    surface ``G_2_rf_nordd_fe.py`` built in 11 join stages."""
-    d = ind.enrich_ohlcv(df, partition_by="symbol", order_by="date")
-    d = _rowwise_features(d)
-    d = daily_features(d, fused=fused)
+    surface ``G_2_rf_nordd_fe.py`` built in 11 join stages.
+
+    Stage order is a measured plan choice: the day-grain windows and the
+    label depend only on RAW columns, so they run FIRST, on the narrow
+    6-column bars — their sorts move ~7x less data than on the ~45-column
+    enriched frame, and the indicator passes' repartition then reuses the
+    window exchange's clustering instead of re-shuffling the full enriched
+    frame (was: windows after enrichment = +25 s of the 43 s pipeline at
+    the 671k-row reference scale)."""
+    d = daily_features(df, fused=fused)
     d = win_ops.label_buy_sell(
         d, value_col="high", order_by="date", partition_by="symbol",
         mode=label_mode,
     )
-    return d
+    d = ind.enrich_ohlcv(d, partition_by="symbol", order_by="date")
+    return _rowwise_features(d)
 
 
 #: Feature columns for ML (numeric, null-free after warm-up trimming).
