@@ -2544,6 +2544,197 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_balance_supplier",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_acctbal, s.s_name,
+                      n.n_name
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+        AND p.p_size <= 15
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey
+    FROM (
+      SELECT *, MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS __mn
+      FROM sp
+    )
+    WHERE s_acctbal = __mn
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-minimum subquery — for each qualifying
+    part, the region-filtered supplier(s) with the minimal balance among
+    those who actually supplied it (no partsupp, so supply relationships
+    come from lineitem and min cost becomes min balance). The correlated
+    min is a window over the deduplicated supplier-part frame — one
+    shuffle, no join-back; top-20 via TakeOrderedAndProject."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sdim = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        sp.withColumn("__mn", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q20_dominant_supplier",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             {_sql_dsum('l.l_quantity', 'qty')}
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM shipped sh
+    JOIN tot t ON sh.l_partkey = t.l_partkey
+    JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+    WHERE sh.qty > 0.5 * t.total
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested aggregation feeding a semi-join —
+    suppliers who shipped a strict majority of some red part's 1997
+    volume (availqty-vs-half-demand transposed to lineitem). Two
+    aggregations share the hash(l_partkey) clustering, so the
+    per-part total joins back without a new exchange."""
+    red = load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity"), "qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(
+        F.sum(F.col("qty").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1
+    ),
+    sole AS (
+      SELECT la.l_orderkey, la.l_suppkey
+      FROM late la JOIN multi m ON la.l_orderkey = m.l_orderkey
+      WHERE NOT EXISTS (
+        SELECT 1 FROM late lb
+        WHERE lb.l_orderkey = la.l_orderkey
+          AND lb.l_suppkey <> la.l_suppkey
+      )
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who single-handedly held up
+    multi-supplier orders — a semi-join (order has other suppliers) plus
+    a self-anti-join with a compound condition (no OTHER supplier was
+    also late; lateness = shipped >90 days after ordering, standing in
+    for the missing commit/receipt dates)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    la = late.alias("la")
+    lb = late.alias("lb")
+    sole = (
+        la.join(multi, "l_orderkey", "left_semi")
+        .join(
+            lb,
+            (F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
+            & (F.col("la.l_suppkey") != F.col("lb.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
     "q10_returned_revenue",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
