@@ -3399,11 +3399,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q16_supplier_part_count",
     "q22_sales_opportunity",
-    # representative re-checks of already-green families (fill to 50) ------
+    "q2_min_balance_supplier",
+    "q20_dominant_supplier",
+    "q21_sole_late_supplier",
+    # representative re-check of the already-green flagship (fill to 50) ---
     "flagship_label_daily",
-    "q1_pricing_summary",
-    "q5_nation_revenue",
-    "q18_big_orders",
 )
 
 
