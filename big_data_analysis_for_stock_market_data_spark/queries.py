@@ -1599,8 +1599,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_near")  # seeded-xxhash LSH: no SQL twin, rows-only
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: shingle → 32 minhashes → 16 bands
-    (r=2) → capped bucket pairs → exact-Jaccard verify ≥ 0.5."""
+    """MinHash+LSH near-dup pipeline: shingle → 64 minhashes → 16 bands
+    (r=4) → capped bucket pairs → exact-Jaccard verify ≥ 0.5."""
     from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
 
     docs = load(spark, sf_dir, "documents")
@@ -2843,22 +2843,30 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_min(embedding) AS v_min,
            list_max(embedding) AS v_max,
            embedding[1] AS v_first,
-           embedding[1:4] AS v_head
+           embedding[1:4][2] AS v_h2,
+           embedding[1:4][3] AS v_h3,
+           embedding[1:4][4] AS v_h4
     FROM embeddings
     """,
 )
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over embeddings: size, extrema, element access, slice —
     all JVM higher-order/collection functions (no hash-join with floats:
-    values pass through unchanged, so bit-exact vs the oracle)."""
+    values pass through unchanged, so bit-exact vs the oracle). The slice
+    result is projected to scalar elements: the driver's pandas-based
+    canonicalizer cannot sort/hash raw list cells (r03 ERR), and scalars
+    keep the comparison bit-exact anyway."""
     emb = load(spark, sf_dir, "embeddings")
+    head = F.slice("embedding", 1, 4)
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.array_min("embedding").alias("v_min"),
         F.array_max("embedding").alias("v_max"),
         F.element_at("embedding", 1).alias("v_first"),
-        F.slice("embedding", 1, 4).alias("v_head"),
+        F.element_at(head, 2).alias("v_h2"),
+        F.element_at(head, 3).alias("v_h3"),
+        F.element_at(head, 4).alias("v_h4"),
     )
 
 

@@ -32,6 +32,11 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) has no Spark type; read as long and let the
     # source layer normalize to microsecond TimestampType (sources/io.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Engine timestamp semantics are a single type: UTC TimestampType.
+    # Without this, parquet micros with isAdjustedToUTC=false arrive as
+    # TIMESTAMP_NTZ — a second timestamp type that unix_micros()/numeric
+    # casts reject and that would fork every downstream expression.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.enableVectorizedReader": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",

@@ -91,7 +91,17 @@ def read_parquet(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ntz_conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    if spark.conf.get(ntz_conf, "true") != "false":
+        spark.conf.set(ntz_conf, "false")
     df = spark.read.parquet(path)
+    # Belt-and-braces: if NTZ still leaked through (conf snapshotted by an
+    # earlier plan), collapse it to the engine's single timestamp type.
+    # Session tz is UTC, so the cast reinterprets the same wall-clock
+    # instant — no value shift.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     actual = {f.name: f.dataType for f in df.schema.fields}
     if schema is not None:
         declared = {f.name: f.dataType for f in schema.fields}

@@ -50,10 +50,25 @@ def read_stream_parquet(
     explicit-schema default (S1) is mandatory here, not a style choice.
     Applies the same TIMESTAMP(NANOS)->micros normalization as the batch
     reader (sources/io.py) so batch and stream agree on types."""
+    from big_data_analysis_for_stock_market_data_spark.sources.io import (
+        _footer_nano_columns,
+        _nanos_to_timestamp,
+    )
+
+    # Footer-sniff which timestamp columns are physically TIMESTAMP(NANOS):
+    # only those are declared LongType (Spark cannot read NANOS as
+    # TimestampType) and converted back; micros/millis-backed timestamp
+    # columns stream straight through as TimestampType. Treating every
+    # timestamp as nanos would shrink micros epochs ~1000x (into Jan 1970).
+    footer_nanos = _footer_nano_columns(path)
+    if footer_nanos and (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read_fields = []
     nanos_cols = []
     for f in schema.fields:
-        if isinstance(f.dataType, T.TimestampType):
+        if isinstance(f.dataType, T.TimestampType) and f.name in footer_nanos:
             read_fields.append(T.StructField(f.name, T.LongType(), f.nullable))
             nanos_cols.append(f.name)
         else:
@@ -69,9 +84,7 @@ def read_stream_parquet(
         path = os.path.dirname(path)
     df = reader.parquet(path)
     for name in nanos_cols:
-        df = df.withColumn(
-            name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
-        )
+        df = df.withColumn(name, _nanos_to_timestamp(name))
     return df
 
 
