@@ -378,26 +378,45 @@ def connected_components(
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: signature widths per bit source. ``md5_60`` exists for oracle parity:
+#: Spark's xxhash64 has no DuckDB twin, but md5 hex is identical in both
+#: engines, so a 60-bit value parsed from the first 15 hex chars gives a
+#: bit pattern any SQL engine can reproduce (60 not 64: it must stay
+#: positive in a signed BIGINT on both sides).
+SIMHASH_BITS = {"xxhash64": 64, "md5_60": 60}
+
+
+def _token_bits(source: str):
+    if source == "xxhash64":
+        return F.xxhash64("__t")
+    if source == "md5_60":
+        return F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    raise ValueError(f"unknown bit_source {source!r}")
+
+
 def simhash_signatures(
     df: DataFrame, col: str = "text", id_col: str = "doc_id",
-    out: str = "simhash",
+    out: str = "simhash", bit_source: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 supplies the bit pattern; each bit
+    """SimHash: per token, ``bit_source`` supplies the bit pattern; each bit
     votes +1/-1; the signature's bit i is 1 iff the vote sum is positive.
-    Expressed as one explode + 64 conditional sums in a single groupBy —
+    Expressed as one explode + n_bits conditional sums in a single groupBy —
     JVM-side, one shuffle."""
+    n_bits = SIMHASH_BITS[bit_source]
     toks = df.select(id_col, F.explode(tokens_col(F.col(col))).alias("__t"))
-    h = F.xxhash64("__t")
+    h = _token_bits(bit_source)
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"__b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         sig = sig + F.when(
             F.col(f"__b{i}") > 0, F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long")
         ).otherwise(0)
@@ -409,6 +428,7 @@ def simhash_candidate_pairs(
     max_hamming: int,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
+    n_bits: int = 64,
 ) -> DataFrame:
     """Candidate pairs from 64-bit signatures with GUARANTEED recall at
     radius ``max_hamming``: the signature is banded into ``max_hamming + 1``
@@ -422,9 +442,11 @@ def simhash_candidate_pairs(
     shipping it with radius 6 silently dropped pairs whose 4-6 differing
     bits spread across all four chunks."""
     n_chunks = max_hamming + 1
-    if not 1 <= n_chunks <= 64:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    base, rem = divmod(64, n_chunks)
+    if not 1 <= n_chunks <= n_bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bits - 1}], got {max_hamming}"
+        )
+    base, rem = divmod(n_bits, n_chunks)
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunk_arr = F.array(
@@ -462,14 +484,20 @@ def simhash_near_dups(
     max_hamming: int = 3,
     col: str = "text",
     id_col: str = "doc_id",
+    bit_source: str = "xxhash64",
 ) -> DataFrame:
     """Near-dups by SimHash Hamming distance ≤ ``max_hamming``. Candidates
     via (max_hamming+1)-chunk banding — guaranteed recall at the requested
     radius (see ``simhash_candidate_pairs``); verification via
-    bit_count(xor)."""
+    bit_count(xor). ``bit_source='md5_60'`` swaps the per-token hash for a
+    md5-derived 60-bit value any SQL engine reproduces byte-identically —
+    banding+verify are unchanged, so an external oracle certifies the whole
+    pipeline (banding is recall-lossless, so output == brute-force pairs)."""
     df = ensure_parallelism(df)
-    sigs = simhash_signatures(df, col, id_col)
-    cand = simhash_candidate_pairs(sigs, max_hamming, id_col)
+    sigs = simhash_signatures(df, col, id_col, bit_source=bit_source)
+    cand = simhash_candidate_pairs(
+        sigs, max_hamming, id_col, n_bits=SIMHASH_BITS[bit_source]
+    )
     return (
         cand.withColumn(
             "hamming",

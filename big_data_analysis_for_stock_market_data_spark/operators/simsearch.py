@@ -115,15 +115,30 @@ def _hyperplane_dot(vec: Column, table: int, plane: int, dim: int) -> Column:
     return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _bucket_expr(vec: Column, table: int, n_planes: int, dim: int) -> Column:
+def _bucket_expr(
+    vec: Column, table: int, n_planes: int, dim: int,
+    plane_mode: str = "hash",
+) -> Column:
     """Sign-random-projection bucket id for one hash table (bits packed
-    into an int, offset by the table id so tables never collide)."""
+    into an int, offset by the table id so tables never collide).
+
+    ``plane_mode='hash'``: ±1 hyperplane components derived from seeded
+    xxhash64 (the production family). ``plane_mode='axis'``: plane p of
+    table t is the coordinate axis ``(t·n_planes + p) mod dim`` — the bit
+    is simply ``vec[axis] >= 0``. A legitimate sign-LSH family when
+    components are near-iid (true of normalized embeddings), and — unlike
+    the seeded-hash family — expressible verbatim in external SQL, which
+    is what lets a DuckDB oracle replay candidates+verify exactly."""
     expr: Column = F.lit(table * (2 ** n_planes))
     for p in range(n_planes):
-        expr = expr + (
-            F.when(_hyperplane_dot(vec, table, p, dim) >= 0, 1).otherwise(0)
-            * (2 ** p)
-        )
+        if plane_mode == "hash":
+            bit = _hyperplane_dot(vec, table, p, dim) >= 0
+        elif plane_mode == "axis":
+            axis = (table * n_planes + p) % dim
+            bit = F.element_at(vec, axis + 1) >= 0
+        else:
+            raise ValueError(f"unknown plane_mode {plane_mode!r}")
+        expr = expr + F.when(bit, 1).otherwise(0) * (2 ** p)
     return expr
 
 
@@ -283,6 +298,7 @@ def cosine_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
+    plane_mode: str = "hash",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup's semantic variant):
     LSH-bucket the corpus against itself, exact-cosine verify, keep pairs
@@ -291,7 +307,8 @@ def cosine_near_dup_pairs(
     bucketed = df.select(
         id_col, vec_col,
         F.explode(
-            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim)
+            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim,
+                                   plane_mode=plane_mode)
                       for t in range(n_tables)])
         ).alias("__bucket"),
     )

@@ -1585,36 +1585,13 @@ def w_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters")  # iterative algorithm: rows-only
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive duplicate clusters: MinHash near-dup pairs -> connected
-    components (iterative min-label propagation, localCheckpoint per
-    round) -> (doc_id, canonical component id)."""
-    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
-
-    docs = load(spark, sf_dir, "documents")
-    pairs = dd.minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
-    return dd.connected_components(pairs).orderBy("doc_id")
-
-
-@register("dedup_minhash_near")  # seeded-xxhash LSH: no SQL twin, rows-only
-def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: shingle → 64 minhashes → 16 bands
-    (r=4) → capped bucket pairs → exact-Jaccard verify ≥ 0.5."""
-    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
-
-    docs = load(spark, sf_dir, "documents")
-    return dd.minhash_near_dups(docs, threshold=0.5)
-
-
-@register(
-    "dedup_ngram_jaccard",
-    # full SQL twin of the inverted-index pipeline: same tokenization
-    # (lower/trim/\s+ split), same 3-token shingles, same max_doc_freq=100
-    # index cap, same exact |A∩B|/|A∪B| verify. jaccard is a small-int
-    # ratio in double, so the value hash is engine-exact without rounding.
-    oracle=r"""
-    WITH toks AS (
+# Shared CTE block: full SQL twin of the inverted-index n-gram Jaccard
+# pipeline — same tokenization (lower/trim/\s+ split), same 3-token
+# shingles, same max_doc_freq=100 index cap, same exact |A∩B|/|A∪B|
+# verify. Used by dedup_ngram_jaccard (pair output) and dedup_clusters
+# (connected components over the same pairs).
+_NGRAM_JACCARD_CTES = r"""
+    toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                          t -> t <> '') AS tk
@@ -1630,22 +1607,82 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     posting AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     rare AS (SELECT s FROM posting GROUP BY s HAVING COUNT(*) <= 100),
-    pairs AS (
+    cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM posting a
       JOIN rare r ON a.s = r.s
       JOIN posting b ON b.s = a.s
       WHERE a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+        FROM cand p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b
+      )
+      WHERE jaccard >= 0.5
     )
-    SELECT id_a, id_b, jaccard FROM (
-      SELECT p.id_a, p.id_b,
-             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
-      FROM pairs p
-      JOIN sh sa ON sa.doc_id = p.id_a
-      JOIN sh sb ON sb.doc_id = p.id_b
+"""
+
+
+@register(
+    "dedup_clusters",
+    # Recursive-CTE twin of min-label propagation: walk computes, for every
+    # node, the set of labels that can reach it over the (bidirectional)
+    # edge list; MIN over that set is the component's canonical id —
+    # exactly what the iterative Spark propagation converges to. Pairs come
+    # from the deterministic exact n-gram Jaccard pipeline (shared CTEs).
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jac
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM jac
+    ),
+    walk(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
     )
-    WHERE jaccard >= 0.5
+    SELECT node AS doc_id, MIN(lbl) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: exact n-gram Jaccard near-dup pairs
+    (deterministic recall — the property that makes the cluster output
+    oracle-checkable) -> connected components (iterative min-label
+    propagation, localCheckpoint per round) -> (doc_id, canonical
+    component id = min doc_id of the cluster)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_near_dups(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return dd.connected_components(pairs).orderBy("doc_id")
+
+
+@register("dedup_minhash_near")  # seeded-xxhash LSH: no SQL twin, rows-only
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → 64 minhashes → 16 bands
+    (r=4) → capped bucket pairs → exact-Jaccard verify ≥ 0.5."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.minhash_near_dups(docs, threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    # jaccard is a small-int ratio in double, so the value hash is
+    # engine-exact without rounding.
+    oracle=f"""
+    WITH {_NGRAM_JACCARD_CTES}
+    SELECT id_a, id_b, jaccard FROM jac
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1659,14 +1696,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_near_dups(docs, threshold=0.5)
 
 
-@register("dedup_simhash_near")  # rows-only
+# SQL twin of the simhash pipeline. The md5_60 bit source makes the
+# signature engine-independent (same md5 hex in Spark and DuckDB; 60 bits
+# from 15 hex chars stay positive in a signed BIGINT both sides). The
+# banding stage needs no twin: (max_hamming+1)-chunk banding is
+# recall-lossless (pigeonhole) and the verify is exact, so the pipeline
+# output EQUALS the brute-force Hamming join the oracle runs.
+_SIMHASH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(60)
+)
+_SIMHASH_SIG = "\n           + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+    for i in range(60)
+)
+
+
+@register(
+    "dedup_simhash_near",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> t <> '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_SIMHASH_SIG}
+             AS sig
+      FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    """,
+)
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures, Hamming ≤ 6 via 7-chunk banding
+    """SimHash signatures (md5-derived 60-bit source for oracle parity;
+    production default is xxhash64), Hamming ≤ 6 via 7-chunk banding
     (pigeonhole-guaranteed recall at the shipped radius)."""
     from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
 
     docs = load(spark, sf_dir, "documents")
-    return dd.simhash_near_dups(docs, max_hamming=6)
+    return dd.simhash_near_dups(docs, max_hamming=6, bit_source="md5_60")
 
 
 # ---------------------------------------------------------------------------
@@ -1788,16 +1873,56 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ss.ivf_topk(emb, queries_df, k=5, n_clusters=16, n_probe=4)
 
 
-@register("dedup_cosine_near")  # rows-only
+# Axis-plane sign-LSH buckets for table t: bit p = (embedding[(4t+p) mod
+# 64] >= 0) — replayed verbatim below, so the oracle certifies the exact
+# candidate set AND the verify, not a superset.
+def _duck_axis_bucket(t: int, n_planes: int = 4, dim: int = 64) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{(t * n_planes + p) % dim + 1}] >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"({t * 2 ** n_planes} + {bits})"
+
+
+@register(
+    "dedup_cosine_near",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_duck_axis_bucket(t)} AS bk{t}" for t in range(8))}
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             a.embedding AS ea, c.embedding AS eb
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND ({" OR ".join(f"a.bk{t} = c.bk{t}" for t in range(8))})
+    )
+    SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos_sim FROM (
+      SELECT id_a, id_b,
+             {_duck_dot('ea', 'eb')}
+             / ({_duck_norm('ea')} * {_duck_norm('eb')}) AS cos_raw
+      FROM cand
+    )
+    WHERE cos_raw >= 0.4
+    """,
+)
 def dedup_cosine_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact
     verify). The synthetic embeddings are near-orthogonal (max pairwise
     cosine ≈ 0.51), so the threshold is set at 0.4 — the top ~0.05% of
-    pairs — to exercise the full candidate→verify path."""
+    pairs — to exercise the full candidate→verify path. Axis-plane family
+    so the oracle replays the identical candidate set (see
+    simsearch._bucket_expr); production default stays seeded-hash."""
     from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
 
     emb = load(spark, sf_dir, "embeddings")
-    return ss.cosine_near_dup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
+    pairs = ss.cosine_near_dup_pairs(
+        emb, threshold=0.4, n_planes=4, n_tables=8, plane_mode="axis"
+    )
+    return pairs.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 # ---------------------------------------------------------------------------
