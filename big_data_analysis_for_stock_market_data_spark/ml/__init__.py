@@ -14,20 +14,25 @@ from big_data_analysis_for_stock_market_data_spark.ml.metrics import (
 )
 from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
     FitResult,
+    correlated_split,
     cross_validate_rf,
+    grouped_feature_stages,
     hash_split,
     make_pipeline,
     split_bucket,
     train_gbt,
     train_linear_svc,
     train_random_forest,
+    train_rf_grouped,
 )
 
 __all__ = [
     "FitResult",
     "binary_metrics",
     "confusion_matrix",
+    "correlated_split",
     "cross_validate_rf",
+    "grouped_feature_stages",
     "hash_split",
     "make_pipeline",
     "metrics_df",
@@ -35,4 +40,5 @@ __all__ = [
     "train_gbt",
     "train_linear_svc",
     "train_random_forest",
+    "train_rf_grouped",
 ]

@@ -297,6 +297,103 @@ def cross_validate_rf(
     return best, grid_df
 
 
+def correlated_split(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    threshold: float = 0.9,
+) -> "tuple[list[str], list[str]]":
+    """Partition features into (correlated, non_correlated) groups: a column
+    is 'correlated' iff it has |Pearson r| >= threshold with at least one
+    other feature. The reference hardcoded its two lists
+    (``G_2_rf_pca.py:74-76``); this derives the same split from the data —
+    one distributed Gramian pass (``Correlation.corr``), d×d result on the
+    driver (d = |features|, tiny)."""
+    from pyspark.ml.stat import Correlation
+
+    assembled = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="__corr_vec"
+    ).transform(df.select(*feature_cols))
+    mat = Correlation.corr(assembled, "__corr_vec").head()[0].toArray()
+    d = len(feature_cols)
+    correlated = [
+        feature_cols[i]
+        for i in range(d)
+        if any(j != i and abs(mat[i][j]) >= threshold for j in range(d))
+    ]
+    flagged = set(correlated)
+    non_correlated = [c for c in feature_cols if c not in flagged]
+    return correlated, non_correlated
+
+
+def grouped_feature_stages(
+    groups: "dict[str, tuple[Sequence[str], str, int]]",
+    features_col: str = "features",
+) -> list:
+    """Per-group featurization (reference ``G_2_rf_pca.py:74-90,132-142``:
+    the ``correlated`` and ``non_correlated`` column groups are scaled and
+    PCA-projected SEPARATELY, then the model trains on the union).
+
+    ``groups`` maps group name -> (columns, transform, pca_k); each group
+    gets its own assembler(+scaler)(+PCA) chain writing ``__<name>_out``,
+    and a final VectorAssembler concatenates the group outputs into
+    ``features_col``. Every stage is the same single-pass/treeAggregate
+    machinery as the one-group path — grouping multiplies stage count, not
+    data passes over anything wider than the group."""
+    stages: list = []
+    outs: list[str] = []
+    for name, (cols, transform, pca_k) in groups.items():
+        out = f"__{name}_out"
+        group_stages = _feature_stages(cols, transform, pca_k, features_col=out)
+        # _feature_stages writes intermediates __assembled/__scaled; rename
+        # per group so chains don't collide inside one Pipeline
+        for st in group_stages:
+            for pname in ("inputCol", "outputCol"):
+                if st.hasParam(pname):
+                    v = st.getOrDefault(pname)
+                    if v in ("__assembled", "__scaled"):
+                        st.set(st.getParam(pname), f"__{name}{v}")
+        stages.extend(group_stages)
+        outs.append(out)
+    stages.append(VectorAssembler(inputCols=outs, outputCol=features_col))
+    return stages
+
+
+def train_rf_grouped(
+    df: DataFrame,
+    groups: "dict[str, tuple[Sequence[str], str, int]]",
+    label_col: str = "buy_or_sell",
+    num_trees: int = 10,
+    max_depth: int = 10,
+    seed: int = DEFAULT_SEED,
+    train_fraction: float = 0.7,
+    evaluate: bool = True,
+) -> FitResult:
+    """RF on per-group featurized columns — the reference's rf_pca variant
+    with its two-group scale+PCA preprocessing (``G_2_rf_pca.py:132-142``)."""
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import binary_metrics
+
+    all_cols = [c for cols, _, _ in groups.values() for c in cols]
+    rf = RandomForestClassifier(
+        labelCol=label_col, featuresCol="features",
+        numTrees=num_trees, maxDepth=max_depth, seed=seed,
+    )
+    pipeline = Pipeline(stages=grouped_feature_stages(groups) + [rf])
+    projected = df.select(*all_cols, label_col).cache()
+    try:
+        train, test = projected.randomSplit(
+            [train_fraction, 1.0 - train_fraction], seed=seed
+        )
+        model = pipeline.fit(train)
+        drop = [c for c in model.transform(test).columns if c.startswith("__")]
+        predictions = model.transform(test).drop(*drop)
+        metrics = (
+            binary_metrics(predictions, label_col=label_col) if evaluate else {}
+        )
+        return FitResult(model=model, predictions=predictions, metrics=metrics)
+    finally:
+        projected.unpersist()
+
+
 def pca_explained_variance(
     df: DataFrame,
     feature_cols: Sequence[str],

@@ -113,3 +113,36 @@ def test_hash_split_deterministic_and_partition_invariant(labeled_df):
     assert len(ids1) + len(test_ids) == labeled_df.count()
     # roughly honors the weights
     assert 0.6 < len(ids1) / labeled_df.count() < 0.8
+
+
+def test_correlated_split_and_grouped_rf(labeled_df):
+    # x4 := near-copy of x1 -> the derived split must flag both as
+    # correlated and leave the rest alone
+    df = labeled_df.withColumn("x4", F.col("x1") * 0.999 + 0.001)
+    corr, non_corr = ml.correlated_split(df, ["x1", "x2", "x3", "x4"], 0.9)
+    assert set(corr) == {"x1", "x4"}
+    assert set(non_corr) == {"x2", "x3"}
+
+    fit = ml.train_rf_grouped(
+        df,
+        {
+            "corr": (corr, "pca", 1),
+            "noncorr": (non_corr, "scale", 0),
+        },
+        num_trees=5, max_depth=4, seed=42,
+    )
+    assert set(fit.metrics) == {"areaUnderROC", "accuracy", "f1"}
+    assert fit.metrics["areaUnderROC"] > 0.8
+    # no featurization intermediates leak into the prediction frame
+    assert not [c for c in fit.predictions.columns if c.startswith("__")]
+
+    # seeded rerun is identical (same contract as the one-group path)
+    fit2 = ml.train_rf_grouped(
+        df,
+        {
+            "corr": (corr, "pca", 1),
+            "noncorr": (non_corr, "scale", 0),
+        },
+        num_trees=5, max_depth=4, seed=42,
+    )
+    assert fit.metrics == fit2.metrics
