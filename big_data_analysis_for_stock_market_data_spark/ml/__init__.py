@@ -12,6 +12,13 @@ from big_data_analysis_for_stock_market_data_spark.ml.metrics import (
     confusion_matrix,
     metrics_df,
 )
+from big_data_analysis_for_stock_market_data_spark.ml.rdd_compat import (
+    CompatRandomForestModel,
+    binary_classification_metrics,
+    labeled_points,
+    multiclass_metrics,
+    train_classifier,
+)
 from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
     FitResult,
     correlated_split,
@@ -27,7 +34,12 @@ from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
 )
 
 __all__ = [
+    "CompatRandomForestModel",
     "FitResult",
+    "binary_classification_metrics",
+    "labeled_points",
+    "multiclass_metrics",
+    "train_classifier",
     "binary_metrics",
     "confusion_matrix",
     "correlated_split",

@@ -3371,6 +3371,35 @@ def ml_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "component int, variance_ratio double")
 
 
+@register("ml_rdd_compat_rf")  # model training: no SQL twin, rows-only
+def ml_rdd_compat_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5-M7 via the mllib-shaped compat shim (ml/rdd_compat.py): the
+    reference's RDD flow — LabeledPoint lift, trainClassifier(numClasses=2,
+    gini, 10 trees, depth 10, bins 32, seed 42), predict, zipped-pair
+    metrics (G_2_rf_rdd.py:157-196) — executed entirely on the DataFrame
+    engine (no per-row Python, no mllib)."""
+    from big_data_analysis_for_stock_market_data_spark.ml import rdd_compat as rc
+
+    frame = _ml_training_frame(spark, sf_dir)
+    train, test = frame.randomSplit([0.7, 0.3], seed=42)
+    model = rc.train_classifier(
+        rc.labeled_points(train, "buy_or_sell", _ML_FEATURES),
+        numClasses=2, categoricalFeaturesInfo={}, numTrees=10,
+        featureSubsetStrategy="auto", impurity="gini", maxDepth=10,
+        maxBins=32, seed=42,
+    )
+    preds = model.predict(rc.labeled_points(test, "buy_or_sell", _ML_FEATURES))
+    pairs = preds.select("label", "prediction")
+    rows = [
+        (k, round(v, 6))
+        for k, v in sorted(
+            {**rc.binary_classification_metrics(pairs),
+             **rc.multiclass_metrics(pairs)}.items()
+        )
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 @register("ml_rf_grouped_pca")  # model training: no SQL twin, rows-only
 def ml_rf_grouped_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-group scale+PCA RF — the reference's rf_pca preprocessing
@@ -3641,7 +3670,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "setop_nation_overlap",
     "setop_except_union",
     "j1_segment_rollup",
-    "f_scalar_arithmetic",
+    "ml_rdd_compat_rf",
 )
 
 

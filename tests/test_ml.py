@@ -146,3 +146,34 @@ def test_correlated_split_and_grouped_rf(labeled_df):
         num_trees=5, max_depth=4, seed=42,
     )
     assert fit.metrics == fit2.metrics
+
+
+def test_rdd_compat_trainclassifier_flow(labeled_df):
+    # the reference's RDD-path flow (G_2_rf_rdd.py:157-196) on the compat
+    # shim: lift -> trainClassifier -> predict -> metrics
+    from big_data_analysis_for_stock_market_data_spark.ml import rdd_compat as rc
+
+    train, test = labeled_df.randomSplit([0.7, 0.3], seed=42)
+    lp_train = rc.labeled_points(train, "buy_or_sell", FEATURES)
+    assert lp_train.columns == ["label", "features"]
+
+    model = rc.train_classifier(
+        lp_train, numClasses=2, categoricalFeaturesInfo={},
+        numTrees=10, featureSubsetStrategy="auto", impurity="gini",
+        maxDepth=10, maxBins=32, seed=42,
+    )
+    lp_test = rc.labeled_points(test, "buy_or_sell", FEATURES)
+    preds = model.predict(lp_test)
+    pairs = preds.select("label", "prediction")
+    bm = rc.binary_classification_metrics(pairs)
+    mm = rc.multiclass_metrics(pairs)
+    assert 0.0 <= bm["areaUnderROC"] <= 1.0
+    assert bm["areaUnderROC"] > 0.8  # learnable signal
+    assert mm["accuracy"] > 0.8 and mm["n"] == float(pairs.count())
+
+    # numClasses is validated, not trusted
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rc.train_classifier(lp_train, numClasses=5)
+    with _pytest.raises(ValueError):
+        rc.train_classifier(lp_train, categoricalFeaturesInfo={0: 3})
