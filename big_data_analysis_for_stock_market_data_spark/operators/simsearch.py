@@ -152,17 +152,23 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    plane_mode: str = "hash",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-random-projection buckets over ``n_tables``
     independent tables (union of candidates → recall boost), exact cosine
     re-rank inside the candidate set. The corpus is hashed once per table;
     at scale the bucketed corpus would be written out and reused across
-    query batches (the IVF-file pattern)."""
+    query batches (the IVF-file pattern). ``round_to`` rounds the cosine
+    BEFORE ranking so near-ties order identically across engines;
+    ``plane_mode='axis'`` makes the bucket family SQL-replayable (see
+    ``_bucket_expr``)."""
     corpus = ensure_parallelism(corpus)
     c_buckets = corpus.select(
         id_col, vec_col,
         F.explode(
-            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim)
+            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim,
+                                   plane_mode=plane_mode)
                       for t in range(n_tables)])
         ).alias("__bucket"),
     )
@@ -170,7 +176,8 @@ def lsh_bucket_topk(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
         F.explode(
-            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim)
+            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim,
+                                   plane_mode=plane_mode)
                       for t in range(n_tables)])
         ).alias("__bucket"),
     )
@@ -184,10 +191,10 @@ def lsh_bucket_topk(
         )
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    scored = cand.select(
-        query_id_col, "neighbor_id",
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
-    )
+    cos = cosine(F.col(vec_col), F.col("__qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = cand.select(query_id_col, "neighbor_id", cos.alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

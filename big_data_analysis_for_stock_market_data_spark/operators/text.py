@@ -138,15 +138,27 @@ def fingerprint_md5(df: DataFrame, col: str = "text",
 def fingerprint_rolling(df: DataFrame, col: str = "text",
                         out: str = "rolling_fp",
                         modulus: int = 1_000_000_007,
-                        base: int = 31) -> DataFrame:
+                        base: int = 31,
+                        token_hash: str = "xxhash64") -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token stream:
     h = Σ h(tok_i)·base^i (mod m), folded left-to-right with a higher-order
     ``aggregate`` — stays JVM-side; per-step pmod keeps values < m·base so
-    ANSI long arithmetic can't overflow."""
+    ANSI long arithmetic can't overflow. ``token_hash='md5_60'`` swaps the
+    per-token hash for the md5-derived 60-bit value (same md5 hex in every
+    SQL engine), making the fingerprint externally reproducible — the same
+    parity trick as dedup.simhash_signatures."""
     toks = tokens_col(F.col(col))
+    if token_hash == "xxhash64":
+        def h(t):
+            return F.xxhash64(t)
+    elif token_hash == "md5_60":
+        def h(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     rolled = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * base + F.pmod(F.xxhash64(t), modulus), modulus),
+        lambda acc, t: F.pmod(acc * base + F.pmod(h(t), modulus), modulus),
     )
     return df.withColumn(out, rolled)

@@ -1561,14 +1561,37 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_rolling_fingerprint")  # xxhash64 has no DuckDB twin: rows-only
+@register(
+    "text_rolling_fingerprint",
+    # left fold replayed with list_reduce (0 prepended as the init value);
+    # md5-60-bit token hash is identical in both engines, and per-step mod
+    # keeps every intermediate < 32·10^9 — no overflow either side
+    oracle=r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   t -> t <> ''),
+                 t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                      % 1000000007)),
+             (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS rolling_fp
+    FROM documents
+    """,
+)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling hash over tokens (higher-order
-    aggregate, JVM-side)."""
+    aggregate, JVM-side). md5-60 token hash for oracle parity; production
+    default is xxhash64."""
     from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
 
     docs = load(spark, sf_dir, "documents")
-    return text_ops.fingerprint_rolling(docs).select("doc_id", "rolling_fp")
+    return text_ops.fingerprint_rolling(docs, token_hash="md5_60").select(
+        "doc_id", "rolling_fp"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1918,18 +1941,68 @@ def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ss.brute_force_topk(emb, queries_df, k=5, round_to=6)
 
 
-@register("simsearch_lsh_topk")  # rows-only
+# Axis-plane sign-LSH buckets for table t: bit p = (vec[(n_planes*t+p) mod
+# dim] >= 0) — replayed verbatim below, so the oracle certifies the exact
+# candidate set AND the verify, not a superset.
+def _duck_axis_bucket(
+    t: int, n_planes: int = 4, dim: int = 64, col: str = "embedding"
+) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {col}[{(t * n_planes + p) % dim + 1}] >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"({t * 2 ** n_planes} + {bits})"
+
+
+@register(
+    "simsearch_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_duck_axis_bucket(t, 6)} AS bk{t}" for t in range(8))}
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             e.embedding AS ne, q.embedding AS qe
+      FROM b e JOIN q
+        ON e.vec_id <> q.vec_id
+       AND ({" OR ".join(f"e.bk{t} = q.bk{t}" for t in range(8))})
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND({_duck_dot('ne', 'qe')}
+                   / ({_duck_norm('ne')} * {_duck_norm('qe')}), 6) AS cos_sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
 def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-5 (sign random projections, 8 tables × 6
-    planes — tuned so near-orthogonal vectors still fill the top-k) — the
-    sub-linear scale path."""
+    """LSH-bucketed ANN top-5 (sign projections, 8 tables × 6 planes —
+    tuned so near-orthogonal vectors still fill the top-k) — the
+    sub-linear scale path. Axis-plane family + 6-dp pre-rank rounding so
+    the oracle replays the identical candidate set and ranking; the
+    production default stays seeded-hash planes."""
     from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
 
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ss.lsh_bucket_topk(emb, queries_df, k=5, n_planes=6, n_tables=8)
+    return ss.lsh_bucket_topk(
+        emb, queries_df, k=5, n_planes=6, n_tables=8,
+        plane_mode="axis", round_to=6,
+    )
 
 
 @register("simsearch_ivf_topk")  # k-means index: rows-only
@@ -1945,18 +2018,6 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ss.ivf_topk(emb, queries_df, k=5, n_clusters=16, n_probe=4)
-
-
-# Axis-plane sign-LSH buckets for table t: bit p = (embedding[(4t+p) mod
-# 64] >= 0) — replayed verbatim below, so the oracle certifies the exact
-# candidate set AND the verify, not a superset.
-def _duck_axis_bucket(t: int, n_planes: int = 4, dim: int = 64) -> str:
-    bits = " + ".join(
-        f"(CASE WHEN embedding[{(t * n_planes + p) % dim + 1}] >= 0 "
-        f"THEN {2 ** p} ELSE 0 END)"
-        for p in range(n_planes)
-    )
-    return f"({t * 2 ** n_planes} + {bits})"
 
 
 @register(
@@ -3667,9 +3728,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "a7_rollup_status",
     "a7_pivot_status",
     "a7_cube_status",
-    "setop_nation_overlap",
     "setop_except_union",
     "j1_segment_rollup",
+    "simsearch_lsh_topk",
     "ml_rdd_compat_rf",
 )
 
