@@ -675,6 +675,7 @@ def enrich_ohlcv(
     partition_by="symbol",
     order_by="date",
     engine: str = "parallel",
+    cuts: "list[float] | None" = None,
 ) -> DataFrame:
     """Compute the reference schema's indicator families natively from OHLCV.
 
@@ -715,7 +716,7 @@ def enrich_ohlcv(
             df, _closed_form_pandas,
             {c: T.DoubleType() for c in CLOSED_FORM_COLS},
             lookback=CLOSED_FORM_LOOKBACK,
-            order_by=order_by, partition_by=partition_by,
+            order_by=order_by, partition_by=partition_by, cuts=cuts,
         )
     else:
         raise ValueError(f"engine must be 'expr' or 'parallel', got {engine!r}")

@@ -92,16 +92,32 @@ def with_lead(
     )
 
 
-def _quantile_buckets(df: DataFrame, order_by: str, n: int) -> Column:
+def compute_order_cuts(df: DataFrame, order_by: str, n: int) -> list[float]:
+    """n-1 quantile cut points of ``order_by`` as plain floats — ONE
+    approxQuantile pass. Callers that hold a cheaper frame exposing the
+    same column (e.g. the raw fact table before window enrichment) should
+    compute cuts there and pass them down: the sketch pass then scans a
+    column-pruned plan instead of re-running the full upstream pipeline."""
+    key = F.col(order_by).cast("double")
+    probs = [i / n for i in range(1, n)]
+    if not probs:
+        return []
+    return sorted(
+        set(df.select(key.alias("__k")).stat.approxQuantile("__k", probs, 0.001))
+    )
+
+
+def _quantile_buckets(
+    df: DataFrame, order_by: str, n: int,
+    cuts: "list[float] | None" = None,
+) -> Column:
     """Deterministic bucket id from n-1 quantile cut points of ``order_by``
     (numeric/timestamp). Unlike ``repartitionByRange``, the cut points are
     computed ONCE and baked into the expression, so every plan branch that
     evaluates it assigns identical buckets — recomputation-safe."""
     key = F.col(order_by).cast("double")
-    probs = [i / n for i in range(1, n)]
-    cuts = sorted(
-        set(df.select(key.alias("__k")).stat.approxQuantile("__k", probs, 0.001))
-    ) if probs else []
+    if cuts is None:
+        cuts = compute_order_cuts(df, order_by, n)
     if not cuts:
         return F.lit(0)
     # plain conditional sum, not a higher-order aggregate(): lambda
@@ -201,9 +217,18 @@ def rolling_apply_parallel(
     order_by: str,
     partition_by: str | Sequence[str] | None = None,
     num_buckets: int | None = None,
+    cuts: "list[float] | None" = None,
 ) -> DataFrame:
     """Parallel bounded-history rolling computation INSIDE a partition key —
     the answer to 'one symbol's decade of history still runs on one core'.
+
+    ``cuts`` (optional): precomputed ``compute_order_cuts`` output. Without
+    it, the cut-point sketch runs against ``df`` itself — which at plan
+    time re-executes ``df``'s full upstream lineage once. Callers holding
+    a cheaper ancestor frame with the same ``order_by`` column should
+    sketch there and pass the cuts down (one pruned scan instead of two
+    full pipeline executions — the difference between 1x and 2x input
+    passes at 100 TB).
 
     Rows are bucketed by deterministic quantile cuts of ``order_by``; each
     bucket additionally receives the previous bucket's last ``lookback``
@@ -232,7 +257,7 @@ def rolling_apply_parallel(
     n = int(
         num_buckets or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n))
+    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n, cuts=cuts))
 
     # One pass marks each bucket's last `lookback` rows and EXPLODES them
     # into (own bucket, next bucket as context) — no union of two plan

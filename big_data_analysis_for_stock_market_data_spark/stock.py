@@ -191,12 +191,18 @@ def feature_frame(
     window exchange's clustering instead of re-shuffling the full enriched
     frame (was: windows after enrichment = +25 s of the 43 s pipeline at
     the 671k-row reference scale)."""
+    # Bucket cut points for the parallel rolling pass, sketched on the RAW
+    # bars: `date` exists unchanged here, and the pruned raw-scan lineage
+    # is far cheaper than re-executing daily-window + label stages (the
+    # sketch inside rolling_apply_parallel would otherwise re-run them).
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cuts = win_ops.compute_order_cuts(df, "date", n)
     d = daily_features(df, fused=fused)
     d = win_ops.label_buy_sell(
         d, value_col="high", order_by="date", partition_by="symbol",
         mode=label_mode,
     )
-    d = ind.enrich_ohlcv(d, partition_by="symbol", order_by="date")
+    d = ind.enrich_ohlcv(d, partition_by="symbol", order_by="date", cuts=cuts)
     return _rowwise_features(d)
 
 
