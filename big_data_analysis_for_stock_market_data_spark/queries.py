@@ -3524,6 +3524,111 @@ def ml_cv_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference-workload replication (stock.py) + remaining operator surface.
 # ---------------------------------------------------------------------------
 
+# SQL twin of the distributed stock fixture (md5 hash mode): the uniform
+# stream, the per-symbol decimal-exact prefix sum, the OHLC construction,
+# the lead label, and an exact-decimal day-average — regenerated from
+# range() in DuckDB. exp/ln differ between the JVM and DuckDB by ~1 ulp on
+# ~10% of inputs (measured), so OHLC outputs are rounded to 6dp; every
+# aggregate runs on DECIMAL-quantized values so the ulp never compounds.
+_STK_U = (
+    "((CAST(('0x' || substr(md5({x} || ':' || {salt}), 1, 15)) AS BIGINT)"
+    " % 1000000007) / 1000000007.0)"
+)
+
+
+@register(
+    "stock_fixture_daily_label",
+    oracle=f"""
+    WITH base AS (
+      SELECT t.range AS id,
+             t.range % 4 AS symbol_id,
+             t.range // 4 AS i
+      FROM range(0, 10000) t
+    ),
+    stepped AS (
+      SELECT *,
+             TIMESTAMP '2015-01-05 09:30:00'
+               + (i // 390) * INTERVAL 1 DAY
+               + (i % 390) * INTERVAL 1 MINUTE AS ts,
+             ({_STK_U.format(x="(id + 42)::VARCHAR", salt="1")} - 0.5)
+               * 0.002 AS step
+      FROM base
+    ),
+    summed AS (
+      SELECT *,
+             CAST(SUM(CAST(step AS DECIMAL(28,8))) OVER (
+               PARTITION BY symbol_id ORDER BY i) AS DOUBLE) AS cumret
+      FROM stepped
+    ),
+    priced AS (
+      SELECT *, exp(ln(100.0 + symbol_id * 10) + cumret) AS close
+      FROM summed
+    ),
+    ohlc AS (
+      SELECT *,
+             COALESCE(LAG(close) OVER (
+               PARTITION BY symbol_id ORDER BY i), close) AS open,
+             1.0 + {_STK_U.format(x="(id + 42)::VARCHAR", salt="2")}
+               * 0.001 AS spread_hi,
+             1.0 - {_STK_U.format(x="(id + 42)::VARCHAR", salt="3")}
+               * 0.001 AS spread_lo
+      FROM priced
+    ),
+    bars AS (
+      SELECT 'SYM' || symbol_id AS symbol, symbol_id, i, id, ts, open, close,
+             GREATEST(open, close) * spread_hi AS high,
+             LEAST(open, close) * spread_lo AS low,
+             CAST(100 + (CAST(('0x' || substr(md5(id::VARCHAR || ':46'),
+                                              1, 15)) AS BIGINT)
+                         % 10000) AS INT) AS volume
+      FROM ohlc
+    )
+    SELECT symbol, ts,
+           ROUND(open, 6) AS open, ROUND(high, 6) AS high,
+           ROUND(low, 6) AS low, ROUND(close, 6) AS close, volume,
+           CASE WHEN LEAD(high) OVER (PARTITION BY symbol_id ORDER BY i)
+                     > high THEN 1 ELSE 0 END AS buy_or_sell,
+           ROUND(CAST(SUM(CAST(close AS DECIMAL(18,6))) OVER (
+                   PARTITION BY symbol_id, CAST(ts AS DATE)) AS DOUBLE)
+                 / COUNT(close) OVER (
+                   PARTITION BY symbol_id, CAST(ts AS DATE)), 6)
+             AS avg_close
+    FROM bars
+    """,
+)
+def stock_fixture_daily_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed stock-fixture generator (spark.range + hash uniforms
+    + decimal-exact prefix sum + OHLC construction — stock.py, FIXTURES.md
+    §A) certified end-to-end against a DuckDB regeneration, plus the lead
+    label (W3) and an exact-decimal day-average on top. md5 hash mode for
+    engine parity; the xxhash64 default is covered by the same code path."""
+    from big_data_analysis_for_stock_market_data_spark import stock
+
+    bars = stock.make_stock_fixture(
+        spark, n_rows=10_000, n_symbols=4, hash_fn="md5"
+    )
+    lead_w = Window.partitionBy("symbol").orderBy("date")
+    day_w = Window.partitionBy("symbol", "date_only")
+    dec = F.col("close").cast("decimal(18,6)")
+    return bars.select(
+        "symbol",
+        F.col("date").alias("ts"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "volume",
+        F.when(F.lead("high", 1).over(lead_w) > F.col("high"), 1)
+        .otherwise(0)
+        .alias("buy_or_sell"),
+        F.round(
+            F.sum(dec).over(day_w).cast("double")
+            / F.count("close").over(day_w),
+            6,
+        ).alias("avg_close"),
+    )
+
+
 @register("stock_feature_frame")  # fixture-generated: rows-only
 def stock_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full FE+label pipeline (G_2_rf_nordd_fe.py:47-313)
@@ -3727,7 +3832,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "a6_moments",
     "a7_rollup_status",
     "a7_pivot_status",
-    "a7_cube_status",
+    "stock_fixture_daily_label",
     "setop_except_union",
     "j1_segment_rollup",
     "simsearch_lsh_topk",

@@ -30,10 +30,24 @@ from big_data_analysis_for_stock_market_data_spark.operators import windows as w
 MINUTES_PER_DAY = 390  # 09:30-16:00 trading session
 
 
-def _uniform(seed_col, salt: int):
-    """Deterministic uniform in [0,1) from a row id — xxhash64, not rand():
-    reproducible independent of partitioning, task retries, and row order."""
-    h = F.abs(F.xxhash64(seed_col, F.lit(salt)))
+def _uniform(seed_col, salt: int, hash_fn: str = "xxhash64"):
+    """Deterministic uniform in [0,1) from a row id — hashing, not rand():
+    reproducible independent of partitioning, task retries, and row order.
+    ``hash_fn='md5'`` derives the value from md5 hex (identical in every
+    SQL engine — the oracle-parity variant; xxhash64 is faster and stays
+    the default)."""
+    if hash_fn == "xxhash64":
+        h = F.abs(F.xxhash64(seed_col, F.lit(salt)))
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", seed_col.cast("string"), F.lit(salt))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return (h % F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0
 
 
@@ -43,6 +57,7 @@ def make_stock_fixture(
     n_symbols: int = 4,
     seed: int = 42,
     start: str = "2015-01-05 09:30:00",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Synthetic minute-bar OHLCV in the reference's shape (FIXTURES.md §A):
     per-symbol positive random-walk close, ``low <= min(open, close)``,
@@ -62,7 +77,7 @@ def make_stock_fixture(
     # per-minute log-return ~ Uniform(-0.001, 0.001), cumulated per symbol
     # via the distributed two-phase prefix sum (windows.prefix_sum) — the
     # sequential unbounded window would serialize each symbol on one core
-    step = (_uniform(F.col("id") + seed, 1) - 0.5) * 0.002
+    step = (_uniform(F.col("id") + seed, 1, hash_fn) - 0.5) * 0.002
     stepped = df.select(
         F.concat(F.lit("SYM"), F.col("symbol_id")).alias("symbol"),
         ts.alias("date"),
@@ -88,8 +103,8 @@ def make_stock_fixture(
     )
     prev_close = F.lag("close", 1).over(Window.partitionBy("symbol_id").orderBy("i"))
     open_ = F.coalesce(prev_close, F.col("close"))
-    spread_hi = 1.0 + _uniform(F.col("id") + seed, 2) * 0.001
-    spread_lo = 1.0 - _uniform(F.col("id") + seed, 3) * 0.001
+    spread_hi = 1.0 + _uniform(F.col("id") + seed, 2, hash_fn) * 0.001
+    spread_lo = 1.0 - _uniform(F.col("id") + seed, 3, hash_fn) * 0.001
     return d.select(
         "symbol",
         "date",
@@ -97,8 +112,26 @@ def make_stock_fixture(
         (F.greatest(open_, F.col("close")) * spread_hi).alias("high"),
         (F.least(open_, F.col("close")) * spread_lo).alias("low"),
         "close",
-        (100 + (F.abs(F.xxhash64("id", F.lit(seed + 4))) % 10_000))
-        .cast("int").alias("volume"),
+        (
+            100
+            + (
+                F.abs(F.xxhash64("id", F.lit(seed + 4)))
+                if hash_fn == "xxhash64"
+                else F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("id").cast("string"),
+                                F.lit(seed + 4),
+                            )
+                        ),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long")
+            )
+            % 10_000
+        ).cast("int").alias("volume"),
     ).withColumn("date_only", F.to_date("date"))
 
 
