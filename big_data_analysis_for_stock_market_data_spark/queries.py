@@ -1096,6 +1096,93 @@ def a8_summary_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(f"stack(5, {stack_args}) AS (summary, {cols})")
 
 
+@register(
+    "a9_corr_pairs",
+    # Pearson r from exact-decimal raw sums: n·Σxy − Σx·Σy over the sqrt
+    # product — every sum is DECIMAL-exact, the final arithmetic is the
+    # same double ops in both engines, rounded to 6dp (sqrt inputs can
+    # differ at the last ulp after the decimal→double cast).
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS se,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_quantity AS DECIMAL(13,6))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                      * CAST(l_extendedprice AS DECIMAL(13,6))) AS DOUBLE) AS see,
+             CAST(SUM(CAST(l_discount AS DECIMAL(19,6))
+                      * CAST(l_discount AS DECIMAL(13,6))) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_extendedprice AS DECIMAL(13,6))) AS DOUBLE) AS sqe,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_discount AS DECIMAL(13,6))) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                      * CAST(l_discount AS DECIMAL(13,6))) AS DOUBLE) AS sed
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND((n * sqe - sq * se)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * see - se * se)), 6)
+             AS pearson_r
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND((n * sqd - sq * sd)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND((n * sed - se * sd)
+                 / (sqrt(n * see - se * se) * sqrt(n * sdd - sd * sd)), 6)
+    FROM s
+    """,
+)
+def a9_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem measures in ONE
+    aggregate pass (the EDA step behind ml.correlated_split /
+    G_2_rf_pca.py's hardcoded groups) — raw sums in exact decimal, r
+    assembled in double, 6dp output."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def d18(c):
+        return F.col(c).cast("decimal(18,6)")
+
+    def sq19(a, b):
+        return F.col(a).cast("decimal(19,6)") * F.col(b).cast("decimal(13,6)")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d18(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(sq19(c, c)).cast("double").alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(sq19(a, b)).cast("double").alias(f"x_{a}_{b}"))
+    w = li.agg(*aggs)
+
+    def r_expr(a, b):
+        n = F.col("n")
+        num = n * F.col(f"x_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den_a = F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        den_b = F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        return F.round(num / (den_a * den_b), 6)
+
+    # one aggregate + stack: a unionByName of per-pair selects would
+    # re-execute the aggregate once per pair
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    rs = w.select(
+        *[r_expr(a, b).alias(f"r_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', r_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return rs.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, pearson_r)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Indicator queries (operators/indicators.py) over events.value per user —
 # the engine's native recomputation of what the reference consumed
@@ -3775,11 +3862,13 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
-# entries of queries() each round, so ordering is scoreboard-visible:
-# entries never checked in a prior round (r02 covered registration slots
-# 0-49, ending at dedup_minhash_near) come first, followed by one
-# representative of each already-verified operator family. Everything not
-# listed keeps its registration order after the window.
+# entries of queries() each round, so ordering is scoreboard-visible. The
+# round-4 window = everything without a currently-valid green verdict
+# (r03 reds + entries whose code changed this round + new oracles/entries)
+# followed by a rotation of r02-only verdicts, so that across r02-r04
+# every oracle-bearing entry has a driver verdict no older than the code
+# it exercises. Everything not listed keeps registration order after the
+# window.
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -3820,7 +3909,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # r02-only verdicts, rotated back into the window ---------------------
     "q1_pricing_summary",
     "q3_top_unshipped",
-    "q4_order_priority",
+    "a9_corr_pairs",
     "q5_nation_revenue",
     "q17_small_quantity",
     "q18_big_orders",
