@@ -1686,6 +1686,69 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "samp_stratified_docs",
+    # split_bucket twin: first 8 md5 hex chars of "key:seed" mod 10000 —
+    # a pure function of doc_id, so the sampled set is identical under any
+    # partitioning and in any engine (unlike sampleBy's partition-seeded
+    # Bernoulli draws)
+    oracle="""
+    WITH b AS (
+      SELECT *,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))
+                  AS BIGINT) % 10000 AS bkt
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM b
+    WHERE bkt < CASE lang
+                  WHEN 'en' THEN 2000
+                  WHEN 'zh' THEN 8000
+                  ELSE 5000
+                END
+    """,
+)
+def samp_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (class rebalancing: downsample
+    the dominant 'en' stratum, upweight 'zh') — the auditable sampleBy
+    replacement (operators/sampling.py)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents")
+    out = sp.stratified_hash_sample(
+        docs, "lang", {"en": 0.2, "zh": 0.8}, key_col="doc_id",
+        seed=42, default_fraction=0.5,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@register(
+    "samp_topk_quality",
+    oracle="""
+    SELECT doc_id, lang, n_chars, rank FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+    ) WHERE rank <= 5
+    """,
+)
+def samp_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering: keep the 5 longest documents per language
+    (deterministic — doc_id tie-breaks), one shuffle on the group key
+    (operators/sampling.topk_per_group)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents")
+    return sp.topk_per_group(
+        docs,
+        "lang",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=5,
+        rank_col="rank",
+    ).select("doc_id", "lang", "n_chars", "rank")
+
+
+@register(
     "dedup_exact_keep_first",
     oracle="""
     SELECT doc_id, lang, source FROM (
@@ -3922,8 +3985,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "a7_rollup_status",
     "a7_pivot_status",
     "stock_fixture_daily_label",
-    "setop_except_union",
-    "j1_segment_rollup",
+    "samp_stratified_docs",
+    "samp_topk_quality",
     "simsearch_lsh_topk",
     "ml_rdd_compat_rf",
 )

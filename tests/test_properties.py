@@ -137,3 +137,38 @@ def test_global_lag_matches_window(spark, vals):
         .orderBy("t").collect()
     )
     assert got == want
+
+
+def test_hash_sampling_partition_invariant(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.when(F.col("id") % 10 < 7, "en").otherwise("zh")).alias("lang"),
+    )
+    picked = sp.stratified_hash_sample(
+        df, "lang", {"en": 0.2, "zh": 0.9}, key_col="id", seed=7
+    )
+    ids = {r.id for r in picked.collect()}
+    # identical selection on a differently-partitioned plan
+    ids2 = {
+        r.id
+        for r in sp.stratified_hash_sample(
+            df.repartition(7), "lang", {"en": 0.2, "zh": 0.9},
+            key_col="id", seed=7,
+        ).collect()
+    }
+    assert ids == ids2 and ids
+    # per-stratum rates land near the requested fractions
+    n_en = df.filter("lang = 'en'").count()
+    k_en = picked.filter("lang = 'en'").count()
+    assert abs(k_en / n_en - 0.2) < 0.05
+
+    top = sp.topk_per_group(
+        df, "lang", [F.col("id").desc()], k=3
+    ).collect()
+    assert len(top) == 6  # 3 per stratum
+    assert "__rank" not in sp.topk_per_group(
+        df, "lang", [F.col("id").desc()], k=3
+    ).columns
