@@ -3501,6 +3501,55 @@ def stream_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@register(
+    "stream_topk_users_daily",
+    oracle=f"""
+    WITH agg AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS window_start,
+             {_sql_dsum('value', 'sum_value')}
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, sum_value, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY window_start
+               ORDER BY sum_value DESC, user_id) AS rank
+      FROM agg
+    ) WHERE rank <= 3
+    """,
+)
+def stream_topk_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items pattern: watermarked streaming tumbling-day aggregate
+    per user (keyed state, exact-decimal sums), then top-3 users per window
+    ranked BATCH-side on the replayed sink — Structured Streaming allows
+    one stateful aggregation per query, so the rank is the canonical
+    post-sink step, not a second stateful stage. Ties broken by user_id on
+    the decimal-exact sum, so the ranking is engine-deterministic."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    agg = st.windowed_agg(
+        _events_stream(spark, sf_dir), "ts", "1 day",
+        {
+            "sum_value": F.sum(
+                F.col("value").cast("decimal(18,6)")
+            ).cast("double"),
+        },
+        watermark="1 day", group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(agg, output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("sum_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "user_id", "sum_value", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # ML pipelines (ml/pipeline.py, ml/metrics.py) — the reference's primary
 # workload (SURVEY.md §2.8 M1-M9). Training is not SQL-expressible, so these
@@ -3977,7 +4026,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity",
     "q18_big_orders",
     "o1_topk_orders",
-    "p_derive_flag_drop",
+    "stream_topk_users_daily",
     "a2_sorted_avg",
     "a4_duplicate_stats",
     "a5_null_stats",
