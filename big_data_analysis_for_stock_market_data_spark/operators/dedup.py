@@ -95,24 +95,46 @@ def minhash_signatures(
     shingle_col: str = "shingles",
     id_col: str = "doc_id",
     out: str = "signature",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signature: sig[i] = min over shingles of
-    xxhash64(xxhash64(shingle), seed=i).
+    perm_i(base(shingle)).
 
     Computed as a pure per-row fold — ``aggregate`` over the shingle array
     with a k-wide accumulator — so signatures need NO shuffle at all (the
     earlier explode+groupBy formulation shuffled |docs|x|shingles| rows).
-    Each shingle string is hashed once to a long; the k permutations rehash
-    that 8-byte long, not the string — same independence, ~length(shingle)x
-    less hashing work."""
+    Each shingle string is hashed once; the k permutations rehash that
+    value, not the string — same independence, ~length(shingle)x less
+    hashing work.
+
+    ``hash_mode='xxhash64'`` (default): base = xxhash64(shingle), perm_i =
+    xxhash64(base, seed=i). ``hash_mode='md5_60'``: both levels are the
+    md5-derived 60-bit value (md5 hex is engine-universal, so an external
+    SQL oracle recomputes identical signatures — slower, parity-purposed)."""
     seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    base = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    if hash_mode == "xxhash64":
+        base = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+
+        def perm(h, s):
+            return F.xxhash64(h, s)
+    elif hash_mode == "md5_60":
+        def md5_60(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+        base = F.transform(F.col(shingle_col), lambda s: md5_60(s))
+
+        def perm(h, s):
+            return md5_60(
+                F.concat_ws(":", h.cast("string"), s.cast("string"))
+            )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
     sig = F.aggregate(
         base,
         init,
         lambda acc, h: F.zip_with(
-            acc, seeds, lambda a, s: F.least(a, F.xxhash64(h, s))
+            acc, seeds, lambda a, s: F.least(a, perm(h, s))
         ),
     )
     return df.select(id_col, sig.alias(out))
@@ -246,6 +268,7 @@ def minhash_near_dups(
     col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int = 200,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
     pairs → exact-Jaccard verify. Returns (id_a, id_b, jaccard) with
@@ -260,7 +283,9 @@ def minhash_near_dups(
     verify stage, not the fold, is what must stay sparse at 100 TB)."""
     df = ensure_parallelism(df)
     shingled = with_shingles(df, n_shingle, col).select(id_col, "shingles")
-    sigs = minhash_signatures(shingled, num_hashes, "shingles", id_col)
+    sigs = minhash_signatures(
+        shingled, num_hashes, "shingles", id_col, hash_mode=hash_mode
+    )
     pairs = lsh_candidate_pairs(sigs, bands, id_col,
                                 max_bucket_size=max_bucket_size)
     return jaccard_verify(pairs, shingled, threshold, id_col).orderBy(

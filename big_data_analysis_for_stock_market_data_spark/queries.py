@@ -1913,6 +1913,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs).orderBy("doc_id")
 
 
+@register(
+    "dedup_minhash_md5",
+    # Complete SQL twin of the MinHash+LSH pipeline in md5_60 hash mode:
+    # identical signatures (min over shingles of md5-60(md5-60(s) ':' i)),
+    # identical 16-band/r=4 banding (band key = comma-joined sig slice),
+    # identical 2..200 bucket-size gate, identical exact-Jaccard verify.
+    # The banding is replayed, NOT brute-forced — r=4 at threshold 0.5 has
+    # <1 recall, so only an exact candidate-set twin hash-matches.
+    oracle=f"""
+    WITH {_NGRAM_JACCARD_CTES},
+    shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    base AS (
+      SELECT doc_id, s,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0
+      FROM shing
+    ),
+    sigs AS (
+      SELECT doc_id, i.range AS i,
+             MIN(CAST(('0x' || substr(md5(h0::VARCHAR || ':' || i.range),
+                                      1, 15)) AS BIGINT)) AS sig
+      FROM base CROSS JOIN range(0, 64) i
+      GROUP BY doc_id, i.range
+    ),
+    bandkeys AS (
+      SELECT doc_id, i // 4 AS band,
+             STRING_AGG(sig::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM sigs GROUP BY doc_id, i // 4
+    ),
+    ok_buckets AS (
+      SELECT band, bkey FROM bandkeys
+      GROUP BY band, bkey HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    cpairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a
+      JOIN ok_buckets o ON a.band = o.band AND a.bkey = o.bkey
+      JOIN bandkeys b ON b.band = a.band AND b.bkey = a.bkey
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+      FROM cpairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+    )
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash+LSH pipeline in md5_60 hash mode — same fold, banding,
+    bucket cap, and verify code as dedup_minhash_near, with the hash leaf
+    swapped for the engine-universal md5-60-bit value so the ENTIRE
+    pipeline (signatures → bands → capped buckets → exact verify) is
+    certified against an external SQL replay. xxhash64 stays the
+    production/bench default (faster; no string hashing per permutation)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.minhash_near_dups(docs, threshold=0.5, hash_mode="md5_60")
+
+
 @register("dedup_minhash_near")  # seeded-xxhash LSH: no SQL twin, rows-only
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline: shingle → 64 minhashes → 16 bands
