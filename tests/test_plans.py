@@ -149,3 +149,32 @@ def test_q13_preaggregates_before_outer_join(spark):
 def test_q16_blacklist_is_broadcast_anti_join(spark):
     plan = P.explain_str(q(spark, "q16_supplier_part_count"), "simple")
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+@pytest.mark.parametrize("name", ["a8_summary_describe", "a9_corr_pairs"])
+def test_single_pass_stats_one_scan_one_exchange(spark, name):
+    # one pruned scan, partial->final aggregate, single 1-row exchange —
+    # a union-of-selects formulation would re-scan per output row group
+    df = q(spark, name)
+    assert P.count_shuffles(df) <= 1
+    schemas = P.read_schemas(df)
+    assert len(schemas) == 1  # exactly one parquet scan
+    assert set(schemas[0]) <= {"l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_sampling_adds_no_shuffle(spark):
+    # hash sampling is projection + filter on the scan: zero exchanges
+    assert P.count_shuffles(q(spark, "samp_stratified_docs")) == 0
+
+
+def test_topk_per_group_single_shuffle(spark):
+    # rank-per-group: one hash exchange on the group key
+    assert P.count_shuffles(q(spark, "samp_topk_quality")) <= 1
+
+
+def test_simhash_banded_join_not_cartesian(spark):
+    # candidates come from the (chunk_id, chunk_val) equi-join — a
+    # cartesian/broadcast-nested-loop product would be the scale bug
+    s = P.explain_str(q(spark, "dedup_simhash_near"))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
