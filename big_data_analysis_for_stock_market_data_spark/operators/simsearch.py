@@ -336,3 +336,167 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")
     )
+
+
+def _sq_dist(vec: Column, cent: Column) -> Column:
+    """Σ_j (vec[j] - cent[j])² in double — a sequential fold, matching what
+    an order-preserving SQL list_sum computes (same precedent as cosine)."""
+    diffs = F.zip_with(
+        vec, cent,
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def deterministic_kmeans(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd iterations made engine-deterministic — the oracle-checkable
+    coarse quantizer behind the IVF scale path (``ivf_index`` keeps Spark
+    ML's KMeans for production; THIS variant exists so the full iterative
+    algorithm can be certified against an external SQL replay):
+
+    - init: the ``n_clusters`` vectors with the smallest md5 bucket of
+      their id (``ml.split_bucket``'s trick — a pure data function, not a
+      partition-seeded sample); cluster ids 0..n-1 in (bucket, id) order;
+    - assign: argmin squared distance, ties to the lowest cluster id;
+    - update: per-dimension mean with DECIMAL(18,9)-exact sums (addition
+      order cannot perturb the centroid), divided in double; empty
+      clusters keep their previous centroid;
+    - a FIXED ``n_iters`` (no convergence test): iteration count is part
+      of the spec, so any engine replays the identical computation.
+
+    Scale: assignment is a broadcast of n_clusters×dim doubles against the
+    corpus (narrow, one pass); the update is one groupBy on (cluster, dim)
+    — rows = |corpus|·dim, the same shuffle volume any distributed k-means
+    pays. Returns (cluster int, centroid array<double>).
+    """
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import split_bucket
+
+    b = split_bucket(F.col(id_col), seed)
+    w_init = Window.orderBy(b.asc(), F.col(id_col).asc())
+    cents = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w_init))
+        .filter(F.col("__rn") <= n_clusters)
+        .select(
+            (F.col("__rn") - 1).alias("cluster"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+    for _ in range(n_iters):
+        joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+        w_arg = Window.partitionBy(id_col).orderBy(
+            _sq_dist(F.col(vec_col), F.col("centroid")).asc(),
+            F.col("cluster").asc(),
+        )
+        assigned = (
+            joined.withColumn("__rn", F.row_number().over(w_arg))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, vec_col, "cluster")
+        )
+        dims = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        means = (
+            dims.groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                    / F.count("val")
+                ).alias("mean")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "mean"))
+                    ),
+                    lambda s: s.getField("mean"),
+                ).alias("new_centroid")
+            )
+        )
+        cents = (
+            cents.join(means, "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+        )
+    return cents
+
+
+def ivf_det_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k over the deterministic quantizer: assign the corpus to
+    final centroids, probe each query's ``n_probe`` nearest cells, exact
+    cosine re-rank (rounded before ranking for cross-engine tie order).
+    Same probe-prunes-the-scan shape as ``ivf_topk``; every step replayable
+    in SQL."""
+    cents = deterministic_kmeans(
+        corpus, n_clusters, n_iters, id_col, vec_col, seed
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        _sq_dist(F.col(vec_col), F.col("centroid")).asc(),
+        F.col("cluster").asc(),
+    )
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+    w_probe = Window.partitionBy("__qid").orderBy(
+        _sq_dist(F.col("__qvec"), F.col("centroid")).asc(),
+        F.col("cluster").asc(),
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "__qvec", "cluster")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .dropDuplicates([id_col, "__qid"])
+    )
+    scored = cand.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_to).alias(
+            "cos_sim"
+        ),
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

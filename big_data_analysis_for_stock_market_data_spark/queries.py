@@ -2218,6 +2218,114 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL twin of the deterministic IVF path. The Lloyd iterations are
+# UNROLLED (fixed n_iters is part of the spec): each builds assign{t}
+# (argmin distance, ties to lowest cluster) and cent{t+1} (per-dim
+# DECIMAL(18,9)-exact means; empty clusters keep the previous centroid).
+_IVF_DIST = (
+    "list_sum(list_transform(list_zip({v}, {c}),"
+    " s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2])))"
+)
+
+
+def _ivf_oracle_sql(n_clusters=8, n_iters=2, n_probe=3, k=5, dim=64) -> str:
+    dist_ec = _IVF_DIST.format(v="e.embedding", c="c.centroid")
+    ctes = [
+        f"""cent0 AS (
+      SELECT rn - 1 AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(('0x' || substr(md5(vec_id::VARCHAR || ':42'),
+                                               1, 8)) AS BIGINT) % 10000,
+                          vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {n_clusters}
+    )"""
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""assign{t} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dist_ec}, c.cluster) AS rn
+        FROM embeddings e CROSS JOIN cent{t} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""means{t} AS (
+      SELECT cluster, list(mean ORDER BY dim) AS arr FROM (
+        SELECT a.cluster, r.range AS dim,
+               CAST(SUM(CAST(a.embedding[r.range] AS DECIMAL(18,9)))
+                    AS DOUBLE) / COUNT(*) AS mean
+        FROM assign{t} a CROSS JOIN range(1, {dim + 1}) r
+        GROUP BY a.cluster, r.range
+      ) GROUP BY cluster
+    )""")
+        ctes.append(f"""cent{t + 1} AS (
+      SELECT c.cluster, COALESCE(m.arr, c.centroid) AS centroid
+      FROM cent{t} c LEFT JOIN means{t} m ON m.cluster = c.cluster
+    )""")
+    final = f"cent{n_iters}"
+    ctes.append(f"""final_assign AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dist_ec}, c.cluster) AS rn
+        FROM embeddings e CROSS JOIN {final} c
+      ) WHERE rn = 1
+    )""")
+    dist_qc = _IVF_DIST.format(v="q.embedding", c="c.centroid")
+    ctes.append(f"""probes AS (
+      SELECT qid, qvec, cluster FROM (
+        SELECT q.vec_id AS qid, q.embedding AS qvec, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dist_qc}, c.cluster) AS rn
+        FROM embeddings q CROSS JOIN {final} c
+        WHERE q.vec_id < 3
+      ) WHERE rn <= {n_probe}
+    )""")
+    ctes.append(f"""scored AS (
+      SELECT DISTINCT p.qid AS query_id, a.vec_id AS neighbor_id,
+             ROUND({_duck_dot('a.embedding', 'p.qvec')}
+                   / ({_duck_norm('a.embedding')} * {_duck_norm('p.qvec')}),
+                   6) AS cos_sim
+      FROM final_assign a JOIN probes p ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.qid
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("simsearch_ivf_det_topk", oracle=_ivf_oracle_sql())
+def simsearch_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 over the DETERMINISTIC quantizer
+    (simsearch.deterministic_kmeans): md5-seeded init, fixed 2 Lloyd
+    iterations with decimal-exact centroid means, 3-probe search, 6dp
+    pre-rank cosine — the entire ITERATIVE algorithm replayed and
+    hash-verified by the SQL oracle. The Spark-ML-KMeans variant
+    (simsearch_ivf_topk) stays as the production path."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ss.ivf_det_topk(
+        emb, queries_df, k=5, n_clusters=8, n_probe=3, n_iters=2, seed=42
+    )
+
+
 @register("simsearch_ivf_topk")  # k-means index: rows-only
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: seeded k-means coarse quantizer + 4-probe search +
@@ -4090,7 +4198,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q18_big_orders",
     "o1_topk_orders",
     "stream_topk_users_daily",
-    "a2_sorted_avg",
+    "simsearch_ivf_det_topk",
     "a4_duplicate_stats",
     "a5_null_stats",
     "a6_moments",

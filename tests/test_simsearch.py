@@ -113,3 +113,36 @@ def test_ivf_partial_probe_shape_and_recall(spark):
     assert set(by_q) == {0, 1, 2}
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_ivf_det_full_probe_equals_bruteforce(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+    from big_data_analysis_for_stock_market_data_spark.queries import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ss.brute_force_topk(emb, queries, k=5, round_to=6).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ss.ivf_det_topk(
+            emb, queries, k=5, n_clusters=8, n_probe=8, n_iters=2
+        ).collect()
+    }
+    assert full == exact
+
+    # the deterministic quantizer is a pure data function: rerun == rerun
+    c1 = {
+        (r.cluster, tuple(r.centroid))
+        for r in ss.deterministic_kmeans(emb, 8, 2).collect()
+    }
+    c2 = {
+        (r.cluster, tuple(r.centroid))
+        for r in ss.deterministic_kmeans(emb.repartition(5), 8, 2).collect()
+    }
+    assert c1 == c2
