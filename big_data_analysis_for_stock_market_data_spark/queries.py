@@ -833,6 +833,36 @@ def a7_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a7_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {_sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: explicit GROUPING SETS — the general form ROLLUP/CUBE sugar
+    over (per-flag, per-shipmode, grand total in ONE pass; an app would
+    otherwise union three scans)."""
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_price
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """,
+        li=li,
+    )
+
+
+@register(
     "sql_entry_daily_label",
     oracle="""
     SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
@@ -4199,7 +4229,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "o1_topk_orders",
     "stream_topk_users_daily",
     "simsearch_ivf_det_topk",
-    "a4_duplicate_stats",
+    "a7_grouping_sets",
     "a5_null_stats",
     "a6_moments",
     "a7_rollup_status",

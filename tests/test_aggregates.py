@@ -64,3 +64,17 @@ def test_approx_distinct_within_rsd(spark):
         F.count_distinct("l_orderkey").alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) <= 0.05 * row.exact
+
+
+def test_summary_stats_matches_describe_fields(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        summary_stats,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select((F.col("id") * 2.0).alias("x"))
+    row = summary_stats(df, ["x"]).head()
+    assert row["count_x"] == 100
+    assert row["mean_x"] == 99.0
+    assert row["min_x"] == 0.0 and row["max_x"] == 198.0
+    assert abs(row["stddev_x"] - df.agg(F.stddev_samp("x")).head()[0]) < 1e-9
