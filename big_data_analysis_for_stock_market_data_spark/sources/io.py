@@ -179,6 +179,56 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact_write(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    probe_rows: int = 1_000,
+) -> int:
+    """Write parquet with output files sized near ``target_file_mb`` — the
+    small-files guard for pipeline sinks (10k tiny files make the NEXT
+    job's scan planning and open() overhead the bottleneck; one giant file
+    serializes downstream parallelism).
+
+    The bytes/row estimate comes from an actual compressed parquet probe
+    (``probe_rows`` rows written to a temp dir and stat'ed) — schema-based
+    guesses miss encoding/compression by 5-50x. Cost: one bounded probe
+    write + one count + one full write; returns the partition count used.
+
+    With ``partition_by`` the file count applies per directory partition
+    on average — size skew across partition values is the caller's salt to
+    add (see operators/skew.py).
+    """
+    import shutil
+    import tempfile
+
+    n_rows = df.count()
+    if n_rows == 0:
+        write_parquet(df, path, mode=mode, partition_by=partition_by)
+        return 1
+    probe_dir = tempfile.mkdtemp(prefix="engine_compact_probe_")
+    try:
+        df.limit(probe_rows).coalesce(1).write.mode("overwrite").parquet(
+            probe_dir
+        )
+        probe_bytes = sum(
+            os.path.getsize(os.path.join(probe_dir, f))
+            for f in os.listdir(probe_dir)
+            if f.endswith(".parquet")
+        )
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
+    sampled = min(n_rows, probe_rows)
+    est_total = probe_bytes * (n_rows / max(sampled, 1))
+    n_parts = max(1, round(est_total / (target_file_mb * 1024 * 1024)))
+    write_parquet(
+        df.repartition(n_parts), path, mode=mode, partition_by=partition_by
+    )
+    return n_parts
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

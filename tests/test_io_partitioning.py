@@ -90,3 +90,26 @@ def test_pre_epoch_nanos_floor_to_micros(spark, tmp_path):
     assert got[1] == epoch - dt.timedelta(microseconds=1)
     assert got[2] == epoch - dt.timedelta(microseconds=1)
     assert got[3] == epoch
+
+
+def test_compact_write_targets_file_size(spark, tmp_path):
+    from big_data_analysis_for_stock_market_data_spark.sources.io import (
+        compact_write, read_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    out = str(tmp_path / "compacted")
+    # ~0.5 MB target on ~7 MB of data -> more than one, fewer than 100 files
+    n = compact_write(df, out, target_file_mb=1)
+    import os
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n and 1 < n < 100
+    assert read_parquet(spark, out).count() == 200_000
+
+    # empty frame still writes a valid (single-file) dataset
+    out2 = str(tmp_path / "empty")
+    assert compact_write(df.filter("id < 0"), out2) == 1
+    assert read_parquet(spark, out2).count() == 0
