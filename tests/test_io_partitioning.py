@@ -113,3 +113,37 @@ def test_compact_write_targets_file_size(spark, tmp_path):
     out2 = str(tmp_path / "empty")
     assert compact_write(df.filter("id < 0"), out2) == 1
     assert read_parquet(spark, out2).count() == 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    from big_data_analysis_for_stock_market_data_spark.sources.io import write_parquet
+    from big_data_analysis_for_stock_market_data_spark.plans import inspect as P
+    from pyspark.sql import functions as F
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_parquet(
+            df, str(tmp_path / name), bucket_by=(8, ["k"]), table_name=name
+        )
+    joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+    try:
+        # co-located bucketed join: zero exchanges in the physical plan —
+        # the property that makes bucketing worth the write-side sort
+        assert P.count_shuffles(joined) == 0
+        assert joined.count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_to_pandas_sample_is_bounded(spark):
+    from big_data_analysis_for_stock_market_data_spark.sources.io import to_pandas_sample
+
+    pdf = to_pandas_sample(spark.range(1_000_000), max_rows=500)
+    assert len(pdf) == 500  # driver export can never exceed the cap
