@@ -935,6 +935,44 @@ def w_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_value_suite",
+    # explicit ROWS frames on both sides: last_value/nth_value default to
+    # the running frame (UNBOUNDED PRECEDING..CURRENT ROW), whose nth/last
+    # semantics surprise every SQL porting guide — the full-partition frame
+    # is spelled out so the intent is unambiguous in either engine
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_v,
+           nth_value(value, 3) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def w_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 value family: first_value / last_value / nth_value with explicit
+    full-partition frames (the default running frame makes last/nth return
+    the CURRENT row — the classic window-porting trap, made explicit)."""
+    events = load(spark, sf_dir, "events")
+    w_run = Window.partitionBy("user_id").orderBy("ts")
+    w_full = w_run.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return events.select(
+        "event_id", "user_id",
+        F.first("value").over(w_run).alias("first_v"),
+        F.last("value").over(w_full).alias("last_v"),
+        F.nth_value("value", 3).over(w_full).alias("third_v"),
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,
@@ -4230,7 +4268,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_topk_users_daily",
     "simsearch_ivf_det_topk",
     "a7_grouping_sets",
-    "a5_null_stats",
+    "w_value_suite",
     "a6_moments",
     "a7_rollup_status",
     "a7_pivot_status",
