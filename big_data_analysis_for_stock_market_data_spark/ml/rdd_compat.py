@@ -91,9 +91,13 @@ class CompatRandomForestModel:
         ``predict(rdd.map(lambda x: x.features))`` call shape). Returns a
         DataFrame with a double ``prediction`` column appended."""
         if not isinstance(features, DataFrame):
+            from pyspark.ml.linalg import VectorUDT
+            from pyspark.sql.types import StructField, StructType
+
             spark = SparkSession.getActiveSession()
             features = spark.createDataFrame(
-                features.map(lambda v: (v,)), f"{FEATURES_COL}: vector"
+                features.map(lambda v: (v,)),
+                StructType([StructField(FEATURES_COL, VectorUDT())]),
             )
         out = self._model.transform(features)
         return out.select(

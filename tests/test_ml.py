@@ -171,6 +171,11 @@ def test_rdd_compat_trainclassifier_flow(labeled_df):
     assert bm["areaUnderROC"] > 0.8  # learnable signal
     assert mm["accuracy"] > 0.8 and mm["n"] == float(pairs.count())
 
+    # the reference's exact call shape: predict on an RDD of vectors
+    rdd_preds = model.predict(lp_test.rdd.map(lambda r: r.features))
+    assert rdd_preds.count() == lp_test.count()
+    assert rdd_preds.columns == ["features", "prediction"]
+
     # numClasses is validated, not trusted
     import pytest as _pytest
     with _pytest.raises(ValueError):
