@@ -4089,8 +4089,9 @@ def stock_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            {_sql_dsum('l_quantity', 'sum_qty')},
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
-             / COUNT(l_extendedprice) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8)))
+                      AS DOUBLE)
+                 / COUNT(l_extendedprice), 6) AS avg_price,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty
     FROM lineitem
@@ -4119,7 +4120,13 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=16,
     )
-    return out.orderBy("l_returnflag")
+    # 6dp on the ratio: DuckDB's DECIMAL(38,8)->DOUBLE cast is not
+    # correctly rounded once the exact total exceeds 2^52 units (observed
+    # at sf0.1: 1.5e-11 drift on a 5e4-scale avg); the sums themselves
+    # stay decimal-exact on both sides
+    return out.withColumn("avg_price", F.round("avg_price", 6)).orderBy(
+        "l_returnflag"
+    )
 
 
 @register("o3_random_split")  # Spark-specific Bernoulli sampling: rows-only
