@@ -17,6 +17,7 @@ parquet the batch oracle reads.
 from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
     read_stream_parquet,
     run_to_memory,
+    run_to_parquet,
     session_agg,
     stream_dedup,
     stream_stream_interval_join,
@@ -27,6 +28,7 @@ from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
 __all__ = [
     "read_stream_parquet",
     "run_to_memory",
+    "run_to_parquet",
     "session_agg",
     "stream_dedup",
     "stream_stream_interval_join",

@@ -284,3 +284,27 @@ def run_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession, sink
+
+
+def run_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Durable streaming sink: drain everything available now into a
+    parquet directory with a checkpoint. The checkpoint's WAL + the file
+    sink's transaction log give exactly-once FILE OUTPUT across restarts —
+    re-running after completion (or a crash) writes nothing twice; new
+    source data resumes from the recorded offsets. This is the production
+    twin of ``run_to_memory`` (which exists for the batch-shaped oracle
+    harness)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -311,3 +311,37 @@ def test_stream_reads_micros_parquet_timestamps_intact(spark, tmp_path):
     )
     assert got == want
     assert all(t.year == 2024 for _, t, _ in got)
+
+
+def test_run_to_parquet_exactly_once_across_restarts(spark, tmp_path):
+    """Durable sink: re-running the drained query against the same
+    checkpoint writes nothing twice; NEW source files resume from the
+    recorded offsets and append exactly their rows."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf1 = pd.DataFrame(
+        {"user_id": [1, 2], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+         "value": [1.0, 2.0]}
+    )
+    _write_batch(str(src), "b1.parquet", pdf1, time.time() - 50)
+
+    def drain():
+        stream = st.read_stream_parquet(spark, str(src), EVENTS_SCHEMA)
+        st.run_to_parquet(stream, out, ckpt)
+
+    drain()
+    assert spark.read.parquet(out).count() == 2
+    drain()  # restart with no new data: exactly-once, still 2
+    assert spark.read.parquet(out).count() == 2
+
+    pdf2 = pd.DataFrame(
+        {"user_id": [3], "ts": pd.to_datetime(["2024-01-03"]),
+         "value": [3.0]}
+    )
+    _write_batch(str(src), "b2.parquet", pdf2, time.time() - 10)
+    drain()  # resumes from offsets: only the new row lands
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r.user_id for r in got.collect()} == {1, 2, 3}
