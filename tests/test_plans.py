@@ -178,3 +178,15 @@ def test_simhash_banded_join_not_cartesian(spark):
     s = P.explain_str(q(spark, "dedup_simhash_near"))
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_stock_feature_frame_shuffle_budget(spark):
+    # The full FE pipeline earns exactly 4 exchanges (fixture prefix sum,
+    # daily/label windows, bucketed closed-form pass, recursive per-key
+    # pass); a regression that re-shuffles the wide enriched frame shows
+    # up here before it shows up in BENCH
+    from big_data_analysis_for_stock_market_data_spark import stock
+
+    bars = stock.make_stock_fixture(spark, n_rows=4_000, n_symbols=2)
+    full = stock.feature_frame(bars)
+    assert P.count_shuffles(full) <= 4
