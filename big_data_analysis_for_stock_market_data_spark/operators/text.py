@@ -12,7 +12,7 @@ drift.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Per-language stopword markers for the score-and-argmax heuristic.
@@ -133,6 +133,172 @@ def fingerprint_md5(df: DataFrame, col: str = "text",
     lowercased text — the canonical exact-dedup key."""
     norm = F.concat_ws(" ", tokens_col(F.col(col)))
     return df.withColumn(out, F.md5(norm.cast("binary")))
+
+
+def chunk_text(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-size character chunking with overlap — the context-window
+    splitter of an LLM-training ingest pipeline.
+
+    Chunks start at offsets 0, stride, 2·stride, … (stride = chunk_chars −
+    overlap); every chunk is ``chunk_chars`` long except the tail. A document
+    of ≤ chunk_chars characters yields exactly one chunk; empty/null text
+    yields none. Entirely JVM-side: the offset array is built with
+    ``sequence``/``transform`` and exploded with ``inline`` — no shuffle at
+    all, the op is a flatMap over the scan, so at 100 TB it scales with
+    input bytes and never repartitions. Fan-out is bounded by
+    len(text)/stride per row.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    c = F.col(col)
+    n = F.length(c)
+    n_chunks = F.when(n.isNull() | (n <= 0), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+        )
+    )
+    piece = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - F.lit(1)).cast("long")),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                (i * stride).cast("long").alias("chunk_start"),
+                c.substr(
+                    (i * stride + 1).cast("int"), F.lit(chunk_chars)
+                ).alias("chunk_text"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:long,chunk_start:long,chunk_text:string>>"
+    ))
+    exploded = df.select(F.col(id_col), F.inline(piece))
+    return exploded.withColumn(
+        "chunk_len", F.length("chunk_text").cast("long")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    shard_col: str,
+    order_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: within each shard, walk documents
+    in ``order_col`` order and assign each to training-batch bin
+    ``floor(exclusive_prefix_tokens / budget)`` — documents stay contiguous,
+    every bin holds ~budget tokens (a doc longer than the budget owns its
+    bins alone).
+
+    Scale shape: ONE window (partitionBy shard, orderBy order_col) — the
+    shuffle is keyed on the shard column, so parallelism equals shard count
+    and no global total order is ever required. This is how packing runs on
+    a 1000-executor cluster: shard first (any stable key — source, path,
+    hash bucket), pack within shards independently.
+    """
+    w = Window.partitionBy(shard_col).orderBy(order_col)
+    cum = F.sum(token_col).over(w)
+    prev = (cum - F.col(token_col)).cast("long")
+    return (
+        df.withColumn("prefix_tokens", prev)
+        .withColumn(
+            "pack_bin", F.floor(prev / F.lit(budget)).cast("long")
+        )
+    )
+
+
+#: PII patterns kept to constructs Java regex and DuckDB's RE2 interpret
+#: identically (no backrefs, no lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 -]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, col: str = "text",
+               out: str = "redacted") -> DataFrame:
+    """Regex PII scrubbing (emails → <EMAIL>, IPv4 → <IP>, intl phone
+    numbers → <PHONE>) with per-class match counts. Pure ``regexp_replace``
+    / ``regexp_count`` Column expressions — codegen'd, zero Python, applied
+    in precedence order (email before phone so '+'-less digit runs inside
+    addresses can't double-match)."""
+    c = F.col(col)
+    n_email = F.regexp_count(c, F.lit(PII_EMAIL)).cast("long")
+    after_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(after_email, F.lit(PII_IPV4)).cast("long")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("long")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n_email)
+        .withColumn("n_ips", n_ip)
+        .withColumn("n_phones", n_phone)
+        .withColumn(out, scrubbed)
+    )
+
+
+def curate_documents(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """The composite training-data curation gate: quality thresholds +
+    exact near-duplicate removal in one pass, with an audit column naming
+    the FIRST failed rule (empty | too_few_tokens | low_alpha |
+    low_stopword | duplicate) — the lineage-preserving filter a 100 TB
+    corpus pipeline needs (keep/drop is explainable per document, and the
+    kept set is exactly reproducible).
+
+    Plan shape: one scan computes every per-row signal; the only shuffle is
+    the dedup window keyed on the md5 fingerprint (same key layout as
+    ``dedup.exact_dedup``); duplicates resolve to the smallest ``id_col``.
+    """
+    c = F.col(col)
+    toks = tokens_col(c)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    alpha_ratio = F.try_divide(n_alpha.cast("double"), n_chars)
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_tokens)
+    fp = F.md5(F.concat_ws(" ", toks).cast("binary"))
+
+    staged = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens_"),
+        alpha_ratio.alias("alpha_ratio_"),
+        stop_ratio.alias("stop_ratio_"),
+        fp.alias("fp_"),
+        (c.isNull() | (n_chars == 0)).alias("is_empty_"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("fp_").orderBy(F.col(id_col))
+    )
+    staged = staged.withColumn("fp_rank_", rank)
+    reason = (
+        F.when(F.col("is_empty_"), F.lit("empty"))
+        .when(F.col("n_tokens_") < min_tokens, F.lit("too_few_tokens"))
+        .when(F.col("alpha_ratio_") < min_alpha_ratio, F.lit("low_alpha"))
+        .when(F.col("stop_ratio_") < min_stopword_ratio, F.lit("low_stopword"))
+        .when(F.col("fp_rank_") > 1, F.lit("duplicate"))
+    )
+    return staged.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("kept")).alias("reason"),
+        F.col("n_tokens_").cast("long").alias("n_tokens"),
+    )
 
 
 def fingerprint_rolling(df: DataFrame, col: str = "text",

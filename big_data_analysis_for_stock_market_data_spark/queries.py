@@ -1749,6 +1749,181 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_chunk_overlap",
+    # chunk grid replayed with unnest(range(n_chunks)): starts at 0, 136,
+    # 272, ... (stride = 200 - 64); ceil-division chunk count identical in
+    # both engines (double ceil over exact small ints)
+    oracle="""
+    SELECT doc_id,
+           i AS chunk_idx,
+           i * 136 AS chunk_start,
+           substr(text, CAST(i * 136 + 1 AS INT), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(i * 136 + 1 AS INT), 200)) AS BIGINT)
+             AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0,
+               CASE WHEN text IS NULL OR length(text) <= 0 THEN 0
+                    ELSE GREATEST(1, CAST(CEIL((length(text) - 64.0) / 136.0)
+                                          AS INT)) END)) AS i
+      FROM documents
+    ) t
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (200 chars, 64 overlap): shuffle-free
+    flatMap via sequence/transform/inline — output scales with input bytes,
+    no repartition (operators/text.chunk_text)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.chunk_text(docs, chunk_chars=200, overlap=64).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_text", "chunk_len"
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=r"""
+    SELECT doc_id, source,
+           CAST(n AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n) OVER w - n AS BIGINT) AS prefix_tokens,
+           CAST(FLOOR((SUM(n) OVER w - n) / 2000.0) AS BIGINT) AS pack_bin
+    FROM (
+      SELECT doc_id, source,
+             length(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n
+      FROM documents
+    ) t
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing into 2000-token training bins,
+    sharded by source (one shard-keyed window — no global order; see
+    operators/text.pack_sequences for the 1000-executor shape)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    counted = text_ops.token_count_bpe(docs)
+    packed = text_ops.pack_sequences(
+        counted, token_col="n_bpe_tokens", shard_col="source",
+        order_col="doc_id", budget=2000,
+    )
+    return packed.select(
+        "doc_id", "source", "n_bpe_tokens", "prefix_tokens", "pack_bin"
+    )
+
+
+@register(
+    "text_redact_pii",
+    # deterministic PII suffix appended on BOTH sides so every pattern
+    # class actually fires on the corpus; replacement order (email -> ip ->
+    # phone) is part of the operator contract
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             concat_ws(' ', text,
+               'contact u' || CAST(doc_id AS VARCHAR) ||
+               '@example.com +1 555-000-' || CAST(doc_id AS VARCHAR) ||
+               ' ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)) AS t
+      FROM documents
+    ), e AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM enriched
+    ), i AS (
+      SELECT doc_id, n_emails,
+             CAST(length(regexp_extract_all(t1,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+               AS BIGINT) AS n_ips,
+             regexp_replace(t1,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+               '<IP>', 'g') AS t2
+      FROM e
+    )
+    SELECT doc_id, n_emails, n_ips,
+           CAST(length(regexp_extract_all(t2,
+             '\\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+           regexp_replace(t2, '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')
+             AS redacted
+    FROM i
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing with per-class counts (operators/text.redact_pii)
+    over text extended with a deterministic synthetic PII suffix — codegen'd
+    regexp_replace chain, zero Python."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pii = F.concat(
+        F.lit("contact u"), did, F.lit("@example.com +1 555-000-"), did,
+        F.lit(" ip 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+    )
+    enriched = docs.withColumn("t", F.concat_ws(" ", F.col("text"), pii))
+    out = text_ops.redact_pii(enriched, col="t")
+    return out.select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+
+
+@register(
+    "text_curate_gate",
+    # first-failing-rule audit: empty -> too_few_tokens -> low_alpha ->
+    # low_stopword -> duplicate (md5-normalized keep-first). Rows that reach
+    # the duplicate rule always have >= 5 tokens, so the Spark/DuckDB
+    # null-vs-'' fingerprint difference for null-text rows can never affect
+    # an emitted reason.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS nc,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS ntok,
+             CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc END AS ar,
+             CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks,
+                  t -> list_contains(['the','and','of','to','in','is','that','with','for','a'], t)))
+                  AS DOUBLE) / len(toks) END AS sr,
+             (text IS NULL OR nc = 0) AS is_empty,
+             row_number() OVER (
+               PARTITION BY md5(array_to_string(toks, ' '))
+               ORDER BY doc_id) AS rn
+      FROM t
+    )
+    SELECT doc_id,
+           reason IS NULL AS keep,
+           coalesce(reason, 'kept') AS reason,
+           CAST(ntok AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, ntok,
+             CASE WHEN is_empty THEN 'empty'
+                  WHEN ntok < 5 THEN 'too_few_tokens'
+                  WHEN ar < 0.5 THEN 'low_alpha'
+                  WHEN sr < 0.05 THEN 'low_stopword'
+                  WHEN rn > 1 THEN 'duplicate' END AS reason
+      FROM s
+    ) q
+    """,
+)
+def text_curate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation gate: quality thresholds + exact-normalized dedup
+    in one pass with a per-document audit reason
+    (operators/text.curate_documents)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.curate_documents(docs)
+
+
 # ---------------------------------------------------------------------------
 # North-star: deduplication (operators/dedup.py).
 # ---------------------------------------------------------------------------

@@ -56,3 +56,91 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert got[0] == got[2]
     assert got[0] != got[1]       # order matters (unlike bag-of-words md5)
     assert all(0 <= g < 1_000_000_007 for g in got)
+
+
+def test_chunk_text_grid_and_tail(spark):
+    # 300 chars, chunk 200 / overlap 64 -> stride 136 -> ceil(236/136) = 2
+    long = "x" * 300
+    df = _docs(spark, [long, "short", "", None])
+    rows = T.chunk_text(df, chunk_chars=200, overlap=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) == 2
+    first, second = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert (first.chunk_start, first.chunk_len) == (0, 200)
+    assert (second.chunk_start, second.chunk_len) == (136, 164)
+    # overlap: last 64 chars of chunk 0 == first 64 of chunk 1
+    assert first.chunk_text[136:] == second.chunk_text[:64]
+    # short doc -> exactly one whole-text chunk; empty/null -> none
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "short"
+    assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        T.chunk_text(_docs(spark, ["a"]), chunk_chars=10, overlap=10)
+
+
+def test_pack_sequences_bins(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(doc_id=i, shard="a", n=n)
+        for i, n in enumerate([500, 500, 500, 600, 2500, 100])
+    ])
+    got = {
+        r.doc_id: (r.prefix_tokens, r.pack_bin)
+        for r in T.pack_sequences(
+            df, token_col="n", shard_col="shard", order_col="doc_id",
+            budget=1000,
+        ).collect()
+    }
+    # prefix sums: 0,500,1000,1500,2100,4600 -> bins 0,0,1,1,2,4
+    assert got == {0: (0, 0), 1: (500, 0), 2: (1000, 1),
+                   3: (1500, 1), 4: (2100, 2), 5: (4600, 4)}
+
+
+def test_pack_sequences_shards_independent(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(doc_id=0, shard="a", n=900), Row(doc_id=1, shard="b", n=900),
+        Row(doc_id=2, shard="a", n=900), Row(doc_id=3, shard="b", n=900),
+    ])
+    got = {r.doc_id: r.pack_bin for r in T.pack_sequences(
+        df, token_col="n", shard_col="shard", order_col="doc_id", budget=1000
+    ).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}  # each shard's prefix restarts
+
+
+def test_redact_pii_classes_and_order(spark):
+    df = _docs(spark, [
+        "mail bob@example.com or +1 555-123-4567 from 192.168.0.1 ok",
+        "no pii here",
+    ])
+    r = {x.doc_id: x for x in T.redact_pii(df).collect()}
+    hit = r[0]
+    assert (hit.n_emails, hit.n_ips, hit.n_phones) == (1, 1, 1)
+    assert hit.redacted == "mail <EMAIL> or <PHONE> from <IP> ok"
+    clean = r[1]
+    assert (clean.n_emails, clean.n_ips, clean.n_phones) == (0, 0, 0)
+    assert clean.redacted == "no pii here"
+
+
+def test_curate_documents_reasons(spark):
+    good = "the cat and the dog sat with a fine hat for tea"
+    df = _docs(spark, [
+        good,                               # 0 kept
+        good,                               # 1 duplicate of 0
+        "",                                 # 2 empty
+        "tiny doc",                         # 3 too_few_tokens
+        "1234 5678 9012 3456 7890 12345",   # 4 low_alpha
+        "zebra quokka xylophone quartz vex" # 5 low_stopword
+    ])
+    got = {r.doc_id: (r.keep, r.reason)
+           for r in T.curate_documents(df).collect()}
+    assert got == {
+        0: (True, "kept"), 1: (False, "duplicate"), 2: (False, "empty"),
+        3: (False, "too_few_tokens"), 4: (False, "low_alpha"),
+        5: (False, "low_stopword"),
+    }
