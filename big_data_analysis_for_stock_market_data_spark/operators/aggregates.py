@@ -82,6 +82,31 @@ def moments(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    payload: Sequence[str],
+) -> DataFrame:
+    """SCD-1 merge/upsert resolution: one surviving row per key — the one
+    with the lexicographically greatest ``order`` tuple (e.g. (ts,
+    event_id): latest timestamp, deterministic id tiebreak).
+
+    Implemented as ``max_by(struct(payload), struct(order))`` — a single
+    hash aggregate with map-side partial combine, so the shuffle carries one
+    candidate row per (input partition, key) instead of the full history.
+    At 100 TB this beats the window row_number() formulation, which must
+    shuffle EVERY version of every key to one reducer before discarding all
+    but one.
+    """
+    ordk = F.struct(*[F.col(c) for c in order])
+    val = F.struct(*[F.col(c) for c in payload])
+    out = df.groupBy(*keys).agg(F.max_by(val, ordk).alias("_latest"))
+    return out.select(
+        *keys, *[F.col(f"_latest.{c}").alias(c) for c in payload]
+    )
+
+
 def summary_stats(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """describe()-equivalent as a deterministic single aggregate (count,
     mean, stddev_samp, min, max per column) — one row out."""

@@ -4393,6 +4393,115 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_latest_events",
+    # window-row_number twin of the max_by aggregate: same survivor because
+    # the order tuple (ts DESC, event_id DESC) is a total order per key
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           value AS last_value,
+           event_id AS last_event_id
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def merge_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 upsert resolution: latest event per (user, type) via a
+    max_by(struct) hash aggregate — map-side combine, one shuffled candidate
+    per partition-key instead of the window formulation's full history
+    shuffle (operators/aggregates.latest_by_key)."""
+    ev = load(spark, sf_dir, "events")
+    out = agg_ops.latest_by_key(
+        ev, keys=["user_id", "event_type"], order=["ts", "event_id"],
+        payload=["ts", "value", "event_id"],
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+@register(
+    "s_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def s_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source fidelity: parquet -> JSON write -> explicit-schema
+    JSON scan -> aggregate equals the oracle on the original table. Doubles
+    survive because Spark's JSON writer emits shortest round-trip
+    representations (Jackson), mirroring the S1 CSV no-inferSchema policy."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_json_rt_")
+    src.write.mode("overwrite").json(out_dir)
+    schema = T.StructType([
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    back = spark.read.schema(schema).json(out_dir)
+    return (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(dsum(F.col("o_totalprice"), "sum_price"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "s_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MAX(ts) AS TIMESTAMP) AS max_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink fidelity: parquet -> ORC write -> ORC scan ->
+    aggregate equals the oracle on the original table, including timestamp
+    columns (UTC session timezone makes the ORC local-time convention a
+    no-op)."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "ts")
+    out_dir = tempfile.mkdtemp(prefix="engine_orc_rt_")
+    ev.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("value"), "sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible. The

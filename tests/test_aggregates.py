@@ -78,3 +78,22 @@ def test_summary_stats_matches_describe_fields(spark):
     assert row["mean_x"] == 99.0
     assert row["min_x"] == 0.0 and row["max_x"] == 198.0
     assert abs(row["stddev_x"] - df.agg(F.stddev_samp("x")).head()[0]) < 1e-9
+
+
+def test_latest_by_key_scd1(spark):
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        latest_by_key,
+    )
+
+    df = spark.createDataFrame([
+        Row(k="a", ts=1, eid=1, v=10.0),
+        Row(k="a", ts=3, eid=2, v=30.0),   # survivor: max ts
+        Row(k="a", ts=3, eid=1, v=31.0),   # same ts, smaller eid loses
+        Row(k="b", ts=5, eid=9, v=50.0),
+    ])
+    got = {r.k: (r.ts, r.eid, r.v) for r in latest_by_key(
+        df, keys=["k"], order=["ts", "eid"], payload=["ts", "eid", "v"]
+    ).collect()}
+    assert got == {"a": (3, 2, 30.0), "b": (5, 9, 50.0)}
