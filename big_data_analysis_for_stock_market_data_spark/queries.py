@@ -4532,6 +4532,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "w1_scalable_global_lag",     # NTZ fix — was latently broken
     "w_sessionize_batch",         # NTZ fix — was latently broken
     "ind_recursive_family",       # oracle added r03, never driver-verified
+    # new entries this round — no driver verdict yet ----------------------
+    "text_chunk_overlap",
+    "text_pack_sequences",
+    "text_redact_pii",
+    "text_curate_gate",
+    "merge_latest_events",
+    "s_json_roundtrip",
+    "s_orc_roundtrip",
     # timestamp-reading entries whose only verdict predates the reader
     # changes (NTZ normalization) -----------------------------------------
     "asof_join_events",
@@ -4552,17 +4560,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_top_unshipped",
     "a9_corr_pairs",
-    "q5_nation_revenue",
-    "q17_small_quantity",
-    "q18_big_orders",
-    "o1_topk_orders",
     "stream_topk_users_daily",
     "simsearch_ivf_det_topk",
     "a7_grouping_sets",
     "w_value_suite",
-    "a6_moments",
-    "a7_rollup_status",
-    "a7_pivot_status",
     "stock_fixture_daily_label",
     "samp_stratified_docs",
     "samp_topk_quality",
