@@ -190,3 +190,35 @@ def test_stock_feature_frame_shuffle_budget(spark):
     bars = stock.make_stock_fixture(spark, n_rows=4_000, n_symbols=2)
     full = stock.feature_frame(bars)
     assert P.count_shuffles(full) <= 4
+
+
+def test_chunking_is_shuffle_free_flatmap(spark):
+    # chunking must stay a generate-over-scan: no exchange, no Python node
+    df = q(spark, "text_chunk_overlap")
+    assert P.count_shuffles(df) == 0
+    s = P.explain_str(df)
+    assert not any(n in s for n in P.PYTHON_NODES)
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    # packing shuffles once, keyed on the shard column — never a global sort
+    df = q(spark, "text_pack_sequences")
+    assert P.count_shuffles(df) == 1
+    assert "rangepartitioning" not in P.explain_str(df).lower()
+
+
+def test_merge_latest_partial_aggregates_before_exchange(spark):
+    # SCD-1 merge: the map side must reduce to one candidate per
+    # (partition, key) BEFORE the shuffle (partial_max_by), one exchange
+    df = q(spark, "merge_latest_events")
+    assert P.count_shuffles(df) == 1
+    assert "partial_max_by" in P.explain_str(df)
+
+
+def test_curate_gate_one_scan_one_shuffle(spark):
+    # all quality signals come out of one scan; only the fingerprint-keyed
+    # dedup window shuffles
+    df = q(spark, "text_curate_gate")
+    assert P.count_shuffles(df) == 1
+    schemas = P.read_schemas(df)
+    assert len(schemas) == 1
