@@ -3833,6 +3833,48 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_latest",
+    # same survivor contract as merge_latest_events: the streaming upsert
+    # sink must converge to the batch SCD-1 resolution
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           value AS last_value,
+           event_id AS last_event_id
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-1 upsert sink: foreachBatch merges each micro-batch
+    into a parquet target keeping the max-(ts, event_id) row per
+    (user, type); the drained target must equal the batch latest_by_key
+    resolution (streaming/ops.run_upsert_to_parquet)."""
+    import tempfile
+
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    base = tempfile.mkdtemp(prefix="engine_upsert_")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    st.run_upsert_to_parquet(
+        _events_stream(spark, sf_dir), target, ckpt,
+        keys=["user_id", "event_type"], order=["ts", "event_id"],
+        payload=["ts", "value", "event_id"],
+    )
+    return spark.read.parquet(target).select(
+        "user_id", "event_type",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+@register(
     "stream_interval_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
@@ -4538,6 +4580,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "text_redact_pii",
     "text_curate_gate",
     "merge_latest_events",
+    "stream_upsert_latest",
     "s_json_roundtrip",
     "s_orc_roundtrip",
     # timestamp-reading entries whose only verdict predates the reader
@@ -4558,7 +4601,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     # r02-only verdicts, rotated back into the window ---------------------
     "q1_pricing_summary",
-    "q3_top_unshipped",
     "a9_corr_pairs",
     "stream_topk_users_daily",
     "simsearch_ivf_det_topk",

@@ -18,6 +18,7 @@ from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
     read_stream_parquet,
     run_to_memory,
     run_to_parquet,
+    run_upsert_to_parquet,
     session_agg,
     stream_dedup,
     stream_stream_interval_join,
@@ -29,6 +30,7 @@ __all__ = [
     "read_stream_parquet",
     "run_to_memory",
     "run_to_parquet",
+    "run_upsert_to_parquet",
     "session_agg",
     "stream_dedup",
     "stream_stream_interval_join",

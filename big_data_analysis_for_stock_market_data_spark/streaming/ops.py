@@ -286,6 +286,60 @@ def run_to_memory(
     return df.sparkSession, sink
 
 
+def run_upsert_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    order: Sequence[str],
+    payload: Sequence[str],
+) -> None:
+    """Streaming SCD-1 upsert sink (``foreachBatch`` merge): each
+    micro-batch is resolved to one candidate per key (max ``order`` tuple —
+    same contract as ``aggregates.latest_by_key``), merged with the current
+    parquet target, and the target is atomically replaced via a staging
+    directory + filesystem rename.
+
+    Exactly-once STATE: foreachBatch is at-least-once, but the merge is
+    idempotent (max_by over a total order), so a replayed batch converges to
+    the same target. At 100 TB the full-target rewrite becomes
+    partition-scoped: partition the target by a key-derived bucket column
+    and rewrite only the buckets the batch touches (dynamic partition
+    overwrite) — the merge logic is unchanged; only the write scope narrows.
+    """
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        latest_by_key,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        resolved = latest_by_key(batch_df, keys, order, payload)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        if fs.exists(hpath):
+            current = spark.read.parquet(path).select(*keys, *payload)
+            resolved = latest_by_key(
+                current.unionByName(resolved.select(*keys, *payload)),
+                keys, order, payload,
+            )
+        stage = f"{path}__stage_{batch_id}"
+        resolved.write.mode("overwrite").parquet(stage)
+        spage = jvm.org.apache.hadoop.fs.Path(stage)
+        fs.delete(hpath, True)
+        fs.rename(spage, hpath)
+
+    q = (
+        df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_parquet(
     df: DataFrame,
     path: str,

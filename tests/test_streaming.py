@@ -345,3 +345,54 @@ def test_run_to_parquet_exactly_once_across_restarts(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r.user_id for r in got.collect()} == {1, 2, 3}
+
+
+def test_upsert_sink_converges_and_is_idempotent(spark, tmp_path):
+    """SCD-1 upsert sink: incremental drains over growing source must equal
+    the batch latest-per-key resolution; a re-drain with no new data
+    changes nothing."""
+    src = tmp_path / "usrc"
+    src.mkdir()
+    target = str(tmp_path / "utarget")
+    ckpt = str(tmp_path / "uckpt")
+    pdf1 = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01"]),
+        "value": [10.0, 11.0, 20.0],
+    })
+    _write_batch(str(src), "b1.parquet", pdf1, time.time() - 50)
+
+    def drain():
+        stream = st.read_stream_parquet(spark, str(src), EVENTS_SCHEMA)
+        st.run_upsert_to_parquet(
+            stream, target, ckpt,
+            keys=["user_id"], order=["ts"], payload=["ts", "value"],
+        )
+
+    drain()
+    got = {r.user_id: (r.ts, r.value)
+           for r in spark.read.parquet(target).collect()}
+    assert got == {
+        1: (pd.Timestamp("2024-01-02"), 11.0),
+        2: (pd.Timestamp("2024-01-01"), 20.0),
+    }
+
+    drain()  # no new data: target unchanged
+    assert {r.user_id: (r.ts, r.value)
+            for r in spark.read.parquet(target).collect()} == got
+
+    # key 1 gets a NEWER version, key 2 an OLDER (late) one, key 3 is new
+    pdf2 = pd.DataFrame({
+        "user_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2024-01-05", "2023-12-25", "2024-01-03"]),
+        "value": [12.0, 19.0, 30.0],
+    })
+    _write_batch(str(src), "b2.parquet", pdf2, time.time() - 10)
+    drain()
+    got2 = {r.user_id: (r.ts, r.value)
+            for r in spark.read.parquet(target).collect()}
+    assert got2 == {
+        1: (pd.Timestamp("2024-01-05"), 12.0),  # upserted
+        2: (pd.Timestamp("2024-01-01"), 20.0),  # late row loses
+        3: (pd.Timestamp("2024-01-03"), 30.0),  # inserted
+    }
