@@ -40,8 +40,11 @@ HEADLINE = [
     "dedup_duplicate_groups",
     "dedup_minhash_near",
     "text_quality_stats",
+    "text_curate_gate",
+    "merge_latest_events",
     "simsearch_cosine_scores",
     "stream_tumbling_daily",
+    "stream_upsert_latest",
 ]
 
 STOCK_ROWS = 671_024  # the reference dataset's exact row count
