@@ -172,3 +172,41 @@ def test_hash_sampling_partition_invariant(spark):
     assert "__rank" not in sp.topk_per_group(
         df, "lang", [F.col("id").desc()], k=3
     ).columns
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=700,
+        ),
+        min_size=1, max_size=6,
+    ),
+    chunk=st.integers(min_value=20, max_value=120),
+    overlap=st.integers(min_value=0, max_value=19),
+)
+@SETTINGS
+def test_chunking_reconstructs_text(spark, texts, chunk, overlap):
+    """Lossless invariant: concatenating chunk 0 with every later chunk's
+    non-overlapping suffix reproduces the document exactly — no byte is
+    dropped or duplicated by the grid for ANY (chunk, overlap) choice."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = chunk_text(df, chunk_chars=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        if len(t) == 0:
+            assert i not in by_doc
+            continue
+        parts = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        rebuilt = parts[0].chunk_text + "".join(
+            p.chunk_text[overlap:] for p in parts[1:]
+        )
+        assert rebuilt == t
+        # every chunk except the tail is full-size
+        assert all(len(p.chunk_text) == chunk for p in parts[:-1])
