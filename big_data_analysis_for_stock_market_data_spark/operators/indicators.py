@@ -33,7 +33,7 @@ from collections.abc import Iterable, Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -120,6 +120,52 @@ def bollinger(df: DataFrame, n: int = 20, k: float = 2.0,
                 F.col(f"{p}middleband"),
             ),
         )
+    )
+
+
+def rolling_beta(
+    df: DataFrame,
+    n: int = 20,
+    value_col: str = "close",
+    market_col: str = "market",
+    partition_by="symbol",
+    order_by="date",
+    out: str | None = None,
+) -> DataFrame:
+    """Rolling beta of ``value_col`` against ``market_col`` over the
+    trailing ``n`` rows: cov(v, m) / var(m) — the BETA column family of the
+    reference dataset (FIXTURES.md §A; TA-Lib precomputed it upstream, the
+    engine computes it first-class).
+
+    Engine-exact by construction: ``beta = (c·Σvm − Σv·Σm) /
+    (c·Σm² − Σm·Σm)`` with EVERY term exact decimal — inputs rounded once
+    to scale 6, products/sums/differences exact, so the
+    cancellation-prone numerator and denominator are computed without any
+    float error (the naive ``Σvm − Σv·Σm/c`` double form amplifies 1-ulp
+    input drift arbitrarily when frame variance is small). One rounding to
+    scale 8 on each side, then a single double division — every rounding
+    step has identical semantics in Spark and any ANSI engine, so an SQL
+    twin is bit-identical. One window, no extra shuffle beyond the
+    (partition, order) the indicator family already uses.
+    """
+    fr = _frame(partition_by, order_by, n)
+    v6 = F.col(value_col).cast("decimal(12,6)")
+    m6 = F.col(market_col).cast("decimal(12,6)")
+    # exact products decimal(25,12); exact sums, tightened so the later
+    # multiplies stay inside precision 38 in both engines
+    p_vm = F.sum(v6 * m6).over(fr).cast("decimal(26,12)")
+    p_mm = F.sum(m6 * m6).over(fr).cast("decimal(26,12)")
+    sv = F.sum(v6).over(fr).cast("decimal(16,6)")
+    sm = F.sum(m6).over(fr).cast("decimal(16,6)")
+    c = F.count(market_col).over(fr).cast("decimal(4,0)")
+    num = (c * p_vm) - (sv * sm)   # decimal(34,12), exact
+    den = (c * p_mm) - (sm * sm)
+    # one deterministic rounding (scale 8: integer part fits a 53-bit
+    # mantissa, so decimal->double conversion agrees everywhere)
+    numd = num.cast("decimal(30,8)").cast("double")
+    dend = den.cast("decimal(30,8)").cast("double")
+    return df.withColumn(
+        out or f"beta{n}", F.try_divide(numd, F.nullif(dend, F.lit(0.0)))
     )
 
 

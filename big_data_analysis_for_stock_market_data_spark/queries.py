@@ -1428,6 +1428,69 @@ def ind_mfi_ultosc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ind_rolling_beta",
+    # market = decimal-exact per-day mean; beta = (c·Σvm − Σv·Σm) /
+    # (c·Σm² − Σm·Σm) with every term exact decimal (cancellation happens
+    # in EXACT arithmetic — the float form amplifies ulp drift when frame
+    # variance is small), one scale-8 rounding per side, one double divide
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER d AS DOUBLE)
+               / COUNT(value) OVER d AS market
+      FROM events
+      WINDOW d AS (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)))
+    ), b AS (
+      SELECT event_id, user_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(12,6))) OVER w
+                  AS DECIMAL(19,6)) AS sv,
+             CAST(SUM(CAST(market AS DECIMAL(12,6))) OVER w
+                  AS DECIMAL(19,6)) AS sm,
+             -- DECIMAL(19,6) operands force DuckDB's int128 multiply path
+             -- (12,6 x 12,6 would overflow int64); values identical
+             CAST(SUM(CAST(value AS DECIMAL(19,6))
+                      * CAST(market AS DECIMAL(19,6))) OVER w
+                  AS DECIMAL(26,12)) AS pvm,
+             CAST(SUM(CAST(market AS DECIMAL(19,6))
+                      * CAST(market AS DECIMAL(19,6))) OVER w
+                  AS DECIMAL(26,12)) AS pmm,
+             CAST(COUNT(market) OVER w AS DECIMAL(4,0)) AS c
+      FROM m
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           -- round() (half away from zero, = Spark's HALF_UP cast); a bare
+           -- decimal downcast TRUNCATES in DuckDB
+           CAST(round(c * pvm - sv * sm, 8) AS DOUBLE)
+           / NULLIF(CAST(round(c * pmm - sm * sm, 8) AS DOUBLE), 0.0)
+             AS beta20
+    FROM b
+    """,
+)
+def ind_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-event beta of each user's value against the day-mean
+    market proxy (the reference dataset's BETA column family, computed
+    first-class — operators/indicators.rolling_beta). Two windows, both on
+    low-cardinality keys (day, user): no global order anywhere."""
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    wday = Window.partitionBy(day)
+    market = (
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wday).cast("double")
+        / F.count("value").over(wday)
+    )
+    d = ind.rolling_beta(
+        ev.withColumn("market", market),
+        n=20, value_col="value", market_col="market",
+        partition_by="user_id", order_by="ts", out="beta20",
+    )
+    return d.select("event_id", "user_id", "ts", "beta20")
+
+
+@register(
     "ind_recursive_family",
     # Recursive-CTE twin of the pandas recurrences, written to be BIT-exact:
     # pandas ewm(adjust=False) folds y' = ((1-a)y + ax)/((1-a)+a) and skips
@@ -4583,6 +4646,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_upsert_latest",
     "s_json_roundtrip",
     "s_orc_roundtrip",
+    "ind_rolling_beta",
     # timestamp-reading entries whose only verdict predates the reader
     # changes (NTZ normalization) -----------------------------------------
     "asof_join_events",
@@ -4600,7 +4664,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "text_rolling_fingerprint",
     "agg_approx_distinct",
     # r02-only verdicts, rotated back into the window ---------------------
-    "q1_pricing_summary",
     "a9_corr_pairs",
     "stream_topk_users_daily",
     "simsearch_ivf_det_topk",

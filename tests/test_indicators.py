@@ -219,3 +219,34 @@ def test_enrich_parallel_matches_expr_engine(spark):
                 assert math.isclose(va, vb, rel_tol=tol, abs_tol=tol), (
                     c, ra.date, va, vb,
                 )
+
+
+def test_rolling_beta_matches_numpy_cov_var(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.indicators import (
+        rolling_beta,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 120
+    m = rng.normal(100.0, 3.0, n).round(4)
+    v = (0.8 * m + rng.normal(0.0, 2.0, n)).round(4)
+    df = spark.createDataFrame(
+        [Row(symbol="A", t=i, close=float(v[i]), market=float(m[i]))
+         for i in range(n)]
+    )
+    got = {
+        r.t: r.beta20
+        for r in rolling_beta(
+            df, n=20, value_col="close", market_col="market",
+            partition_by="symbol", order_by="t",
+        ).collect()
+    }
+    for t in (19, 60, n - 1):
+        vv, mm = v[t - 19:t + 1], m[t - 19:t + 1]
+        want = np.cov(vv, mm, ddof=1)[0, 1] / np.var(mm, ddof=1)
+        assert abs(got[t] - want) < 1e-6, (t, got[t], want)
+    # warm-up frames (fewer than n rows) still produce finite values
+    assert got[0] is None or isinstance(got[0], float)
