@@ -461,6 +461,55 @@ def kama(df: DataFrame, n: int = 10, fast: int = 2, slow: int = 30,
     return _recursive_apply(df, partition_by, order_by, {out_col: T.DoubleType()}, fn)
 
 
+def sar(df: DataFrame, partition_by="symbol", order_by="date", col="close",
+        af0: float = 0.02, af_max: float = 0.2,
+        out: str = "sar") -> DataFrame:
+    """Parabolic SAR (Wilder), single-series variant: the trailing
+    stop-and-reverse recurrence over one price column (the reference
+    dataset's SAR column, FIXTURES.md §A; TA-Lib precomputed it upstream).
+
+    State (sar, ep, af, trend) seeds at (x0, x0, af0, up); each step forms
+    the tentative ``sar + af·(ep − sar)``, reverses when price crosses it
+    (sar := prior extreme, ep := price, af := af0), otherwise ratchets the
+    extreme point and accelerates ``af`` by ``af0`` up to ``af_max``.
+    Branching recurrence → per-key applyInPandas (the recursive family's
+    sanctioned escape hatch); every float op is written in the exact order
+    an ANSI recursive-CTE twin evaluates, so the oracle is bit-identical.
+    """
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[col].to_numpy(dtype="float64")
+        m = len(x)
+        s = np.empty(m)
+        if m:
+            cur, ep, af, up = x[0], x[0], af0, True
+            s[0] = cur
+            for i in range(1, m):
+                t = cur + af * (ep - cur)
+                if up:
+                    if x[i] < t:
+                        up, cur, ep, af = False, ep, x[i], af0
+                    else:
+                        cur = t
+                        if x[i] > ep:
+                            ep = x[i]
+                            af = min(af + af0, af_max)
+                else:
+                    if x[i] > t:
+                        up, cur, ep, af = True, ep, x[i], af0
+                    else:
+                        cur = t
+                        if x[i] < ep:
+                            ep = x[i]
+                            af = min(af + af0, af_max)
+                s[i] = cur
+        pdf[out] = s
+        return pdf
+
+    return _recursive_apply(df, partition_by, order_by, {out: T.DoubleType()}, fn)
+
+
 def adx(df: DataFrame, n: int = 14, partition_by="symbol", order_by="date",
         out: str | None = None) -> DataFrame:
     """Average Directional Index (Wilder): smoothed +DM/-DM over smoothed TR

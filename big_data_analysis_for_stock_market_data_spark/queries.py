@@ -1491,6 +1491,71 @@ def ind_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ind_parabolic_sar",
+    # recursive-CTE twin of the SAR recurrence: state (sar, ep, af, up)
+    # carried per user in rn order; the tentative sar + af*(ep - sar) is
+    # repeated verbatim in each CASE so both engines evaluate the same
+    # float ops in the same order (bit-exact, like ind_recursive_family)
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, ts, event_id, x, rn,
+             x AS sar, x AS ep, CAST(0.02 AS DOUBLE) AS af, TRUE AS up
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts, b.event_id, b.x, b.rn,
+             CASE
+               WHEN r.up AND b.x < r.sar + r.af * (r.ep - r.sar) THEN r.ep
+               WHEN r.up THEN r.sar + r.af * (r.ep - r.sar)
+               WHEN NOT r.up AND b.x > r.sar + r.af * (r.ep - r.sar)
+                 THEN r.ep
+               ELSE r.sar + r.af * (r.ep - r.sar)
+             END AS sar,
+             CASE
+               WHEN r.up AND b.x < r.sar + r.af * (r.ep - r.sar) THEN b.x
+               WHEN r.up AND b.x > r.ep THEN b.x
+               WHEN r.up THEN r.ep
+               WHEN b.x > r.sar + r.af * (r.ep - r.sar) THEN b.x
+               WHEN b.x < r.ep THEN b.x
+               ELSE r.ep
+             END AS ep,
+             CASE
+               WHEN r.up AND b.x < r.sar + r.af * (r.ep - r.sar) THEN CAST(0.02 AS DOUBLE)
+               WHEN r.up AND b.x > r.ep THEN least(r.af + CAST(0.02 AS DOUBLE), CAST(0.2 AS DOUBLE))
+               WHEN r.up THEN r.af
+               WHEN b.x > r.sar + r.af * (r.ep - r.sar) THEN CAST(0.02 AS DOUBLE)
+               WHEN NOT r.up AND b.x < r.ep THEN least(r.af + CAST(0.02 AS DOUBLE), CAST(0.2 AS DOUBLE))
+               ELSE r.af
+             END AS af,
+             CASE
+               WHEN r.up AND b.x < r.sar + r.af * (r.ep - r.sar) THEN FALSE
+               WHEN NOT r.up AND b.x > r.sar + r.af * (r.ep - r.sar)
+                 THEN TRUE
+               ELSE r.up
+             END AS up
+      FROM rec r
+      JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ts, sar FROM rec
+    """,
+)
+def ind_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parabolic SAR over each user's value series — the branching
+    stop-and-reverse recurrence (operators/indicators.sar), per-key
+    applyInPandas, hash-verified against a recursive-CTE twin."""
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    ev = load(spark, sf_dir, "events")
+    d = ind.sar(ev, partition_by="user_id", order_by="ts", col="value")
+    return d.select("event_id", "user_id", "ts", "sar")
+
+
+@register(
     "ind_recursive_family",
     # Recursive-CTE twin of the pandas recurrences, written to be BIT-exact:
     # pandas ewm(adjust=False) folds y' = ((1-a)y + ax)/((1-a)+a) and skips
@@ -4647,6 +4712,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "s_json_roundtrip",
     "s_orc_roundtrip",
     "ind_rolling_beta",
+    "ind_parabolic_sar",
     # timestamp-reading entries whose only verdict predates the reader
     # changes (NTZ normalization) -----------------------------------------
     "asof_join_events",
@@ -4658,7 +4724,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sql_entry_daily_label",
     "j2_daygrain_fanout",
     "ind_sma_bollinger",
-    "ind_mom_roc",
     "ind_willr_stoch",
     "ind_mfi_ultosc",
     "text_rolling_fingerprint",

@@ -250,3 +250,24 @@ def test_rolling_beta_matches_numpy_cov_var(spark):
         assert abs(got[t] - want) < 1e-6, (t, got[t], want)
     # warm-up frames (fewer than n rows) still produce finite values
     assert got[0] is None or isinstance(got[0], float)
+
+
+def test_parabolic_sar_trails_and_reverses(spark):
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.indicators import sar
+
+    # deterministic rise then fall: SAR must trail below price while
+    # rising, then flip to the prior extreme on the break
+    xs = [100.0, 101.0, 102.0, 103.0, 104.0, 105.0, 90.0, 89.0, 88.0]
+    df = spark.createDataFrame(
+        [Row(symbol="A", t=i, close=x) for i, x in enumerate(xs)]
+    )
+    got = [r.sar for r in sar(df, order_by="t").orderBy("t").collect()]
+    assert got[0] == 100.0
+    for i in range(1, 6):          # uptrend: sar <= price, non-decreasing
+        assert got[i] <= xs[i] and got[i] >= got[i - 1] - 1e-12
+    assert got[6] == 105.0         # reversal lands on the prior extreme
+    for i in range(7, 9):          # downtrend: sar above price, declining
+        assert got[i] > xs[i]
+        assert got[i] <= got[i - 1]
