@@ -204,6 +204,41 @@ def w_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_time_range_frame",
+    # event-TIME frame, not row-count frame: RANGE over exact epoch
+    # microseconds, so sparse/bursty series aggregate over true 7-day
+    # trailing windows regardless of row density
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           COUNT(value) OVER w AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-DAY (not 7-row) aggregate per user: rangeBetween over
+    unix_micros — Spark's time-range frame, one shuffle on the user key.
+    The row-frame indicators assume dense series; this is the correct form
+    for sparse event streams."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count("value").over(w).alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+         .cast("double").alias("sum_7d"),
+    )
+
+
+@register(
     "fn_time_bucket",
     oracle=f"""
     SELECT user_id,
@@ -4713,6 +4748,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "s_orc_roundtrip",
     "ind_rolling_beta",
     "ind_parabolic_sar",
+    "w_time_range_frame",
     # timestamp-reading entries whose only verdict predates the reader
     # changes (NTZ normalization) -----------------------------------------
     "asof_join_events",
@@ -4724,7 +4760,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sql_entry_daily_label",
     "j2_daygrain_fanout",
     "ind_sma_bollinger",
-    "ind_willr_stoch",
     "ind_mfi_ultosc",
     "text_rolling_fingerprint",
     "agg_approx_distinct",
