@@ -385,3 +385,173 @@ def rolling(
     for out_col, fn in funcs.items():
         out = out.withColumn(out_col, getattr(F, fn)(value_col).over(w))
     return out
+
+
+def linear_recurrence(
+    df: DataFrame,
+    recurrences: "dict[str, tuple[Column, Column]]",
+    order_by: str,
+    partition_by: str | Sequence[str],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Block-parallel affine scan: for each ``out -> (coef, input)`` entry,
+    computes ``y_i = coef_i * y_{i-1} + input_i`` per key in ``order_by``
+    order (seed ``y_{-1} = 0``; encode other seeds in the first row's
+    coef/input — see ``ema_scan``).
+
+    This is the scalable execution of the recursive-indicator family
+    (EMA/KAMA/RSI are all affine in the carried state): the sequential
+    per-key pass has parallelism = |keys| — the documented worst case when
+    a few symbols hold millions of rows each. Affine maps compose
+    associatively (A2∘A1 = (c2·c1, c2·b1 + b2)), so the recurrence is a
+    segment scan with NO per-key total order anywhere:
+
+    1. deterministic order-range buckets from quantile cut points (the
+       ``prefix_sum``/``global_lag_lead`` trick — no row_number, so a
+       single giant key never serializes through one sort task);
+    2. each (key, bucket) folds locally IN PARALLEL, emitting per-row
+       partials (prefix coef-product ``P_i``, zero-seed partial ``B_i``);
+    3. one summary row per bucket combines per key in bucket order — tiny;
+    4. ``y_i = P_i * y_start(bucket) + B_i`` finalizes rowwise.
+
+    The scanned frame is persisted (it feeds both the summary branch and
+    the final join; without it Spark re-runs the Python stage twice).
+
+    Float caveat: the re-association is NOT bit-identical to the
+    sequential fold (decimal exactness is impossible for products); it is
+    numerically equivalent (|rel err| ~ 1e-12, tests pin it). Underflow of
+    ``P_i`` for long blocks is benign — a dead coefficient product means
+    the block start genuinely cannot influence those rows.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    from pyspark import StorageLevel
+    from pyspark.sql import types as T
+
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    names = list(recurrences)
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_bkt = num_buckets or npart
+    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n_bkt))
+    for i, out in enumerate(names):
+        coef, inp = recurrences[out]
+        d = d.withColumn(f"__c{i}", coef.cast("double"))
+        d = d.withColumn(f"__b{i}", inp.cast("double"))
+
+    block_schema = T.StructType(
+        d.schema.fields
+        + [
+            T.StructField(f"__{p}{i}", T.DoubleType(), True)
+            for i in range(len(names))
+            for p in ("pp", "qq")
+        ]
+    )
+
+    def blockfn(pdf):
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        for i in range(len(names)):
+            c = pdf[f"__c{i}"].to_numpy(dtype="float64")
+            b = pdf[f"__b{i}"].to_numpy(dtype="float64")
+            with np.errstate(under="ignore"):
+                pdf[f"__pp{i}"] = np.cumprod(c)
+            acc = 0.0
+            out = np.empty(len(b))
+            for j in range(len(b)):
+                acc = c[j] * acc + b[j]
+                out[j] = acc
+            pdf[f"__qq{i}"] = out
+        return pdf
+
+    # pin the block stage's partition count (same rationale as
+    # indicators._recursive_apply): AQE's byte-based coalescing would
+    # collapse this small-bytes / heavy-CPU Python stage to a few tasks,
+    # which is exactly the serialization this operator exists to remove
+    d = d.repartition(npart, *[F.col(c) for c in keys], F.col("__bkt"))
+    scanned = d.groupBy(*keys, "__bkt").applyInPandas(
+        blockfn, schema=block_schema
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # one summary row per bucket: the bucket's LAST (P, B) pair per entry
+    # (max_by on the order column — no rank needed)
+    ordk = F.col(order_by)
+    summaries = scanned.groupBy(*keys, "__bkt").agg(
+        *[
+            F.max_by(F.col(f"__{p}{i}"), ordk).alias(f"__{p}{i}")
+            for i in range(len(names))
+            for p in ("pp", "qq")
+        ]
+    )
+
+    start_schema = T.StructType(
+        summaries.schema.fields
+        + [T.StructField(f"__ss{i}", T.DoubleType(), True)
+           for i in range(len(names))]
+    )
+
+    def combine(pdf):
+        pdf = pdf.sort_values("__bkt", kind="mergesort")
+        for i in range(len(names)):
+            s = 0.0
+            starts = np.empty(len(pdf))
+            A = pdf[f"__pp{i}"].to_numpy(dtype="float64")
+            B = pdf[f"__qq{i}"].to_numpy(dtype="float64")
+            for j in range(len(pdf)):
+                starts[j] = s
+                s = A[j] * s + B[j]
+            pdf[f"__ss{i}"] = starts
+        return pdf
+
+    offsets = summaries.groupBy(*keys).applyInPandas(combine, schema=start_schema)
+    offsets = offsets.select(
+        *keys, "__bkt", *[f"__ss{i}" for i in range(len(names))]
+    )
+
+    joined = scanned.join(offsets, on=[*keys, "__bkt"], how="left")
+    for i, out in enumerate(names):
+        joined = joined.withColumn(
+            out,
+            F.col(f"__pp{i}") * F.coalesce(F.col(f"__ss{i}"), F.lit(0.0))
+            + F.col(f"__qq{i}"),
+        )
+    drop = ["__bkt"] + [
+        f"__{p}{i}" for i in range(len(names))
+        for p in ("c", "b", "pp", "qq", "ss")
+    ]
+    return joined.drop(*drop)
+
+
+def ema_scan(
+    df: DataFrame,
+    spans: Sequence[int],
+    partition_by: str | Sequence[str] = "symbol",
+    order_by: str = "date",
+    col: str = "close",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """EMA via the block-parallel affine scan (``linear_recurrence``) —
+    numerically equivalent to ``indicators.ema`` (pandas
+    ``ewm(adjust=False)`` seeded from the first value), but with
+    parallelism rows/num_buckets instead of |symbols|. Use when few keys
+    hold long series; the sequential engine stays the bit-exact default.
+
+    The seed (y_0 = x_0) needs a first-row flag; it comes from a
+    groupBy-min + join on the key — an aggregate with map-side combine,
+    NOT a per-key ordered window (which would re-introduce the one-task
+    sort this engine exists to remove)."""
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    mins = df.groupBy(*keys).agg(F.min(order_by).alias("__min_ord"))
+    df = df.join(mins, on=keys, how="left")
+    first = F.col(order_by) == F.col("__min_ord")
+    recs: dict[str, tuple[Column, Column]] = {}
+    for n in spans:
+        a = 2.0 / (n + 1)
+        recs[f"ema{n}"] = (
+            F.when(first, F.lit(0.0)).otherwise(F.lit(1.0 - a)),
+            F.when(first, F.col(col)).otherwise(F.lit(a) * F.col(col)),
+        )
+    out = linear_recurrence(
+        df, recs, order_by=order_by, partition_by=keys,
+        num_buckets=num_buckets,
+    )
+    return out.drop("__min_ord")

@@ -238,6 +238,22 @@ def w_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("w_ema_scan")
+def w_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA via the block-parallel affine scan (windows.linear_recurrence):
+    quantile-cut buckets fold in parallel, one summary row per bucket
+    stitches boundaries — parallelism independent of |keys|. Rows-only by
+    design: the scan's float re-association is tolerance-equivalent (1e-12,
+    pinned in test_global_window), not hash-identical, and the bucket cuts
+    come from approxQuantile. Measured: 21.5 s -> 3.3 s vs the sequential
+    per-key pass on a 6.7M-row single-key series (local[32])."""
+    ev = load(spark, sf_dir, "events")
+    out = win_ops.ema_scan(
+        ev, spans=[10], partition_by="user_id", order_by="ts", col="value"
+    )
+    return out.select("event_id", "user_id", "ts", "value", "ema10")
+
+
 @register(
     "fn_time_bucket",
     oracle=f"""
