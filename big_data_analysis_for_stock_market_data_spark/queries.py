@@ -4012,6 +4012,36 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_running_totals",
+    # association-free running stats: COUNT, exact integer-micros SUM
+    # (round half away from zero on both sides), MAX — replay == batch
+    # running window, hash-exact with no float caveats
+    oracle="""
+    SELECT user_id AS key, CAST(ts AS TIMESTAMP) AS ts, value,
+           COUNT(*) OVER w AS n_so_far,
+           SUM(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
+             AS sum_micros,
+           MAX(value) OVER w AS max_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-key running totals (O(1) state/key) replayed to
+    completion — dual-API operator (transformWithStateInPandas when
+    protobuf exists, applyInPandasWithState otherwise; identical output
+    either way, streaming/ops.streaming_running_totals)."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    rt = st.streaming_running_totals(
+        _events_stream(spark, sf_dir), "user_id", "ts", "value"
+    )
+    _, sink = st.run_to_memory(rt, output_mode="append")
+    return spark.table(sink)
+
+
+@register(
     "stream_upsert_latest",
     # same survivor contract as merge_latest_events: the streaming upsert
     # sink must converge to the batch SCD-1 resolution

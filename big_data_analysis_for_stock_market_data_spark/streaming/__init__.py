@@ -23,6 +23,7 @@ from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
     stream_dedup,
     stream_stream_interval_join,
     streaming_ema,
+    streaming_running_totals,
     windowed_agg,
 )
 
@@ -35,5 +36,6 @@ __all__ = [
     "stream_dedup",
     "stream_stream_interval_join",
     "streaming_ema",
+    "streaming_running_totals",
     "windowed_agg",
 ]

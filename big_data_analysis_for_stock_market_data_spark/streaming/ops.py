@@ -235,6 +235,134 @@ def streaming_ema(
     )
 
 
+_RUNNING_TOTALS_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_so_far", T.LongType()),
+        T.StructField("sum_micros", T.LongType()),
+        T.StructField("max_so_far", T.DoubleType()),
+    ]
+)
+_RUNNING_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def _fold_running_totals(key, pdf: pd.DataFrame, ts_col, value_col, n, s, mx):
+    """Shared fold: one sorted micro-batch into running (n, sum_micros,
+    max). Integer adds + max are association-free, so a replay is exactly
+    the batch running-window twin. Micros round half away from zero (the
+    ANSI round semantics), keeping the fold and a SQL twin bit-identical."""
+    import numpy as np
+
+    pdf = pdf.sort_values(ts_col, kind="mergesort")
+    vals = pdf[value_col].to_numpy(dtype="float64")
+    ns = np.empty(len(vals), dtype="int64")
+    ss = np.empty(len(vals), dtype="int64")
+    ms = np.empty(len(vals), dtype="float64")
+    for i, v in enumerate(vals):
+        n += 1
+        micros = v * 1_000_000.0
+        s += int(np.floor(abs(micros) + 0.5) * (1 if micros >= 0 else -1))
+        mx = v if mx is None else max(mx, v)
+        ns[i], ss[i], ms[i] = n, s, mx
+    out = pd.DataFrame(
+        {
+            "key": key, "ts": pdf[ts_col], "value": vals,
+            "n_so_far": ns, "sum_micros": ss, "max_so_far": ms,
+        }
+    )
+    return out, n, s, mx
+
+
+def streaming_running_totals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    api: str = "auto",
+) -> DataFrame:
+    """Per-key running totals (count, exact integer-micros sum, max so
+    far) with O(1) state per key, on either stateful API:
+
+    - ``api='transform_with_state'``: Spark 4's
+      ``transformWithStateInPandas`` (StatefulProcessor + ValueState) —
+      the modern API; its Python worker needs ``protobuf``;
+    - ``api='apply_in_pandas'``: ``applyInPandasWithState`` (GroupState)
+      — dependency-free;
+    - ``api='auto'``: modern API when protobuf is importable, else the
+      GroupState path. Outputs are identical either way (every statistic
+      is association-free), so the choice is an execution detail, not a
+      semantic one.
+    """
+    if api == "auto":
+        try:
+            import google.protobuf  # noqa: F401
+            api = "transform_with_state"
+        except ImportError:
+            api = "apply_in_pandas"
+
+    if api == "apply_in_pandas":
+        def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+            n, s, mx = state.get if state.exists else (0, 0, None)
+            for pdf in pdfs:
+                out, n, s, mx = _fold_running_totals(
+                    key[0], pdf, ts_col, value_col, n, s, mx
+                )
+                yield out
+            state.update((n, s, mx))
+
+        return df.groupBy(key_col).applyInPandasWithState(
+            fold,
+            outputStructType=_RUNNING_TOTALS_OUT,
+            stateStructType=_RUNNING_TOTALS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    if api != "transform_with_state":
+        raise ValueError(f"unknown api {api!r}")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", _RUNNING_TOTALS_STATE
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, s, mx = self._totals.get()
+            else:
+                n, s, mx = 0, 0, None
+            for pdf in rows:
+                out, n, s, mx = _fold_running_totals(
+                    key[0], pdf, ts_col, value_col, n, s, mx
+                )
+                yield out
+            self._totals.update((n, s, mx))
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_RUNNING_TOTALS_OUT,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -396,3 +396,26 @@ def test_upsert_sink_converges_and_is_idempotent(spark, tmp_path):
         2: (pd.Timestamp("2024-01-01"), 20.0),  # late row loses
         3: (pd.Timestamp("2024-01-03"), 30.0),  # inserted
     }
+
+
+def test_running_totals_state_resumes_across_batches(spark, stream_dir):
+    """Running totals must carry (n, sum, max) state across micro-batches:
+    the two-file source replays as two batches, and the final per-key
+    totals equal the batch computation over everything."""
+    d, pdf = stream_dir
+    stream = st.read_stream_parquet(spark, d, EVENTS_SCHEMA)
+    rt = st.streaming_running_totals(stream, "user_id", "ts", "value")
+    _, sink = st.run_to_memory(rt, output_mode="append")
+    got = spark.table(sink).toPandas()
+    assert len(got) == len(pdf)
+    import numpy as np
+    for uid, grp in pdf.sort_values("ts").groupby("user_id"):
+        sub = got[got.key == uid].sort_values("ts")
+        assert sub.n_so_far.tolist() == list(range(1, len(grp) + 1))
+        vals = grp.value.to_numpy()
+        micros = vals * 1e6
+        want_sum = np.cumsum(
+            (np.floor(np.abs(micros) + 0.5) * np.sign(micros)).astype("int64")
+        )
+        assert sub.sum_micros.tolist() == want_sum.tolist()
+        assert sub.max_so_far.tolist() == np.maximum.accumulate(vals).tolist()
