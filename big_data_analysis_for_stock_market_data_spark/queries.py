@@ -4790,6 +4790,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "text_curate_gate",
     "merge_latest_events",
     "stream_upsert_latest",
+    "stream_running_totals",
     "s_json_roundtrip",
     "s_orc_roundtrip",
     "ind_rolling_beta",
@@ -4801,7 +4802,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "fn_time_bucket",
     "w_prefix_sum",
     "w1_lag_label_parity",
-    "w3_lead_label",
     "w2_daily_lag_avg",
     "sql_entry_daily_label",
     "j2_daygrain_fanout",
