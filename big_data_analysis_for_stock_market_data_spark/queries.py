@@ -4493,6 +4493,168 @@ def stock_fixture_daily_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stock_closed_form_indicators",
+    # fixture CTE duplicated verbatim from stock_fixture_daily_label (kept
+    # inline so neither oracle can drift when the other is edited); on top:
+    # the closed-form indicator surface with exact-decimal window sums —
+    # variance via the beta trick (c·Σx² − (Σx)² computed in EXACT decimal,
+    # one scale-8 round) so Bollinger is deterministic cross-engine
+    oracle=f"""
+    WITH base AS (
+      SELECT t.range AS id,
+             t.range % 4 AS symbol_id,
+             t.range // 4 AS i
+      FROM range(0, 10000) t
+    ),
+    stepped AS (
+      SELECT *,
+             TIMESTAMP '2015-01-05 09:30:00'
+               + (i // 390) * INTERVAL 1 DAY
+               + (i % 390) * INTERVAL 1 MINUTE AS ts,
+             ({_STK_U.format(x="(id + 42)::VARCHAR", salt="1")} - 0.5)
+               * 0.002 AS step
+      FROM base
+    ),
+    summed AS (
+      SELECT *,
+             CAST(SUM(CAST(step AS DECIMAL(28,8))) OVER (
+               PARTITION BY symbol_id ORDER BY i) AS DOUBLE) AS cumret
+      FROM stepped
+    ),
+    priced AS (
+      SELECT *, exp(ln(100.0 + symbol_id * 10) + cumret) AS close
+      FROM summed
+    ),
+    ohlc AS (
+      SELECT *,
+             COALESCE(LAG(close) OVER (
+               PARTITION BY symbol_id ORDER BY i), close) AS open,
+             1.0 + {_STK_U.format(x="(id + 42)::VARCHAR", salt="2")}
+               * 0.001 AS spread_hi,
+             1.0 - {_STK_U.format(x="(id + 42)::VARCHAR", salt="3")}
+               * 0.001 AS spread_lo
+      FROM priced
+    ),
+    bars AS (
+      SELECT 'SYM' || symbol_id AS symbol, symbol_id, i, ts, open, close,
+             GREATEST(open, close) * spread_hi AS high,
+             LEAST(open, close) * spread_lo AS low
+      FROM ohlc
+    ),
+    r AS (
+      SELECT symbol, symbol_id, i, ts,
+             ROUND(close, 6) AS x, ROUND(high, 6) AS h, ROUND(low, 6) AS l
+      FROM bars
+    ),
+    wnd AS (
+      SELECT symbol, symbol_id, i, ts, x, h, l,
+             CAST(SUM(CAST(x AS DECIMAL(12,6))) OVER f20
+                  AS DECIMAL(19,6)) AS s,
+             CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+                  OVER f20 AS DECIMAL(26,12)) AS p,
+             COUNT(x) OVER f20 AS c,
+             MAX(h) OVER f14 AS hh,
+             MIN(l) OVER f14 AS ll,
+             LAG(x, 10) OVER o AS x10,
+             LAG(x, 1) OVER o AS x1
+      FROM r
+      WINDOW o AS (PARTITION BY symbol_id ORDER BY i),
+             f20 AS (PARTITION BY symbol_id ORDER BY i
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             f14 AS (PARTITION BY symbol_id ORDER BY i
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    trs AS (
+      SELECT *,
+             GREATEST(h, COALESCE(x1, x)) - LEAST(l, COALESCE(x1, x)) AS tr
+      FROM wnd
+    ),
+    atr AS (
+      SELECT *,
+             CAST(SUM(CAST(tr AS DECIMAL(18,6))) OVER f14b AS DOUBLE)
+               / COUNT(tr) OVER f14b AS atr14
+      FROM trs
+      WINDOW f14b AS (PARTITION BY symbol_id ORDER BY i
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, ts, x AS close,
+           CAST(s AS DOUBLE) / c AS sma20,
+           CASE WHEN c > 1 THEN CAST(s AS DOUBLE) / c
+                + 2 * sqrt(CAST(round(CAST(c AS DECIMAL(4,0)) * p - s * s, 8)
+                                AS DOUBLE) / (c * (c - 1))) END AS upperband,
+           CASE WHEN c > 1 THEN CAST(s AS DOUBLE) / c
+                - 2 * sqrt(CAST(round(CAST(c AS DECIMAL(4,0)) * p - s * s, 8)
+                                AS DOUBLE) / (c * (c - 1))) END AS lowerband,
+           x - x10 AS mom10,
+           100.0 * (x - x10) / NULLIF(x10, 0.0) AS roc10,
+           -100.0 * (hh - x) / NULLIF(hh - ll, 0.0) AS willr14,
+           100.0 * (x - ll) / NULLIF(hh - ll, 0.0) AS fastk14,
+           (h + l + x) / 3.0 AS typprice,
+           tr AS trange,
+           atr14
+    FROM atr
+    """,
+)
+def stock_closed_form_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closed-form indicator surface (SMA/Bollinger/MOM/ROC/WILLR/
+    fastk/TYPPRICE/TRANGE/ATR) computed on the certified stock fixture and
+    hash-verified end-to-end: fixture regeneration + every window formula
+    replayed in SQL. Inputs quantized to 6dp (absorbing the fixture's
+    documented cross-engine ulp drift); variance via exact-decimal
+    c·Σx² − (Σx)² — deterministic Bollinger bands (the beta technique)."""
+    from big_data_analysis_for_stock_market_data_spark import stock
+
+    bars = stock.make_stock_fixture(
+        spark, n_rows=10_000, n_symbols=4, hash_fn="md5"
+    )
+    x = F.round(F.col("close"), 6)
+    h = F.round(F.col("high"), 6)
+    low = F.round(F.col("low"), 6)
+    w = Window.partitionBy("symbol").orderBy("date")
+    fr20 = w.rowsBetween(-19, 0)
+    fr14 = w.rowsBetween(-13, 0)
+
+    xd = x.cast("decimal(12,6)")
+    s = F.sum(xd).over(fr20).cast("decimal(16,6)")
+    p = F.sum(xd * xd).over(fr20).cast("decimal(26,12)")
+    c = F.count(F.col("close")).over(fr20)
+    num = (
+        (c.cast("decimal(4,0)") * p - s * s)
+        .cast("decimal(30,8)").cast("double")
+    )
+    sma20 = s.cast("double") / c
+    sd = F.sqrt(num / (c * (c - 1)))
+    hh = F.max(h).over(fr14)
+    ll = F.min(low).over(fr14)
+    x10 = F.lag(x, 10).over(w)
+    x1 = F.lag(x, 1).over(w)
+    tr = (
+        F.greatest(h, F.coalesce(x1, x)) - F.least(low, F.coalesce(x1, x))
+    )
+    d = bars.select(
+        "symbol", F.col("date").alias("ts"), x.alias("close"),
+        sma20.alias("sma20"),
+        F.when(c > 1, sma20 + 2 * sd).alias("upperband"),
+        F.when(c > 1, sma20 - 2 * sd).alias("lowerband"),
+        (x - x10).alias("mom10"),
+        F.try_divide(100.0 * (x - x10), F.nullif(x10, F.lit(0.0)))
+            .alias("roc10"),
+        F.try_divide(-100.0 * (hh - x), F.nullif(hh - ll, F.lit(0.0)))
+            .alias("willr14"),
+        F.try_divide(100.0 * (x - ll), F.nullif(hh - ll, F.lit(0.0)))
+            .alias("fastk14"),
+        ((h + low + x) / 3.0).alias("typprice"),
+        tr.alias("trange"),
+    )
+    w2 = Window.partitionBy("symbol").orderBy("ts").rowsBetween(-13, 0)
+    atr14 = (
+        F.sum(F.col("trange").cast("decimal(18,6)")).over(w2).cast("double")
+        / F.count("trange").over(w2)
+    )
+    return d.withColumn("atr14", atr14)
+
+
 @register("stock_feature_frame")  # fixture-generated: rows-only
 def stock_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full FE+label pipeline (G_2_rf_nordd_fe.py:47-313)
@@ -4796,10 +4958,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ind_rolling_beta",
     "ind_parabolic_sar",
     "w_time_range_frame",
+    "stock_closed_form_indicators",
     # timestamp-reading entries whose only verdict predates the reader
     # changes (NTZ normalization) -----------------------------------------
     "asof_join_events",
-    "fn_time_bucket",
     "w_prefix_sum",
     "w1_lag_label_parity",
     "w2_daily_lag_avg",
