@@ -1479,6 +1479,56 @@ def ind_mfi_ultosc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ind_cci20",
+    # CCI's nested dependence on the CURRENT frame's SMA: exact-decimal
+    # SMA; the mean-deviation fold replays Spark's sequential aggregate()
+    # with list_reduce in the same frame order; 0.015 CAST AS DOUBLE
+    # (decimal literal otherwise)
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,6))) OVER fr
+                       AS DECIMAL(16,6)) AS DOUBLE)
+               / COUNT(value) OVER fr AS sma,
+             list(value) OVER fr AS arr
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           (value - sma) / NULLIF(CAST(0.015 AS DOUBLE)
+             * (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(arr, x -> abs(x - sma))),
+                  (a, b) -> a + b) / len(arr)), 0.0) AS cci20
+    FROM w
+    """,
+)
+def ind_cci20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index (single-series form) with the engine's
+    collect_list + higher-order aggregate mean-deviation — exact-decimal
+    SMA so the nested fold is cross-engine deterministic
+    (operators/indicators.cci is the OHLC production form)."""
+    ev = load(spark, sf_dir, "events")
+    fr = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-19, 0)
+    s = (
+        F.sum(F.col("value").cast("decimal(12,6)")).over(fr)
+        .cast("decimal(16,6)").cast("double")
+    )
+    c = F.count("value").over(fr)
+    sma = s / c
+    arr = F.collect_list("value").over(fr)
+    mean_dev = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + F.abs(x - sma)
+    ) / F.size(arr)
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.try_divide(
+            F.col("value") - sma, F.nullif(0.015 * mean_dev, F.lit(0.0))
+        ).alias("cci20"),
+    )
+
+
+@register(
     "ind_rolling_beta",
     # market = decimal-exact per-day mean; beta = (c·Σvm − Σv·Σm) /
     # (c·Σm² − Σm·Σm) with every term exact decimal (cancellation happens
@@ -4495,6 +4545,7 @@ def stock_fixture_daily_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stock_closed_form_indicators",
+    "ind_cci20",
     # fixture CTE duplicated verbatim from stock_fixture_daily_label (kept
     # inline so neither oracle can drift when the other is edited); on top:
     # the closed-form indicator surface with exact-decimal window sums —
@@ -4931,7 +4982,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_tumbling_daily",      # r03 RED (timestamp-unit fix)
     "stream_sliding_2d",
     "stream_session_30m",
-    "stream_dedup_keys",          # green r03 but reader changed
     "stream_interval_join",
     "stream_ema_user",
     "fn_array_suite",             # r03 ERR (arrays now scalar-projected)
@@ -4959,6 +5009,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ind_parabolic_sar",
     "w_time_range_frame",
     "stock_closed_form_indicators",
+    "ind_cci20",
     # timestamp-reading entries whose only verdict predates the reader
     # changes (NTZ normalization) -----------------------------------------
     "asof_join_events",
