@@ -4545,7 +4545,6 @@ def stock_fixture_daily_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stock_closed_form_indicators",
-    "ind_cci20",
     # fixture CTE duplicated verbatim from stock_fixture_daily_label (kept
     # inline so neither oracle can drift when the other is edited); on top:
     # the closed-form indicator surface with exact-decimal window sums —
