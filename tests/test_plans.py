@@ -222,3 +222,18 @@ def test_curate_gate_one_scan_one_shuffle(spark):
     assert P.count_shuffles(df) == 1
     schemas = P.read_schemas(df)
     assert len(schemas) == 1
+
+
+def test_cci_single_window_shuffle(spark):
+    # nested-SMA mean deviation stays one window: one exchange, no Python
+    df = q(spark, "ind_cci20")
+    assert P.count_shuffles(df) == 1
+    s = P.explain_str(df)
+    assert not any(n in s for n in P.PYTHON_NODES)
+
+
+def test_closed_form_indicator_surface_shuffles(spark):
+    # fixture prefix-sum + one symbol-keyed window layer; the whole
+    # 11-column indicator surface must not re-shuffle per indicator
+    df = q(spark, "stock_closed_form_indicators")
+    assert P.count_shuffles(df) <= 3

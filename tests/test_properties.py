@@ -210,3 +210,41 @@ def test_chunking_reconstructs_text(spark, texts, chunk, overlap):
         assert rebuilt == t
         # every chunk except the tail is full-size
         assert all(len(p.chunk_text) == chunk for p in parts[:-1])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=5),   # ts (ties across keys ok)
+            st.integers(min_value=0, max_value=99),  # version id
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@SETTINGS
+def test_latest_by_key_equals_window_formulation(spark, rows):
+    """The max_by(struct) hash-aggregate merge must pick exactly the row
+    the row_number()-window formulation picks, for any key/ts/id mix
+    (incl. ts ties broken by id)."""
+    from pyspark.sql import Window
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        latest_by_key,
+    )
+
+    # make (key, ts, id) unique so both formulations are deterministic
+    uniq = list({(k, t, i) for k, t, i in rows})
+    df = spark.createDataFrame(uniq, "k int, ts int, vid int")
+    got = {
+        r.k: (r.ts, r.vid)
+        for r in latest_by_key(
+            df, keys=["k"], order=["ts", "vid"], payload=["ts", "vid"]
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("ts").desc(), F.col("vid").desc())
+    want = {
+        r.k: (r.ts, r.vid)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").collect()
+    }
+    assert got == want
