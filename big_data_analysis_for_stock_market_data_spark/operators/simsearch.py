@@ -500,3 +500,127 @@ def ivf_det_topk(
         .filter(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression half of IVF-PQ, the
+# canonical web-scale ANN layout. A d-dim vector becomes m sub-codes (one
+# per d/m-dim subspace); approximate distances come from per-subspace
+# lookup tables (ADC), so the corpus is scanned as m bytes/vector instead
+# of d floats — at 100 TB that is the difference between RAM-resident and
+# not. Codebook families mirror the LSH/IVF precedent: 'md5' derives
+# centroid components from md5-60 uniforms INSIDE the expression (no
+# dim-sized literals, externally replayable in any SQL engine — the oracle
+# mode); a SparkML-KMeans-trained codebook would be the quality-tuned
+# production variant (same encode/ADC machinery).
+# ---------------------------------------------------------------------------
+
+def _pq_centroid(sub: Column, cent: Column, j: Column) -> Column:
+    """Deterministic codebook component in [-1, 1]: md5-60 uniform of
+    (sub, cent, j) — identical hex, hence identical double, in every
+    engine."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", sub, cent, j, F.lit("pq"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    return (h % 1000000007) / 1000000007.0 * 2.0 - 1.0
+
+
+def _pq_subdist(vec: Column, sub: Column, cent: Column, d_sub: int) -> Column:
+    """Σ_j (vec[sub·d_sub + j] − centroid(sub, cent, j))² — left-to-right
+    fold, matching an external list_reduce replay."""
+    idx = F.sequence(F.lit(0), F.lit(d_sub - 1))
+    return F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, j: acc + F.pow(
+            F.element_at(vec, (sub * d_sub + j + 1).cast("int")).cast("double")
+            - _pq_centroid(sub, cent, j),
+            F.lit(2.0),
+        ),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as m sub-codes: per subspace, the argmin-distance
+    centroid (first index on exact ties). Pure expressions — the k×d_sub
+    loop lives in runtime ``transform``/``aggregate``, not in the plan
+    tree, so codegen stays small at any (m, k)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    vec = F.col(col)
+    subs = F.sequence(F.lit(0), F.lit(m - 1))
+    code = F.transform(
+        subs,
+        lambda s: (
+            F.array_position(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda c: _pq_subdist(vec, s, c, d_sub),
+                ),
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(k - 1)),
+                        lambda c: _pq_subdist(vec, s, c, d_sub),
+                    )
+                ),
+            ) - 1
+        ).cast("int"),
+    )
+    return df.withColumn(out, code)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_neighbors: int = 5,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_col: str = "qvec",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k: corpus vectors are scanned by their PQ codes only; the
+    query side computes the m×k distance table and each candidate's
+    approximate distance is Σ_s table[s][code_s] — m lookups per vector.
+    Scores round to 6 dp before ranking (near-ties order identically
+    across engines); ties break on neighbor id. The query set broadcasts
+    (same contract as brute_force_topk)."""
+    d_sub = dim // m
+    encoded = pq_encode(corpus, col=col, m=m, k=k, dim=dim)
+    joined = encoded.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    qvec = F.col(query_col)
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: _pq_subdist(qvec, s, c.cast("bigint"), d_sub),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(approx, 6).alias("approx_sqdist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_sqdist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_neighbors)
+    )

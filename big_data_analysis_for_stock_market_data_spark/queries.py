@@ -2587,6 +2587,83 @@ def simsearch_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pq_cent(s: str, c: str, j: str) -> str:
+    """DuckDB twin of simsearch._pq_centroid (md5-60 uniform in [-1, 1])."""
+    key = f"{s} || ':' || {c} || ':' || {j} || ':pq'"
+    return (
+        f"((CAST(('0x' || substr(md5({key}), 1, 15)) AS BIGINT)"
+        " % 1000000007) / 1000000007.0 * 2.0 - 1.0)"
+    )
+
+
+def _duck_pq_subdist(vec: str, s: str, c: str, d_sub: int = 8) -> str:
+    """DuckDB twin of simsearch._pq_subdist (left fold in j order)."""
+    cent = _duck_pq_cent(s, c, "j")
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(0, {d_sub}),"
+        f" j -> pow({vec}[{s} * {d_sub} + j + 1] - {cent}, 2.0))),"
+        " (a, b) -> a + b)"
+    )
+
+
+@register(
+    "simsearch_pq_topk",
+    # full replay: md5-derived codebook, per-subspace argmin encode
+    # (list_position = first-index tiebreak, matching array_position),
+    # ADC distance = sum of the query's per-subspace table entries at the
+    # corpus codes; rank on 6-dp-rounded distance
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 3
+    ),
+    enc AS (
+      SELECT vec_id,
+             list_transform(range(0, 8), s ->
+               list_position(
+                 list_transform(range(0, 16), c ->
+                   {_duck_pq_subdist('embedding', 's', 'c')}),
+                 list_min(list_transform(range(0, 16), c ->
+                   {_duck_pq_subdist('embedding', 's', 'c')}))
+               ) - 1) AS code
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, 8), s ->
+                 {_duck_pq_subdist('q.qvec', 's', 'e.code[s + 1]')})),
+               (a, b) -> a + b), 6) AS approx_sqdist
+      FROM enc e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, approx_sqdist, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY approx_sqdist, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def simsearch_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8×16 md5-derived codebook, per-subspace
+    argmin encode, ADC lookup scoring — the corpus is scanned as 8
+    sub-codes per vector instead of 64 floats (the memory-compression
+    half of IVF-PQ; operators/simsearch.pq_encode / pq_topk)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ss.pq_topk(
+        emb, queries_df, n_neighbors=5, m=8, k=16, dim=64
+    ).select("query_id", "neighbor_id", "approx_sqdist", "rank")
+
+
 @register(
     "simsearch_bruteforce_topk",
     oracle=f"""
@@ -5009,6 +5086,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "w_time_range_frame",
     "stock_closed_form_indicators",
     "ind_cci20",
+    "simsearch_pq_topk",
     # timestamp-reading entries whose only verdict predates the reader
     # changes (NTZ normalization) -----------------------------------------
     "asof_join_events",
@@ -5020,7 +5098,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ind_sma_bollinger",
     "ind_mfi_ultosc",
     "text_rolling_fingerprint",
-    "agg_approx_distinct",
     # r02-only verdicts, rotated back into the window ---------------------
     "a9_corr_pairs",
     "stream_topk_users_daily",

@@ -146,3 +146,35 @@ def test_ivf_det_full_probe_equals_bruteforce(spark):
         for r in ss.deterministic_kmeans(emb.repartition(5), 8, 2).collect()
     }
     assert c1 == c2
+
+
+def test_pq_encode_range_and_adc_identity(spark):
+    """PQ codes land in [0, k); an exact duplicate of the query vector is
+    the ADC top-1 neighbor (its codes equal the query's argmin codes, so
+    its ADC distance is the global minimum over code space)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        simsearch as ss,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0.0, 1.0, (50, 64)).astype("float32")
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+            for i in range(50)]
+    rows.append(Row(vec_id=999, embedding=[float(x) for x in vecs[0]]))
+    df = spark.createDataFrame(rows)
+
+    enc = ss.pq_encode(df, m=8, k=16, dim=64)
+    codes = {r.vec_id: r.pq_code for r in enc.collect()}
+    assert all(0 <= c < 16 for code in codes.values() for c in code)
+    assert all(len(code) == 8 for code in codes.values())
+    assert codes[999] == codes[0]  # identical vectors -> identical codes
+
+    queries = df.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding AS qvec"
+    )
+    top = ss.pq_topk(df, queries, n_neighbors=3, m=8, k=16, dim=64)
+    first = top.filter("rank = 1").head()
+    assert first.neighbor_id == 999
