@@ -2777,7 +2777,9 @@ _IVF_DIST = (
 )
 
 
-def _ivf_oracle_sql(n_clusters=8, n_iters=2, n_probe=3, k=5, dim=64) -> str:
+def _ivf_oracle_sql(
+    n_clusters=8, n_iters=2, n_probe=3, k=5, dim=64, scoring="cosine"
+) -> str:
     dist_ec = _IVF_DIST.format(v="e.embedding", c="c.centroid")
     ctes = [
         f"""cent0 AS (
@@ -2837,7 +2839,8 @@ def _ivf_oracle_sql(n_clusters=8, n_iters=2, n_probe=3, k=5, dim=64) -> str:
         WHERE q.vec_id < 3
       ) WHERE rn <= {n_probe}
     )""")
-    ctes.append(f"""scored AS (
+    if scoring == "cosine":
+        ctes.append(f"""scored AS (
       SELECT DISTINCT p.qid AS query_id, a.vec_id AS neighbor_id,
              ROUND({_duck_dot('a.embedding', 'p.qvec')}
                    / ({_duck_norm('a.embedding')} * {_duck_norm('p.qvec')}),
@@ -2845,12 +2848,44 @@ def _ivf_oracle_sql(n_clusters=8, n_iters=2, n_probe=3, k=5, dim=64) -> str:
       FROM final_assign a JOIN probes p ON a.cluster = p.cluster
       WHERE a.vec_id <> p.qid
     )""")
-    return f"""
+        return f"""
     WITH {", ".join(ctes)}
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT *, ROW_NUMBER() OVER (
                PARTITION BY query_id
                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+    # scoring == 'pq': ADC over md5-codebook codes within probed cells
+    ctes.append(f"""enc AS (
+      SELECT vec_id,
+             list_transform(range(0, 8), s ->
+               list_position(
+                 list_transform(range(0, 16), c ->
+                   {_duck_pq_subdist('embedding', 's', 'c')}),
+                 list_min(list_transform(range(0, 16), c ->
+                   {_duck_pq_subdist('embedding', 's', 'c')}))
+               ) - 1) AS code
+      FROM embeddings
+    )""")
+    ctes.append(f"""scored AS (
+      SELECT DISTINCT p.qid AS query_id, a.vec_id AS neighbor_id,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, 8), s ->
+                 {_duck_pq_subdist('p.qvec', 's', 'e.code[s + 1]')})),
+               (a2, b2) -> a2 + b2), 6) AS approx_sqdist
+      FROM final_assign a
+      JOIN probes p ON a.cluster = p.cluster
+      JOIN enc e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.qid
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT query_id, neighbor_id, approx_sqdist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY approx_sqdist, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= {k}
     """
@@ -2873,6 +2908,29 @@ def simsearch_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ss.ivf_det_topk(
         emb, queries_df, k=5, n_clusters=8, n_probe=3, n_iters=2, seed=42
     )
+
+
+@register(
+    "simsearch_ivfpq_det_topk",
+    oracle=_ivf_oracle_sql(scoring="pq"),
+)
+def simsearch_ivfpq_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end: deterministic coarse quantizer prunes to 3
+    probed cells, PQ codes score candidates by ADC lookups — the canonical
+    100 TB ANN layout (partition-pruned scan × m-byte codes), with EVERY
+    stage (Lloyd iterations, assignment, codebook, encode, ADC) replayed
+    and hash-verified by the SQL oracle
+    (operators/simsearch.ivfpq_det_topk)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ss.ivfpq_det_topk(
+        emb, queries_df, k=5, n_clusters=8, n_probe=3, n_iters=2,
+        m=8, pq_k=16, dim=64, seed=42,
+    ).select("query_id", "neighbor_id", "approx_sqdist", "rank")
 
 
 @register("simsearch_ivf_topk")  # k-means index: rows-only
@@ -5087,6 +5145,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stock_closed_form_indicators",
     "ind_cci20",
     "simsearch_pq_topk",
+    "simsearch_ivfpq_det_topk",
     # timestamp-reading entries whose only verdict predates the reader
     # changes (NTZ normalization) -----------------------------------------
     "asof_join_events",
@@ -5096,7 +5155,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sql_entry_daily_label",
     "j2_daygrain_fanout",
     "ind_sma_bollinger",
-    "ind_mfi_ultosc",
     "text_rolling_fingerprint",
     # r02-only verdicts, rotated back into the window ---------------------
     "a9_corr_pairs",
