@@ -249,7 +249,8 @@ def w_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key pass on a 6.7M-row single-key series (local[32])."""
     ev = load(spark, sf_dir, "events")
     out = win_ops.ema_scan(
-        ev, spans=[10], partition_by="user_id", order_by="ts", col="value"
+        ev, spans=[10], partition_by="user_id", order_by="ts", col="value",
+        num_buckets=8,
     )
     return out.select("event_id", "user_id", "ts", "value", "ema10")
 

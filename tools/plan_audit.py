@@ -36,6 +36,8 @@ NESTED_LOOP_OK = {
     "simsearch_lsh_topk",
     "simsearch_ivf_topk",
     "simsearch_ivf_det_topk",
+    "simsearch_pq_topk",
+    "simsearch_ivfpq_det_topk",
     "dedup_cosine_near",
     # scalar-subquery crosses: BroadcastNestedLoopJoin against a 1-row
     # aggregate is the correct global-threshold plan (TPC-H Q11/Q22 shape)
@@ -52,6 +54,7 @@ EXCHANGE_BUDGET = {
     "dedup_minhash_near": 12,      # signatures -> bands -> buckets -> verify
     "dedup_minhash_md5": 12,
     "simsearch_ivf_det_topk": 40,  # unrolled Lloyd iterations (deliberate)
+    "simsearch_ivfpq_det_topk": 40,  # same Lloyd unroll + PQ encode
     "q21_sole_late_supplier": 12,  # 4-way join + semi + anti branches
 }
 
