@@ -555,3 +555,111 @@ def ema_scan(
         num_buckets=num_buckets,
     )
     return out.drop("__min_ord")
+
+
+def kama_scan(
+    df: DataFrame,
+    n: int = 10,
+    fast: int = 2,
+    slow: int = 30,
+    partition_by: str | Sequence[str] = "symbol",
+    order_by: str = "date",
+    col: str = "close",
+    num_buckets: int | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """KAMA via the affine scan: the smoothing coefficient sc_i depends on
+    the DATA (efficiency ratio), not on the carried state, so the
+    recurrence ``y = (1−sc)·y_prev + sc·x`` is still affine and
+    block-parallelizes. Coefficients (rolling volatility, n-lag change)
+    come from one per-key JVM sort-window — a single codegen'd pass; the
+    serial part the scan removes is the per-key PYTHON fold. Numerically
+    equivalent to ``indicators.kama`` (rtol-level; the sequential engine
+    stays the bit-exact default)."""
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    out_col = out or f"kama{n}"
+    fast_sc = 2.0 / (fast + 1)
+    slow_sc = 2.0 / (slow + 1)
+    w = _ordered_window(order_by, keys)
+    fr = w.rowsBetween(-(n - 1), 0)
+    x = F.col(col)
+    rn = F.row_number().over(w)
+    adiff = F.abs(x - F.coalesce(F.lag(col, 1).over(w), x))
+    vol = F.sum(adiff).over(fr)
+    change = F.abs(x - F.lag(col, n).over(w))
+    er = (
+        F.when(rn <= n, F.lit(0.0))
+        .when(vol > 0, change / vol)
+        .otherwise(F.lit(0.0))
+    )
+    sc = F.pow(er * (fast_sc - slow_sc) + slow_sc, F.lit(2.0))
+    d = df.withColumn("__rn1", rn).withColumn("__sc", sc)
+    first = F.col("__rn1") == 1
+    res = linear_recurrence(
+        d,
+        {out_col: (
+            F.when(first, F.lit(0.0)).otherwise(1.0 - F.col("__sc")),
+            F.when(first, F.col(col)).otherwise(F.col("__sc") * F.col(col)),
+        )},
+        order_by=order_by, partition_by=keys, num_buckets=num_buckets,
+    )
+    return res.drop("__rn1", "__sc")
+
+
+def rsi_scan(
+    df: DataFrame,
+    n: int = 14,
+    partition_by: str | Sequence[str] = "symbol",
+    order_by: str = "date",
+    col: str = "close",
+    num_buckets: int | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Wilder RSI via TWO affine scans in one pass (avg gain / avg loss,
+    alpha = 1/n, pandas ewm seeding: the first non-null delta seeds the
+    average). Division edge cases mirror the sequential engine: all-loss
+    frames → RSI 0 via the recurrence, zero-loss with gain → 100, flat
+    (0/0) → null, first row → null."""
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    out_col = out or f"rsi{n}"
+    alpha = 1.0 / n
+    w = _ordered_window(order_by, keys)
+    rn = F.row_number().over(w)
+    delta = F.col(col) - F.lag(col, 1).over(w)
+    gain = F.greatest(delta, F.lit(0.0))
+    loss = F.greatest(-delta, F.lit(0.0))
+    d = (
+        df.withColumn("__rn1", rn)
+        .withColumn("__g", gain)
+        .withColumn("__l", loss)
+    )
+    first2 = F.col("__rn1") <= 2
+    res = linear_recurrence(
+        d,
+        {
+            "__avg_gain": (
+                F.when(first2, F.lit(0.0)).otherwise(F.lit(1.0 - alpha)),
+                F.when(F.col("__rn1") == 1, F.lit(0.0))
+                .when(F.col("__rn1") == 2, F.col("__g"))
+                .otherwise(F.lit(alpha) * F.col("__g")),
+            ),
+            "__avg_loss": (
+                F.when(first2, F.lit(0.0)).otherwise(F.lit(1.0 - alpha)),
+                F.when(F.col("__rn1") == 1, F.lit(0.0))
+                .when(F.col("__rn1") == 2, F.col("__l"))
+                .otherwise(F.lit(alpha) * F.col("__l")),
+            ),
+        },
+        order_by=order_by, partition_by=keys, num_buckets=num_buckets,
+    )
+    ag, al = F.col("__avg_gain"), F.col("__avg_loss")
+    rsi = (
+        F.when(F.col("__rn1") == 1, F.lit(None).cast("double"))
+        .when((al == 0) & (ag > 0), F.lit(100.0))
+        .when((al == 0) & (ag == 0), F.lit(None).cast("double"))
+        .otherwise(100.0 - 100.0 / (1.0 + ag / al))
+    )
+    return (
+        res.withColumn(out_col, rsi)
+        .drop("__rn1", "__g", "__l", "__avg_gain", "__avg_loss")
+    )

@@ -199,3 +199,44 @@ def test_ema_scan_matches_pandas_ewm(spark):
     for i in range(700):
         assert abs(got[i][0] - ref10[i]) <= 1e-9 * max(1.0, abs(ref10[i]))
         assert abs(got[i][1] - ref26[i]) <= 1e-9 * max(1.0, abs(ref26[i]))
+
+
+def test_kama_scan_matches_sequential_kama(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.indicators import kama
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import kama_scan
+
+    rng = np.random.default_rng(21)
+    xs = np.cumsum(rng.normal(0.0, 1.0, 600)) + 100.0
+    df = spark.createDataFrame(
+        [Row(symbol="K", t=i, close=float(x)) for i, x in enumerate(xs)]
+    )
+    want = {r.t: r.kama10
+            for r in kama(df, n=10, order_by="t").collect()}
+    got = {r.t: r.kama10
+           for r in kama_scan(df, n=10, order_by="t", num_buckets=7).collect()}
+    assert len(got) == 600
+    for t in range(600):
+        assert abs(got[t] - want[t]) <= 1e-9 * max(1.0, abs(want[t])), t
+
+
+def test_rsi_scan_matches_sequential_rsi(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.indicators import rsi
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import rsi_scan
+
+    rng = np.random.default_rng(22)
+    xs = np.cumsum(rng.normal(0.0, 1.0, 500)) + 100.0
+    df = spark.createDataFrame(
+        [Row(symbol="R", t=i, close=float(x)) for i, x in enumerate(xs)]
+    )
+    want = {r.t: r.rsi14 for r in rsi(df, n=14, order_by="t").collect()}
+    got = {r.t: r.rsi14
+           for r in rsi_scan(df, n=14, order_by="t", num_buckets=6).collect()}
+    assert got[0] is None and (want[0] is None or want[0] != want[0])
+    for t in range(1, 500):
+        assert abs(got[t] - want[t]) <= 1e-9 * max(1.0, abs(want[t])), t
