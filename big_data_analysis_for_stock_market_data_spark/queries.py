@@ -2588,6 +2588,58 @@ def simsearch_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curate_docs_with_embeddings",
+    # cross-table curation: the text quality gate joined with embedding
+    # validity (vector exists, finite positive norm) — the keep decision a
+    # multimodal training pipeline actually makes
+    oracle=f"""
+    WITH gate AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN FALSE
+                  WHEN len({_DUCK_TOKS}) < 5 THEN FALSE
+                  ELSE TRUE END AS text_ok
+      FROM documents
+    )
+    SELECT g.doc_id,
+           g.text_ok,
+           e.vec_id IS NOT NULL AS has_embedding,
+           ROUND({_duck_norm('e.embedding')}, 6) AS emb_norm,
+           g.text_ok AND e.vec_id IS NOT NULL
+             AND {_duck_norm('e.embedding')} > 0 AS final_keep
+    FROM gate g LEFT JOIN embeddings e ON e.vec_id = g.doc_id
+    """,
+)
+def curate_docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation join: documents passing the cheap text gate AND
+    carrying a valid embedding (present, positive norm). One broadcast-or-
+    hash equi join keyed on the id — at 100 TB both sides are bucketed on
+    the id and the join is exchange-free."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+    from big_data_analysis_for_stock_market_data_spark.operators.text import tokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    c = F.col("text")
+    text_ok = F.when(
+        c.isNull() | (F.length(c) == 0), F.lit(False)
+    ).when(F.size(tokens_col(c)) < 5, F.lit(False)).otherwise(F.lit(True))
+    gate = docs.select("doc_id", text_ok.alias("text_ok"))
+    norm = ss.l2_norm(F.col("embedding"))
+    joined = gate.join(
+        emb.select("vec_id", "embedding"),
+        gate["doc_id"] == F.col("vec_id"), "left",
+    )
+    return joined.select(
+        "doc_id", "text_ok",
+        F.col("vec_id").isNotNull().alias("has_embedding"),
+        F.round(norm, 6).alias("emb_norm"),
+        (
+            F.col("text_ok") & F.col("vec_id").isNotNull() & (norm > 0)
+        ).alias("final_keep"),
+    )
+
+
 def _duck_pq_cent(s: str, c: str, j: str) -> str:
     """DuckDB twin of simsearch._pq_centroid (md5-60 uniform in [-1, 1])."""
     key = f"{s} || ':' || {c} || ':' || {j} || ':pq'"
