@@ -2,6 +2,7 @@
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from big_data_analysis_for_stock_market_data_spark.operators import aggregates as A
 
@@ -97,3 +98,51 @@ def test_latest_by_key_scd1(spark):
         df, keys=["k"], order=["ts", "eid"], payload=["ts", "eid", "v"]
     ).collect()}
     assert got == {"a": (3, 2, 30.0), "b": (5, 9, 50.0)}
+
+
+def test_incremental_merge_equals_direct(spark):
+    """merge(partial(splits)) must be bit-identical to partial(whole), for
+    any split and any merge tree (operators/incremental.py)."""
+    import random
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        incremental as inc,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(k=rng.choice("abc"), v=round(rng.uniform(-100, 100), 6))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, schema="k string, v double")
+    direct = inc.partial_agg(df, ["k"], ["v"])
+
+    # arbitrary 3-way split by hash, merged as ((s0+s1)+s2)
+    parts = [
+        df.filter((F.crc32(F.col("v").cast("string")) % 3) == i)
+        for i in range(3)
+    ]
+    states = [inc.partial_agg(p, ["k"], ["v"]) for p in parts]
+    merged = inc.merge_partials(
+        [inc.merge_partials(states[:2], ["k"], ["v"]), states[2]], ["k"], ["v"]
+    )
+
+    def canon(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    assert canon(merged) == canon(direct)
+    # state types stable under re-merge (nullability legitimately differs:
+    # SUM over a merged state is nullable where COUNT is not)
+    assert [(f.name, f.dataType) for f in merged.schema] == [
+        (f.name, f.dataType) for f in direct.schema
+    ]
+
+    fin = inc.finalize(merged, ["v"]).collect()
+    by_k = {r.k: r for r in fin}
+    import math
+
+    for r in df.groupBy("k").agg(
+        F.avg("v").alias("a"), F.count("v").alias("c")
+    ).collect():
+        assert by_k[r.k].cnt_v == r.c
+        assert math.isclose(by_k[r.k].avg_v, r.a, rel_tol=1e-9)
