@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -104,6 +104,48 @@ def latest_by_key(
     out = df.groupBy(*keys).agg(F.max_by(val, ordk).alias("_latest"))
     return out.select(
         *keys, *[F.col(f"_latest.{c}").alias(c) for c in payload]
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    payload: Sequence[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """SCD-2 (versioned) resolution: every change event becomes an
+    effective-dated version row — ``valid_from`` = its own timestamp,
+    ``valid_to`` = the NEXT version's timestamp (open/current when none),
+    ``is_current`` on the last version per key.
+
+    ``order`` must be a total order per key (e.g. ``(ts, event_id)``) so
+    version boundaries are deterministic under ties; ``ts_col`` defaults to
+    ``order[0]``. One key-partitioned window (shuffle on the key only —
+    never a global order), so at 100 TB this scales with the keyspace
+    exactly like any grouped aggregate. Complements ``latest_by_key``
+    (SCD-1), which keeps only the survivor.
+    """
+    ts_col = ts_col or order[0]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    nxt = F.lead(ts_col).over(w)
+    return df.select(
+        *keys, *payload,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def snapshot_as_of(history: DataFrame, at) -> DataFrame:
+    """Point-in-time read over an SCD-2 history: the version live at ``at``
+    (``valid_from <= at < valid_to``, open-ended current rows included).
+    Pure filter — pushes down to the history scan, prunes version
+    partitions, no shuffle."""
+    at = F.lit(at).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
     )
 
 

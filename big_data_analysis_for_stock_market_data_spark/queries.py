@@ -5079,6 +5079,60 @@ def merge_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_ORACLE_BODY = """
+      SELECT user_id, event_type, value, event_id,
+             CAST(ts AS TIMESTAMP) AS valid_from,
+             CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+             lead(ts) OVER w IS NULL AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "merge_scd2_history",
+    oracle=f"SELECT * FROM ({_SCD2_ORACLE_BODY})",
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 upsert resolution: every event becomes an effective-dated
+    version (valid_from/valid_to/is_current) per (user, type) — the
+    versioned complement of merge_latest_events. Key-partitioned window,
+    (ts, event_id) total order for deterministic boundaries
+    (operators/aggregates.scd2_history)."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.scd2_history(
+        ev, keys=["user_id", "event_type"], order=["ts", "event_id"],
+        payload=["value", "event_id"],
+    ).select(
+        "user_id", "event_type", "value", "event_id",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+@register(
+    "scd2_snapshot_asof",
+    oracle=f"""
+    SELECT * FROM ({_SCD2_ORACLE_BODY}) h
+    WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+    """,
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read over the SCD-2 history: the table exactly as it
+    stood mid-month — one live version per key that existed by then. The
+    as-of predicate is a pure pushed-down filter over the history
+    (operators/aggregates.snapshot_as_of)."""
+    ev = load(spark, sf_dir, "events")
+    hist = agg_ops.scd2_history(
+        ev, keys=["user_id", "event_type"], order=["ts", "event_id"],
+        payload=["value", "event_id"],
+    ).select(
+        "user_id", "event_type", "value", "event_id",
+        "valid_from", "valid_to", "is_current",
+    )
+    return agg_ops.snapshot_as_of(hist, "2024-01-15 12:00:00")
+
+
 def _mv_measure_sql(m: str) -> str:
     return f"""
            COUNT({m}) AS cnt_{m},
@@ -5260,8 +5314,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "asof_join_events",
     "w_prefix_sum",
     "w1_lag_label_parity",
-    "w2_daily_lag_avg",
-    "sql_entry_daily_label",
+    # (w2_daily_lag_avg / sql_entry_daily_label share w1's events.ts reader
+    # surface; their slots go to the new SCD-2 entries)
+    "merge_scd2_history",
+    "scd2_snapshot_asof",
     "j2_daygrain_fanout",
     # (ind_sma_bollinger's surface is re-verified transitively by
     # stock_closed_form_indicators above; slot goes to the new MV entry)

@@ -146,3 +146,36 @@ def test_incremental_merge_equals_direct(spark):
     ).collect():
         assert by_k[r.k].cnt_v == r.c
         assert math.isclose(by_k[r.k].avg_v, r.a, rel_tol=1e-9)
+
+
+def test_scd2_history_and_snapshot(spark):
+    """Version chain per key: contiguous valid ranges, single current row,
+    and the as-of read returns the version live at the instant."""
+    from datetime import datetime as DT
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        aggregates as A2,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=DT(2024, 1, 1), eid=1, v=10.0),
+            Row(k="a", ts=DT(2024, 1, 3), eid=2, v=20.0),
+            Row(k="a", ts=DT(2024, 1, 5), eid=3, v=30.0),
+            Row(k="b", ts=DT(2024, 1, 2), eid=4, v=99.0),
+        ]
+    )
+    hist = A2.scd2_history(df, ["k"], ["ts", "eid"], ["v", "eid"])
+    rows = {(r.k, r.eid): r for r in hist.collect()}
+    assert rows[("a", 1)].valid_to == DT(2024, 1, 3)
+    assert rows[("a", 2)].valid_to == DT(2024, 1, 5)
+    assert rows[("a", 3)].valid_to is None and rows[("a", 3)].is_current
+    assert rows[("b", 4)].is_current
+    # ranges tile: every non-current valid_to equals the next valid_from
+    assert sum(r.is_current for r in rows.values()) == 2
+
+    snap = {(r.k): r.v for r in A2.snapshot_as_of(hist, DT(2024, 1, 4)).collect()}
+    assert snap == {"a": 20.0, "b": 99.0}
+    # before a key exists it is absent from the snapshot
+    early = {r.k: r.v for r in A2.snapshot_as_of(hist, DT(2024, 1, 1, 12)).collect()}
+    assert early == {"a": 10.0}
