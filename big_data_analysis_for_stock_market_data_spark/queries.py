@@ -4405,6 +4405,35 @@ def stream_ema_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           e.event_type, e.value, c.c_mktsegment, c.c_nationkey
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joined per
+    micro-batch against the static customer dim (broadcast — the dim ships
+    once per batch, the stream never shuffles). Stateless, no watermark;
+    replay of the stream equals the batch join
+    (streaming/ops.stream_static_join)."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    enriched = st.stream_static_join(
+        _events_stream(spark, sf_dir), dim, on=["user_id"]
+    ).select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        "c_mktsegment", "c_nationkey",
+    )
+    _, sink = st.run_to_memory(enriched, output_mode="append")
+    return spark.table(sink)
+
+
+@register(
     "stream_topk_users_daily",
     oracle=f"""
     WITH agg AS (
@@ -5318,7 +5347,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # surface; their slots go to the new SCD-2 entries)
     "merge_scd2_history",
     "scd2_snapshot_asof",
-    "j2_daygrain_fanout",
+    # (j2_daygrain_fanout's orders/lineitem read surface is covered by the
+    # in-window MV entry and its fused twin flagship_label_daily, green r03)
+    "stream_static_enrich",
     # (ind_sma_bollinger's surface is re-verified transitively by
     # stock_closed_form_indicators above; slot goes to the new MV entry)
     "mv_incremental_pricing",

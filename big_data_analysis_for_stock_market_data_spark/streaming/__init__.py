@@ -21,6 +21,7 @@ from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
     run_upsert_to_parquet,
     session_agg,
     stream_dedup,
+    stream_static_join,
     stream_stream_interval_join,
     streaming_ema,
     streaming_running_totals,
@@ -34,6 +35,7 @@ __all__ = [
     "run_upsert_to_parquet",
     "session_agg",
     "stream_dedup",
+    "stream_static_join",
     "stream_stream_interval_join",
     "streaming_ema",
     "streaming_running_totals",

@@ -392,6 +392,24 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner").drop(*[rw[k] for k in on])
 
 
+def stream_static_join(
+    stream: DataFrame,
+    static: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against a
+    static (batch) DataFrame. Stateless — nothing is buffered across
+    micro-batches, no watermark needed, and with ``broadcast`` the dim ships
+    to executors once per batch instead of shuffling the stream. The
+    100 TB shape for enriching an event firehose with reference data; for a
+    dim too big to broadcast, pre-bucket both sides on the key and set
+    ``broadcast=False``."""
+    dim = F.broadcast(static) if broadcast else static
+    return stream.join(dim, on=list(on), how=how)
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "append",

@@ -419,3 +419,29 @@ def test_running_totals_state_resumes_across_batches(spark, stream_dir):
         )
         assert sub.sum_micros.tolist() == want_sum.tolist()
         assert sub.max_so_far.tolist() == np.maximum.accumulate(vals).tolist()
+
+
+def test_stream_static_join_matches_batch(spark, stream_dir):
+    """Stream-static enrichment: replay of the joined stream equals the
+    batch join; left rows with no dim match drop (inner) and the stream's
+    row count is preserved when every key matches."""
+    d, pdf = stream_dir
+    stream = st.read_stream_parquet(spark, d, EVENTS_SCHEMA)
+    dim = spark.createDataFrame(
+        [(int(u), f"seg_{u % 2}") for u in range(4)], "user_id long, seg string"
+    )  # user_id 4 intentionally absent from the dim
+    joined = st.stream_static_join(stream, dim, on=["user_id"]).select(
+        "user_id", "ts", "value", "seg"
+    )
+    _, sink = st.run_to_memory(joined, output_mode="append")
+    got = spark.table(sink).toPandas()
+
+    batch = _static_df(spark, pdf).join(
+        F.broadcast(dim), on=["user_id"], how="inner"
+    ).select("user_id", "ts", "value", "seg").toPandas()
+
+    key = ["user_id", "ts", "value", "seg"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, batch_s)
+    assert (got["user_id"] != 4).all() and len(got) < len(pdf)
