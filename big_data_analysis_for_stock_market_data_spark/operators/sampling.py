@@ -89,3 +89,78 @@ def topk_per_group(
         F.col(out) <= k
     )
     return ranked.drop("__rank") if rank_col is None else ranked
+
+
+def _md5_uniform(key_col: str, seed: int, salt: str) -> Column:
+    """Exact dyadic-rational uniform in (0, 1) from the first 8 md5 hex
+    digits of (key:seed:salt) — bit-identical in any engine with md5 and
+    IEEE doubles (no RNG, no partition dependence)."""
+    h = F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)), F.lit(salt))
+    )
+    word = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return (word + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    seed: int = DEFAULT_SEED,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis priority sampling): each row draws priority ln(u)/w from its
+    md5-uniform u and weight w > 0; the global top-k priorities win, so
+    heavier rows win proportionally more often, yet selection is a pure
+    function of (keys, weights, seed, k) — auditable and rebuildable,
+    unlike ``df.sample``'s partition-seeded draw.
+
+    Priorities are rounded to 9 dp before ranking (ln is the single
+    non-exact step; the quantum is ~1e9 ulps wide, ties break on the key)
+    so the selected set is engine-exact. Plan shape: narrow projection →
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on one
+    reducer, never a global sort."""
+    u = _md5_uniform(key_col, seed, "w")
+    pr = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.withColumn(priority_col, pr)
+        .orderBy(F.col(priority_col).desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training export: shard =
+    md5 bucket of the key, position within the shard = rank by an
+    independent md5 draw. Together: a reproducible pseudo-random
+    permutation where each shard is itself a uniform subsample, readable in
+    isolation (the property sequential trainers rely on).
+
+    One shuffle keyed on shard + a per-shard sort (window). Parallelism =
+    ``n_shards`` — size it at or above cluster parallelism for the export;
+    rows never pass through a single global order."""
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(key_col).cast("string"),
+                        F.lit(str(seed)), F.lit("shard"),
+                    )
+                ), 1, 8,
+            ), 16, 10,
+        ).cast("long") % n_shards
+    )
+    order_key = F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)), F.lit("shuf"))
+    )
+    out = df.withColumn("shard", shard).withColumn("__ok", order_key)
+    w = Window.partitionBy("shard").orderBy(F.col("__ok"), F.col(key_col))
+    return out.withColumn("pos", F.row_number().over(w)).drop("__ok")

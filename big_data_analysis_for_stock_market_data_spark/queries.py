@@ -2222,6 +2222,68 @@ def samp_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp_weighted_docs",
+    # Efraimidis-Spirakis priority replay: u from the first 8 md5 hex chars
+    # of "doc_id:42:w" (exact dyadic rational — identical double in both
+    # engines), priority = round(ln(u)/n_chars, 9) (ln is the only inexact
+    # step; the 1e-9 quantum is ~1e9 ulps wide), doc_id tie-break
+    oracle="""
+    SELECT doc_id, lang, n_chars, priority FROM (
+      SELECT doc_id, lang, n_chars,
+             round(ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42:w'),
+                                      1, 8)) AS BIGINT) + 0.5)
+                      / 4294967296.0)
+                   / n_chars, 9) AS priority
+      FROM documents
+    )
+    ORDER BY priority DESC, doc_id
+    LIMIT 50
+    """,
+)
+def samp_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: 50 documents
+    drawn with probability proportional to length (n_chars) via md5-seeded
+    priority sampling — auditable, partition-invariant, engine-exact.
+    TakeOrderedAndProject plan: per-partition top-k, k-row merge, no global
+    sort (operators/sampling.weighted_hash_sample)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents")
+    return sp.weighted_hash_sample(
+        docs, k=50, key_col="doc_id", weight_col="n_chars", seed=42
+    ).select("doc_id", "lang", "n_chars", "priority")
+
+
+@register(
+    "samp_shuffle_shards",
+    oracle="""
+    SELECT doc_id, shard,
+           row_number() OVER (
+             PARTITION BY shard
+             ORDER BY md5(doc_id::VARCHAR || ':42:shuf'), doc_id) AS pos
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42:shard'), 1, 8))
+                  AS BIGINT) % 8 AS shard
+      FROM documents
+    )
+    """,
+)
+def samp_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training export: md5-bucket shard
+    assignment + independent md5 rank within each shard — a reproducible
+    pseudo-random permutation whose shards are independent uniform
+    subsamples. One shuffle keyed on shard; no global order
+    (operators/sampling.shuffle_shards)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents")
+    return sp.shuffle_shards(docs, key_col="doc_id", n_shards=8, seed=42).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@register(
     "dedup_exact_keep_first",
     oracle="""
     SELECT doc_id, lang, source FROM (

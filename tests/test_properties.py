@@ -248,3 +248,49 @@ def test_latest_by_key_equals_window_formulation(spark, rows):
         .filter("rn = 1").collect()
     }
     assert got == want
+
+
+def test_weighted_sample_nesting_and_partition_invariance(spark):
+    """Priority sampling invariants: top-k is a prefix of top-(k+m) (same
+    priorities, same order), selection survives repartitioning, and weight
+    monotonicity holds in expectation (the heavy half wins more slots than
+    the light half over many seeds is probabilistic — instead we pin the
+    deterministic contract: equal keys + equal weights => equal output)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 10 + 1).cast("double").alias("w")
+    )
+    top10 = [r.k for r in weighted_hash_sample(df, 10, "k", "w").collect()]
+    top25 = [r.k for r in weighted_hash_sample(df, 25, "k", "w").collect()]
+    assert top25[:10] == top10  # nested: a bigger draw extends, never reshuffles
+
+    re4 = [r.k for r in weighted_hash_sample(df.repartition(4), 10, "k", "w").collect()]
+    re1 = [r.k for r in weighted_hash_sample(df.coalesce(1), 10, "k", "w").collect()]
+    assert re4 == top10 == re1  # pure function of (keys, weights, seed, k)
+
+    other_seed = [r.k for r in weighted_hash_sample(df, 10, "k", "w", seed=7).collect()]
+    assert other_seed != top10  # seed actually matters
+
+
+def test_shuffle_shards_is_a_partition_invariant_permutation(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.range(300).select(F.col("id").alias("k"))
+    out = shuffle_shards(df, "k", n_shards=5).collect()
+    assert sorted(r.k for r in out) == list(range(300))  # every row exactly once
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(5))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n per shard
+
+    again = shuffle_shards(df.repartition(7), "k", n_shards=5).collect()
+    assert {(r.k, r.shard, r.pos) for r in again} == {
+        (r.k, r.shard, r.pos) for r in out
+    }
