@@ -532,3 +532,55 @@ def simhash_near_dups(
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def cross_containment(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination detection: (eval_id, train_id, containment)
+    for every eval document whose shingles are >= ``threshold`` covered by
+    some train document. Containment |E ∩ T| / |E| is the decontamination
+    metric — an eval document quoted verbatim inside a longer train
+    document scores 1.0 where Jaccard would be diluted by the train
+    document's extra content.
+
+    Same inverted-index discipline as ``ngram_jaccard_near_dups``: the
+    index is built on the TRAIN side only (the big corpus), shingles in
+    more than ``max_doc_freq`` train documents are dropped from the index
+    (boilerplate n-grams would create |eval| x |hot| candidate blowup),
+    and the exact verify runs only on candidates. Containment is a
+    small-int ratio in double — engine-exact, no rounding."""
+    train_sh = with_shingles(ensure_parallelism(train), n_shingle, col).select(
+        F.col(id_col).alias("train_id"), F.col("shingles").alias("train_sh")
+    )
+    eval_sh = with_shingles(ensure_parallelism(eval_df), n_shingle, col).select(
+        F.col(id_col).alias("eval_id"), F.col("shingles").alias("eval_sh")
+    )
+    tpost = train_sh.select("train_id", F.explode("train_sh").alias("__sh"))
+    rare = (
+        tpost.groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("__sh")
+    )
+    indexed = tpost.join(rare, "__sh")
+    epost = eval_sh.select("eval_id", F.explode("eval_sh").alias("__sh"))
+    cand = epost.join(indexed, "__sh").select("eval_id", "train_id").distinct()
+    return (
+        cand.join(eval_sh, "eval_id")
+        .join(train_sh, "train_id")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("eval_sh", "train_sh")).cast("double")
+            / F.size("eval_sh"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("eval_id", "train_id", "containment")
+        .orderBy("eval_id", "train_id")
+    )

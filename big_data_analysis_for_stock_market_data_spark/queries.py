@@ -2284,6 +2284,69 @@ def samp_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_contamination_check",
+    # shared tokenization/shingling CTE shape with _NGRAM_JACCARD_CTES;
+    # split replays split_bucket (md5 "doc_id:42" mod 10000 < 8000 = train)
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             (CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))
+                   AS BIGINT) % 10000) < 8000 AS is_train
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, is_train,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id, is_train,
+             list_distinct(list_transform(
+               range(0, greatest(len(tk) - 3, 0) + 1),
+               i -> array_to_string(tk[i + 1 : i + 3], ' '))) AS shingles
+      FROM toks
+    ),
+    tpost AS (SELECT doc_id AS train_id, unnest(shingles) AS s
+              FROM sh WHERE is_train),
+    rare AS (SELECT s FROM tpost GROUP BY s HAVING COUNT(*) <= 100),
+    epost AS (SELECT doc_id AS eval_id, unnest(shingles) AS s
+              FROM sh WHERE NOT is_train),
+    cand AS (
+      SELECT DISTINCT e.eval_id, t.train_id
+      FROM epost e JOIN rare r ON e.s = r.s JOIN tpost t ON t.s = e.s
+    )
+    SELECT eval_id, train_id, containment FROM (
+      SELECT c.eval_id, c.train_id,
+             CAST(len(list_intersect(se.shingles, st.shingles)) AS DOUBLE)
+             / len(se.shingles) AS containment
+      FROM cand c
+      JOIN sh se ON se.doc_id = c.eval_id
+      JOIN sh st ON st.doc_id = c.train_id
+    ) WHERE containment >= 0.5
+    ORDER BY eval_id, train_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: hash-split the corpus 80/20 (the
+    deterministic o3_hash_split), then find eval documents >= 50%
+    shingle-contained in some train document — the benchmark-leakage /
+    decontamination check an LLM data pipeline runs before training.
+    Train-side inverted index with a doc-freq cap; exact containment
+    verify on candidates only (operators/dedup.cross_containment)."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import split_bucket
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = split_bucket(F.col("doc_id"), 42, 10_000)
+    train = docs.filter(bucket < 8000)
+    eval_df = docs.filter(bucket >= 8000)
+    return dd.cross_containment(
+        train, eval_df, n_shingle=3, threshold=0.5, max_doc_freq=100
+    )
+
+
+@register(
     "dedup_exact_keep_first",
     oracle="""
     SELECT doc_id, lang, source FROM (
@@ -5424,7 +5487,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "w_value_suite",
     "stock_fixture_daily_label",
     "samp_stratified_docs",
-    "samp_topk_quality",
+    # (samp_topk_quality's module is represented by samp_stratified_docs;
+    # slot goes to the contamination scan)
+    "text_contamination_check",
     "simsearch_lsh_topk",
     # newest oracle-bearing entry takes the last slot (an oracle entry with
     # no verdict outranks re-checking a rows-only entry)

@@ -191,3 +191,33 @@ def test_connected_components_clusters(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_cross_containment_detects_quoted_eval_doc(spark):
+    """An eval document fully quoted inside a longer train document scores
+    containment 1.0 (where Jaccard would dilute); unrelated docs are
+    absent; the index-side doc-freq cap does not affect the verify math."""
+    from big_data_analysis_for_stock_market_data_spark.operators.dedup import (
+        cross_containment,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different content about spark aggregation plans"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "quick brown fox jumps over the lazy dog"),  # quoted subset
+            (11, "nothing in common with any training document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.eval_id, r.train_id): r.containment
+        for r in cross_containment(train, ev, threshold=0.5).collect()
+    }
+    assert set(got) == {(10, 1)}
+    assert got[(10, 1)] == 1.0
