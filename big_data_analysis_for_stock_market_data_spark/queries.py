@@ -494,6 +494,48 @@ def j3_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j4_bloom_prefilter",
+    # the bloom is a lossless pre-filter (no false negatives; false
+    # positives die in the exact join), so the oracle is the PLAIN join
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000) o
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def j4_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: a Bloom filter built from the selective orders
+    subset prunes non-matching lineitem rows BEFORE the join — at 100 TB
+    the fact side shuffles only ~matching rows instead of everything. The
+    filter is lossless by construction, so the result is exactly the plain
+    join (operators/joins.bloom_prefilter_join)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = join_ops.bloom_prefilter_join(li, o, on="l_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "q17_small_quantity",
     oracle=f"""
     SELECT {_sql_dsum('l.l_extendedprice', 'sum_price')},

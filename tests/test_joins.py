@@ -78,3 +78,50 @@ def test_range_join(spark):
     out = J.range_join(points, ranges, "v", "lo", "hi")
     got = {r.v: r.bucket for r in out.collect()}
     assert got == {5: "low", 15: "mid"}  # 25 unmatched (inner)
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    """False positives are removed by the exact join; false negatives are
+    impossible — so the bloom-prefiltered join must equal the plain join
+    exactly. Also check the pre-filter actually prunes non-matching rows."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.operators.joins import (
+        bloom_prefilter_join,
+    )
+
+    big = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.range(0, 40).select(
+        (F.col("id") * 13).alias("k"), (F.col("id") * 2.0).alias("dim")
+    )
+    got = bloom_prefilter_join(big, small, on="k").collect()
+    want = big.join(small, on="k").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # the literal-bitmask pre-filter prunes most non-matching keys
+    from big_data_analysis_for_stock_market_data_spark.operators.joins import (
+        _bloom_positions,
+    )
+    num_bits, k = 1 << 14, 5
+    pos = small.select(
+        F.explode(F.array(*_bloom_positions(F.col("k"), num_bits, k))).alias("p")
+    ).distinct().collect()
+    words = {}
+    for r in pos:
+        words[r.p // 64] = words.get(r.p // 64, 0) | (1 << (r.p % 64))
+    mask = [
+        w - (1 << 64) if (w := words.get(i, 0)) >= (1 << 63) else w
+        for i in range(num_bits // 64)
+    ]
+    lit_mask = F.array(*[F.lit(x).cast("long") for x in mask])
+    cond = None
+    for p in _bloom_positions(F.col("k"), num_bits, k):
+        word = F.element_at(lit_mask, (p / 64).cast("int") + 1)
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        hit = word.bitwiseAND(bit) != 0
+        cond = hit if cond is None else (cond & hit)
+    survivors = big.filter(cond).count()
+    matching = big.join(small.select("k").distinct(), on="k").count()
+    assert matching <= survivors < big.count() * 0.2
