@@ -162,3 +162,44 @@ def summary_stats(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             F.max(c).alias(f"max_{c}"),
         ]
     return df.agg(*aggs)
+
+
+def groupwise_ols(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y: Column,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form normal equations):
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept = (Σy − m·Σx)/n.
+    ``x`` and ``y`` MUST be integer-valued columns (quantize first — e.g.
+    hours since an origin, value in cents): every moment is then exact
+    LONG arithmetic, num/den convert exactly to double (≪ 2^53), and the
+    final IEEE divisions are bit-identical in any engine — no float
+    summation order, no decimal rounding modes, no cancellation error.
+
+    One hash aggregate per group (map-side partial sums) — the distributed
+    closed-form fit: 5 longs of state per group regardless of group size.
+    Groups with fewer than ``min_points`` points or zero x-variance yield
+    null slope/intercept."""
+    xl, yl = x.cast("long"), y.cast("long")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("_sx"),
+        F.sum(yl).alias("_sy"),
+        F.sum(xl * yl).alias("_sxy"),
+        F.sum(xl * xl).alias("_sxx"),
+    )
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    slope = F.when(
+        (F.col("n") >= min_points) & (den != 0.0), num / den
+    )
+    intercept = (
+        (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
+        / F.col("n").cast("double")
+    )
+    return g.select(
+        *keys, "n", slope.alias("slope"), intercept.alias("intercept")
+    )

@@ -12,6 +12,8 @@ drift.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -328,3 +330,40 @@ def fingerprint_rolling(df: DataFrame, col: str = "text",
         lambda acc, t: F.pmod(acc * base + F.pmod(h(t), modulus), modulus),
     )
     return df.withColumn(out, rolled)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int,
+    col: str = "text",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Vocabulary coverage / OOV analysis: build the top-``vocab_size``
+    token vocabulary by corpus frequency (lexicographic tie-break), then
+    measure per-group token coverage — total occurrences, out-of-vocabulary
+    occurrences, and the OOV rate. The tokenizer-budget planning step of a
+    training pipeline: how much of the corpus does a k-entry vocab cover,
+    and which language pays the OOV tax.
+
+    Plan: one posting explode feeding (a) a grouped count + top-k for the
+    vocab (TakeOrderedAndProject — the full frequency table is never
+    globally sorted) and (b) a broadcast anti-ish left join scoring
+    coverage. The vocab side is vocab_size rows — always broadcastable.
+    OOV rate is a small-int ratio: engine-exact."""
+    toks = tokens_col(F.col(col))
+    posting = df.select(*by, F.explode(toks).alias("__tok"))
+    vocab = (
+        posting.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok", F.lit(True).alias("__in_vocab"))
+    )
+    scored = posting.join(F.broadcast(vocab), "__tok", "left")
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    out = scored.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        oov.alias("oov_tokens"),
+        (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
+    return out.orderBy(*by) if by else out

@@ -1966,6 +1966,41 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+      ) ORDER BY n DESC, tok LIMIT 200
+    )
+    SELECT t.lang,
+           COUNT(*) AS total_tokens,
+           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: coverage of a 200-entry frequency-ranked
+    vocabulary per language — total token occurrences, OOV occurrences,
+    OOV rate (exact small-int ratio). Vocab build is a grouped count +
+    TakeOrderedAndProject; scoring is a broadcast join of the vocab-sized
+    table (operators/text.vocab_coverage)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=200, by=["lang"])
+
+
+@register(
     "dedup_exact_normalized",
     oracle=f"""
     SELECT doc_id, lang, source FROM (
@@ -5329,6 +5364,56 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.snapshot_as_of(hist, "2024-01-15 12:00:00")
 
 
+@register(
+    "a10_groupwise_ols",
+    # bit-exact by integer quantization: x = whole hours since 2024-01-01
+    # (integer division of epoch micros), y = value in cents (round half
+    # away from zero — same rule both engines). All moments are exact
+    # 64-bit sums; num/den << 2^53 convert exactly to double; the final
+    # IEEE divisions are then bit-identical. No rounding of the output.
+    oracle="""
+    WITH q AS (
+      SELECT user_id,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(TIMESTAMP '2024-01-01')) // 3600000000 AS x,
+             CAST(round(value * 100.0) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) END)
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    ORDER BY user_id
+    """,
+)
+def a10_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-group linear regression: each user's value trend
+    (cents per hour) fit by closed-form normal equations over exact integer
+    moments — one hash aggregate, 5 longs of state per group regardless of
+    group size (operators/aggregates.groupwise_ols). The grouped-ML shape
+    (per-entity trend fitting) without any per-group iteration."""
+    ev = load(spark, sf_dir, "events")
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    x = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(origin)) / F.lit(3_600_000_000)
+    )
+    y = F.round(F.col("value") * 100.0, 0)
+    return agg_ops.groupwise_ols(ev, ["user_id"], x, y).orderBy("user_id")
+
+
 def _mv_measure_sql(m: str) -> str:
     return f"""
            COUNT({m}) AS cnt_{m},
@@ -5481,7 +5566,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_near",         # new md5_60 oracle
     "dedup_cosine_near",          # new axis-plane oracle
     "dedup_clusters",             # new recursive-CTE oracle
-    "dedup_ngram_jaccard",        # oracle refactored into shared CTEs
+    # (dedup_ngram_jaccard's refactored CTEs run verbatim inside
+    # dedup_clusters above; its slot goes to the bloom runtime-filter join)
+    "j4_bloom_prefilter",
     "a8_summary_describe",        # new (describe()/summary() surface)
     "ml_rf_grouped_pca",          # new (two-group scale+PCA), rows-only
     "dedup_minhash_near",         # r=4 band revert, rows-only

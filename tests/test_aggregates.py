@@ -179,3 +179,31 @@ def test_scd2_history_and_snapshot(spark):
     # before a key exists it is absent from the snapshot
     early = {r.k: r.v for r in A2.snapshot_as_of(hist, DT(2024, 1, 1, 12)).collect()}
     assert early == {"a": 10.0}
+
+
+def test_groupwise_ols_matches_numpy(spark):
+    """Closed-form integer-moment fit equals numpy lstsq per group; a
+    constant-x group yields null slope."""
+    import numpy as np
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        groupwise_ols,
+    )
+
+    rows = []
+    rng = np.random.default_rng(3)
+    pts = {}
+    for g in ("a", "b"):
+        xs = rng.integers(0, 500, 40)
+        ys = (3 if g == "a" else -7) * xs + 100 + rng.integers(-20, 20, 40)
+        pts[g] = (xs, ys)
+        rows += [Row(g=g, x=int(x), y=int(y)) for x, y in zip(xs, ys)]
+    rows += [Row(g="flat", x=5, y=1), Row(g="flat", x=5, y=9)]  # zero x-var
+    df = spark.createDataFrame(rows)
+    got = {r.g: r for r in groupwise_ols(df, ["g"], F.col("x"), F.col("y")).collect()}
+
+    for g, (xs, ys) in pts.items():
+        m, b = np.polyfit(xs.astype(float), ys.astype(float), 1)
+        assert abs(got[g].slope - m) < 1e-9
+        assert abs(got[g].intercept - b) < 1e-6
+    assert got["flat"].slope is None and got["flat"].intercept is None

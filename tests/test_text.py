@@ -144,3 +144,24 @@ def test_curate_documents_reasons(spark):
         3: (False, "too_few_tokens"), 4: (False, "low_alpha"),
         5: (False, "low_stopword"),
     }
+
+
+def test_vocab_coverage_exact_small_case(spark):
+    """Hand-computed vocab + OOV: vocab of size 2 keeps the two most
+    frequent tokens ('a', 'b'); every other token occurrence is OOV."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("en", "a a a b b c"),
+            ("fr", "a b d d"),
+        ],
+        "lang string, text string",
+    )
+    got = {r.lang: r for r in vocab_coverage(df, 2, by=["lang"]).collect()}
+    # freq: a=4, b=3, d=2, c=1 -> vocab {a, b}
+    assert (got["en"].total_tokens, got["en"].oov_tokens) == (6, 1)
+    assert (got["fr"].total_tokens, got["fr"].oov_tokens) == (4, 2)
+    assert got["fr"].oov_rate == 0.5
