@@ -903,6 +903,38 @@ def a7_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a7_unpivot_metrics",
+    # UNION ALL twin of melt: one output row per (key, metric)
+    oracle="""
+    SELECT o_orderkey, metric, value FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE)
+      FROM orders
+    )
+    """,
+)
+def a7_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 family: unpivot/melt — wide metric columns to long (key, metric,
+    value) rows, the inverse of pivot. Spark's native ``unpivot`` is a
+    zero-shuffle per-row expansion (an Expand node, like rollup's), not a
+    union of scans: one pass over the input regardless of how many columns
+    melt."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
     "a7_cube_status",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
@@ -5541,6 +5573,48 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("max_ts"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "s_zorder_roundtrip",
+    # content fidelity only — the clustering layout is asserted in
+    # test_io_partitioning (per-file min-max spans shrink on BOTH dims)
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_partkey AS DECIMAL(18,6))) AS DOUBLE) AS sum_part
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink fidelity: lineitem rewritten clustered on
+    (l_partkey, l_suppkey) — multi-dimensional data skipping at read time
+    (sources/io.zorder_write) — then scanned back; aggregate equals the
+    oracle on the original table, proving the layout rewrite is
+    content-lossless."""
+    import tempfile
+
+    from big_data_analysis_for_stock_market_data_spark.sources.io import zorder_write
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_zorder_rt_")
+    zorder_write(li, out_dir, cols=["l_partkey", "l_suppkey"], n_files=8,
+                 bits_per_col=8)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_partkey"), "sum_part"),
+        )
+        .orderBy("l_suppkey")
     )
 
 

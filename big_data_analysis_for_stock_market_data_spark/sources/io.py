@@ -256,3 +256,71 @@ def to_pandas_sample(df: DataFrame, max_rows: int = 100_000):
     whole table, ``G_2_data_exploration.ipynb cell 12``). The engine caps the
     export so a 100 TB table can never be pulled to the driver."""
     return df.limit(max_rows).toPandas()
+
+
+def zorder_value(cols: Sequence, bits_per_col: int = 10):
+    """Z-value (Morton code) column: each input bucket id contributes its
+    bits interleaved, so rows close in EVERY dimension get close z-values.
+    Inputs must already be integer bucket ids in [0, 2^bits_per_col)."""
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for i, c in enumerate(cols):
+        cl = F.col(c) if isinstance(c, str) else c
+        cl = cl.cast("long")
+        for j in range(bits_per_col):
+            bit = F.shiftright(cl, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    bits_per_col: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet write: bucket each clustering column by
+    range (boundaries from a 2^bits quantile sketch — driver sees only the
+    boundary list, control-plane), interleave the bucket bits into a
+    Morton z-value, range-partition + sort the output by it.
+
+    Why: parquet scans skip files/row-groups whose min-max stats exclude
+    the predicate. A sort by one column gives perfect skipping on that
+    column and none on others; z-order gives GOOD skipping on every
+    clustering column simultaneously — at 100 TB, a selective filter on
+    any clustered dimension reads a small fraction of files instead of all
+    of them. One quantile probe + one range-shuffle + local sorts."""
+    qcols = list(cols)
+    n_buckets = 1 << bits_per_col
+    probes = [float(i) / n_buckets for i in range(1, n_buckets)]
+    bucketed = df
+    bucket_names = []
+    for c in qcols:
+        bounds = df.approxQuantile(c, probes, 0.001)
+        # strictly increasing boundary list (duplicates collapse buckets)
+        uniq = sorted(set(bounds))
+        arr = F.array(*[F.lit(b).cast("double") for b in uniq])
+        # bucket id = count of boundaries <= value (0..len(uniq))
+        bid = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + (F.col(c).cast("double") >= b).cast("int"),
+        )
+        # rescale to the FULL bit width: a low-cardinality column (few
+        # distinct boundaries) must still occupy high interleave bits, or
+        # the wider column's bits dominate the z-value and the narrow
+        # column gets no clustering at all
+        scaled = F.floor(bid * (n_buckets - 1) / F.lit(len(uniq))).cast("long")
+        name = f"__zb_{c}"
+        bucketed = bucketed.withColumn(name, scaled)
+        bucket_names.append(name)
+    z = zorder_value(bucket_names, bits_per_col)
+    out = (
+        bucketed.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *bucket_names)
+    )
+    out.write.mode(mode).parquet(path)

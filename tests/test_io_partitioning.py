@@ -147,3 +147,55 @@ def test_to_pandas_sample_is_bounded(spark):
 
     pdf = to_pandas_sample(spark.range(1_000_000), max_rows=500)
     assert len(pdf) == 500  # driver export can never exceed the cap
+
+
+def test_zorder_write_tightens_file_stats_on_both_dims(spark, tmp_path):
+    """Z-order clustering: after the write, each output file's min-max
+    range on EACH clustering column covers a small fraction of the global
+    range (that fraction is what a selective filter reads); a plain write
+    leaves every file spanning ~the full range on at least one column.
+    Content must survive the rewrite exactly."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    from big_data_analysis_for_stock_market_data_spark.queries import load
+    from big_data_analysis_for_stock_market_data_spark.sources.io import zorder_write
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "zordered")
+    zorder_write(li, zdir, cols=["l_partkey", "l_suppkey"], n_files=16,
+                 bits_per_col=8)
+
+    spans = {"l_partkey": [], "l_suppkey": []}
+    glo = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    rng = {"l_partkey": glo[1] - glo[0], "l_suppkey": glo[3] - glo[2]}
+    files = glob.glob(f"{zdir}/part-*.parquet")
+    assert len(files) >= 8
+    for f in files:
+        md = papq.read_metadata(f)
+        for col in spans:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            spans[col].append((hi - lo) / rng[col])
+    # every file tight on both dimensions simultaneously — the z-order
+    # guarantee a single-column sort cannot give
+    for col, fr in spans.items():
+        assert sum(fr) / len(fr) < 0.55, (col, fr)
+
+    got = spark.read.parquet(zdir)
+    assert got.count() == li.count()
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, li.collect()))
+    assert a == b
