@@ -407,3 +407,33 @@ def pca_explained_variance(
     model = Pipeline(stages=stages).fit(df.select(*feature_cols))
     pca_model = model.stages[-1]
     return [float(v) for v in pca_model.explainedVariance]
+
+
+def quantile_bins(
+    df,
+    col: str,
+    n_bins: int,
+    out: str = "bin",
+    round_to: int = 6,
+):
+    """Feature discretization on EXACT quantile boundaries — the
+    deterministic twin of ``QuantileDiscretizer`` (which bins on
+    approxQuantile sketches whose cut points drift with partitioning).
+    Boundaries are exact interpolated percentiles rounded once to
+    ``round_to`` dp (so any engine computes identical cut points); the bin
+    id is the count of boundaries <= value. The driver sees only the
+    ``n_bins - 1`` boundary doubles (control-plane); binning itself is a
+    pure projection — no shuffle, no UDF."""
+    from pyspark.sql import functions as F
+
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    row = df.agg(
+        *[
+            F.round(F.percentile(col, F.lit(q)), round_to).alias(f"q{i}")
+            for i, q in enumerate(fracs)
+        ]
+    ).first()
+    b = F.lit(0)
+    for i in range(len(fracs)):
+        b = b + (F.col(col) >= F.lit(row[i])).cast("int")
+    return df.withColumn(out, b)

@@ -367,3 +367,54 @@ def vocab_coverage(
         (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
     return out.orderBy(*by) if by else out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF, in engine-exact FIXED POINT:
+    tf = in-doc frequency ratio (exact small-int ratio), idf carried as
+    integer nano-units round(ln(N/df)·1e9) — rounding a double to a nearby
+    INTEGER is engine-exact, whereas rounding to decimal places is not
+    (Spark rounds via exact BigDecimal, other engines via float multiply,
+    and the two disagree exactly at quantization boundaries). The emitted
+    ``score_nano`` = round(tf · idf_nano) is therefore reproducible
+    bit-for-bit; rank ties break on the term. Three grouped aggregates +
+    one broadcast-sized idf join + a per-doc top-k window; N is a driver
+    scalar (control-plane count). ``round_to`` sets the fixed-point scale
+    (9 = nano)."""
+    n_docs = df.count()
+    scale = float(10 ** round_to)
+    posting = df.select(F.col(id_col), F.explode(tokens_col(F.col(col))).alias("term"))
+    tf = posting.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__cnt"))
+    dl = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dlen"))
+    dfq = posting.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    idf_nano = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("__df")) * scale, 0
+    ).cast("long")
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfq), "term")
+        .select(
+            id_col, "term",
+            F.round(
+                (F.col("__cnt").cast("double") / F.col("__dlen"))
+                * idf_nano.cast("double"),
+                0,
+            ).cast("long").alias("score_nano"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_nano").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(id_col, "rank")
+    )

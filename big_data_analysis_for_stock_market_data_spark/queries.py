@@ -2033,6 +2033,95 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_topterms",
+    # fixed-point contract: idf_nano = round(ln(N/df)*1e9) as BIGINT, score
+    # = round(tf * idf_nano) as BIGINT — double-to-INTEGER rounding is
+    # engine-exact (decimal-place rounding of doubles is not: Spark rounds
+    # via exact BigDecimal, DuckDB via float multiply)
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round((CAST(cnt AS DOUBLE) / dlen)
+                   * CAST(round(ln(CAST(nd AS DOUBLE) / dfc) * 1e9) AS BIGINT))
+                  AS BIGINT) AS score_nano
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN dfq ON dfq.term = tf.term
+      CROSS JOIN n
+    )
+    SELECT doc_id, term, score_nano, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_nano DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — keyword extraction / relevance
+    scoring over the corpus: three grouped aggregates, a broadcast idf
+    join, a per-doc top-k window (operators/text.tfidf_top_terms)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+@register(
+    "ml_quantile_bins",
+    # boundaries = exact interpolated quartiles rounded to 6dp (identical
+    # in both engines); bin = count of boundaries <= value
+    oracle="""
+    WITH b AS (
+      SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS b1,
+             round(quantile_cont(l_extendedprice, 0.50), 6) AS b2,
+             round(quantile_cont(l_extendedprice, 0.75), 6) AS b3
+      FROM lineitem
+    )
+    SELECT bin, COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM (
+      SELECT CAST(l_extendedprice >= b1 AS INT)
+             + CAST(l_extendedprice >= b2 AS INT)
+             + CAST(l_extendedprice >= b3 AS INT) AS bin,
+             l_extendedprice
+      FROM lineitem, b
+    )
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature discretization on exact quartile boundaries — the
+    deterministic QuantileDiscretizer twin (ml/pipeline.quantile_bins):
+    boundary aggregate (driver sees 3 doubles), then binning is a pure
+    projection. Output: per-bin count and value envelope."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import quantile_bins
+
+    li = load(spark, sf_dir, "lineitem")
+    binned = quantile_bins(li, "l_extendedprice", n_bins=4)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
     "dedup_exact_normalized",
     oracle=f"""
     SELECT doc_id, lang, source FROM (

@@ -165,3 +165,30 @@ def test_vocab_coverage_exact_small_case(spark):
     assert (got["en"].total_tokens, got["en"].oov_tokens) == (6, 1)
     assert (got["fr"].total_tokens, got["fr"].oov_tokens) == (4, 2)
     assert got["fr"].oov_rate == 0.5
+
+
+def test_tfidf_topterms_hand_case(spark):
+    """Tiny corpus with a known discriminative term: the term unique to a
+    document outranks corpus-wide terms; terms in every document get
+    idf = ln(1) = 0."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana common"),
+            (2, "cherry banana common"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: (r.term, r.score_nano) for r in out}
+    assert top[1][0] == "apple" and top[2][0] == "cherry"
+    # doc 3 has only the everywhere-term: idf 0 -> score 0
+    assert top[3] == ("common", 0)
+    # sanity: ln(3/1)/3 * 1e9 for the unique terms
+    import math
+    expect = round(round(math.log(3.0) * 1e9) / 3)
+    assert abs(top[1][1] - expect) <= 1
