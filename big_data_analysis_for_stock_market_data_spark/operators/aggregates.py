@@ -203,3 +203,43 @@ def groupwise_ols(
     return g.select(
         *keys, "n", slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    step_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered conversion funnel: for each key, the earliest completion
+    chain through ``steps`` — step_1_ts = first occurrence of steps[0],
+    step_i_ts = first occurrence of steps[i-1] STRICTLY AFTER the previous
+    matched step. Keys that never perform steps[0] are outside the funnel
+    (not returned); later steps are null once the chain breaks.
+    ``steps_reached`` counts the completed prefix.
+
+    Plan: one filtered min-aggregate per step, chained by key-equi joins —
+    every aggregate is map-side combinable and every join is keyed on
+    ``keys``, so the whole funnel costs len(steps) small shuffles on the
+    key, never a window over event history and never an explosion of
+    event pairs."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ks = list(keys)
+    ev0 = df.filter(F.col(step_col) == steps[0])
+    base = ev0.groupBy(*ks).agg(F.min(ts_col).alias("step1_ts"))
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"step{i - 1}_ts"
+        cand = (
+            df.filter(F.col(step_col) == s)
+            .join(base.select(*ks, prev), ks)
+            .filter(F.col(ts_col) > F.col(prev))
+            .groupBy(*ks)
+            .agg(F.min(ts_col).alias(f"step{i}_ts"))
+        )
+        base = base.join(cand, ks, "left")
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.col(f"step{i}_ts").isNotNull().cast("int")
+    return base.withColumn("steps_reached", reached)

@@ -5535,6 +5535,48 @@ def a10_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.groupwise_ols(ev, ["user_id"], x, y).orderBy("user_id")
 
 
+@register(
+    "a11_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(t1 AS TIMESTAMP) AS step1_ts,
+           CAST(t2 AS TIMESTAMP) AS step2_ts,
+           CAST(t3 AS TIMESTAMP) AS step3_ts,
+           1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+             AS steps_reached
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    ORDER BY s1.user_id
+    """,
+)
+def a11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: earliest
+    completion chain per user, strictly-increasing timestamps, null once
+    the chain breaks (operators/aggregates.funnel_steps). One map-side
+    combinable min-aggregate per step + key-equi joins — no event-history
+    window, no pair explosion."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.funnel_steps(
+        ev, keys=["user_id"], ts_col="ts", step_col="event_type",
+        steps=["view", "click", "purchase"],
+    ).orderBy("user_id")
+
+
 def _mv_measure_sql(m: str) -> str:
     return f"""
            COUNT({m}) AS cnt_{m},

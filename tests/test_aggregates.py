@@ -207,3 +207,34 @@ def test_groupwise_ols_matches_numpy(spark):
         assert abs(got[g].slope - m) < 1e-9
         assert abs(got[g].intercept - b) < 1e-6
     assert got["flat"].slope is None and got["flat"].intercept is None
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    """Strictly-after chaining: a purchase BEFORE the first click does not
+    count; users without the entry step are outside the funnel."""
+    from datetime import datetime as DT
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        funnel_steps,
+    )
+
+    rows = [
+        # u1 completes in order
+        Row(u=1, ts=DT(2024, 1, 1, 9), e="view"),
+        Row(u=1, ts=DT(2024, 1, 1, 10), e="click"),
+        Row(u=1, ts=DT(2024, 1, 1, 11), e="purchase"),
+        # u2: purchase precedes the click -> chain stops at click
+        Row(u=2, ts=DT(2024, 1, 1, 9), e="view"),
+        Row(u=2, ts=DT(2024, 1, 1, 9, 30), e="purchase"),
+        Row(u=2, ts=DT(2024, 1, 1, 10), e="click"),
+        # u3 never views -> outside the funnel
+        Row(u=3, ts=DT(2024, 1, 1, 8), e="click"),
+        Row(u=3, ts=DT(2024, 1, 1, 9), e="purchase"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.u: r for r in funnel_steps(
+        df, ["u"], "ts", "e", ["view", "click", "purchase"]
+    ).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].steps_reached == 3
+    assert got[2].steps_reached == 2 and got[2].step3_ts is None
