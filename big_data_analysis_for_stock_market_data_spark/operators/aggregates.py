@@ -221,9 +221,9 @@ def funnel_steps(
 
     Plan: one filtered min-aggregate per step, chained by key-equi joins —
     every aggregate is map-side combinable and every join is keyed on
-    ``keys``, so the whole funnel costs len(steps) small shuffles on the
-    key, never a window over event history and never an explosion of
-    event pairs."""
+    ``keys``, so the funnel costs a few key-shuffles per step (measured:
+    ~4·len(steps), pinned in tools/plan_audit.py) — never a window over
+    full event history and never an explosion of event pairs."""
     if not steps:
         raise ValueError("steps must be non-empty")
     ks = list(keys)

@@ -5758,6 +5758,14 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every oracle-bearing entry has a driver verdict no older than the code
 # it exercises. Everything not listed keeps registration order after the
 # window.
+#
+# r05 window backlog (new oracle-bearing entries that did not fit the r04
+# window; all locally verified at sf0.01 — the float-sensitive ones at
+# sf0.1 too): samp_weighted_docs, samp_shuffle_shards, text_vocab_coverage,
+# a10_groupwise_ols, text_tfidf_topterms, ml_quantile_bins,
+# a7_unpivot_metrics, s_zorder_roundtrip, a11_funnel_conversion,
+# samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
+# ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY: tuple[str, ...] = (

@@ -51,11 +51,13 @@ MAX_EXCHANGES = 9
 #: the r04 audit): regressions past the pin still flag.
 EXCHANGE_BUDGET = {
     "dedup_ngram_jaccard": 16,     # shingle index -> pairs -> verify joins
+    "text_contamination_check": 12,  # split -> train index -> cand -> verify
     "dedup_minhash_near": 12,      # signatures -> bands -> buckets -> verify
     "dedup_minhash_md5": 12,
     "simsearch_ivf_det_topk": 40,  # unrolled Lloyd iterations (deliberate)
     "simsearch_ivfpq_det_topk": 40,  # same Lloyd unroll + PQ encode
     "q21_sole_late_supplier": 12,  # 4-way join + semi + anti branches
+    "a11_funnel_conversion": 13,   # per step: event shuffle + agg + join
 }
 
 
