@@ -67,3 +67,42 @@ def metrics_df(spark, metrics: dict[str, float]) -> DataFrame:
     the queries() adapter shape for ML entries."""
     rows = [(k, float(v)) for k, v in sorted(metrics.items())]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC as the Mann-Whitney U rank statistic — one row out:
+    (n_pos, n_neg, auc). Tie-correct (tied scores get their average rank,
+    the trapezoidal ROC convention) and bit-exact: every term is integer
+    (doubled average ranks stay integral), magnitudes are <= 2·N² << 2^53,
+    and the single final double division is IEEE-identical in any engine.
+
+    Scalable construction: scores collapse to per-score tie groups first
+    (one hash aggregate), the rank prefix runs over the DISTINCT-score
+    table (a window over |distinct scores| rows, not |rows|), and totals
+    are one more aggregate. At 100 TB the distinct-score cardinality is
+    the lever — quantize scores to fixed point upstream and the window
+    side stays bounded while AUC remains exact for the quantized scores.
+    """
+    from pyspark.sql import Window
+
+    pos = F.col(label_col).cast("long")
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(pos).alias("__npos"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+    # doubled average rank of the tie group: 2·(cum_before + 1) + cnt − 1
+    ar2 = 2 * (cum_before + 1) + F.col("__cnt") - 1
+    ranked = g.select("__npos", "__cnt", ar2.alias("__ar2"))
+    tot = ranked.agg(
+        F.sum(F.col("__npos") * F.col("__ar2")).alias("__sum_ar2_pos"),
+        F.sum("__npos").alias("n_pos"),
+        F.sum(F.col("__cnt") - F.col("__npos")).alias("n_neg"),
+    )
+    auc = (
+        (F.col("__sum_ar2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("double")
+        / (2.0 * (F.col("n_pos") * F.col("n_neg")).cast("double"))
+    )
+    return tot.select("n_pos", "n_neg", auc.alias("auc"))

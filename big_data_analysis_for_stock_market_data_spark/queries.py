@@ -5577,6 +5577,46 @@ def a11_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@register(
+    "ml_auc_exact",
+    # Mann-Whitney rank AUC, all-integer until one final division: doubled
+    # average rank per tie group keeps everything integral; magnitudes
+    # <= 2·N² so the doubles are exact
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS s, COUNT(*) AS cnt,
+             SUM(CAST(l_returnflag = 'R' AS BIGINT)) AS npos
+      FROM lineitem GROUP BY l_extendedprice
+    ),
+    r AS (
+      SELECT npos, cnt,
+             2 * (COALESCE(SUM(cnt) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + 1) + cnt - 1 AS ar2
+      FROM g
+    )
+    SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt - npos) AS BIGINT) AS n_neg,
+           CAST(SUM(npos * ar2) - SUM(npos) * (SUM(npos) + 1) AS DOUBLE)
+             / (2.0 * CAST(SUM(npos) * SUM(cnt - npos) AS DOUBLE)) AS auc
+    FROM r
+    """,
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of l_extendedprice as a predictor of
+    returned lineitems — the evaluator internal (Mann-Whitney U) as a
+    first-class distributed op (ml/metrics.exact_auc): per-score tie
+    groups, rank prefix over the distinct-score table only, bit-exact
+    integer arithmetic until one final division."""
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import exact_auc
+
+    li = load(spark, sf_dir, "lineitem")
+    return exact_auc(
+        li.select("l_extendedprice", (F.col("l_returnflag") == "R").alias("y")),
+        "l_extendedprice", "y",
+    )
+
+
 def _mv_measure_sql(m: str) -> str:
     return f"""
            COUNT({m}) AS cnt_{m},
@@ -5764,6 +5804,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.1 too): samp_weighted_docs, samp_shuffle_shards, text_vocab_coverage,
 # a10_groupwise_ols, text_tfidf_topterms, ml_quantile_bins,
 # a7_unpivot_metrics, s_zorder_roundtrip, a11_funnel_conversion,
+# ml_auc_exact,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

@@ -182,3 +182,25 @@ def test_rdd_compat_trainclassifier_flow(labeled_df):
         rc.train_classifier(lp_train, numClasses=5)
     with _pytest.raises(ValueError):
         rc.train_classifier(lp_train, categoricalFeaturesInfo={0: 3})
+
+
+def test_exact_auc_matches_sklearn_formula(spark):
+    """Rank-statistic AUC equals the probabilistic definition computed by
+    brute force on a small case with ties."""
+    from itertools import product
+
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import exact_auc
+
+    data = [(0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1), (0.35, 0), (0.8, 1)]
+    df = spark.createDataFrame([Row(s=s, y=bool(y)) for s, y in data])
+    row = exact_auc(df, "s", "y").first()
+    pos = [s for s, y in data if y]
+    neg = [s for s, y in data if not y]
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in product(pos, neg)
+    ) / (len(pos) * len(neg))
+    assert row.n_pos == 3 and row.n_neg == 3
+    assert abs(row.auc - brute) < 1e-15
