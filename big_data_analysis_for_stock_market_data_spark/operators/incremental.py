@@ -35,11 +35,17 @@ _DEC = "decimal(18,6)"
 
 
 def partial_agg(
-    df: DataFrame, keys: Sequence[str], measures: Sequence[str]
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[str],
+    distinct: Sequence[str] = (),
 ) -> DataFrame:
     """Mergeable per-key state: n rows + (count, decimal sum, min, max) per
-    measure. One hash aggregate (map-side combine) — the shuffle carries one
-    state row per (input partition, key)."""
+    measure + an HLL sketch per ``distinct`` column (Datasketches HLL —
+    deterministic and merge-associative, so COUNT DISTINCT becomes
+    incrementally maintainable too, which no exact per-key counter is).
+    One hash aggregate (map-side combine) — the shuffle carries one state
+    row per (input partition, key)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for m in measures:
         aggs += [
@@ -50,11 +56,16 @@ def partial_agg(
             F.min(m).alias(f"min_{m}"),
             F.max(m).alias(f"max_{m}"),
         ]
+    for d in distinct:
+        aggs.append(F.hll_sketch_agg(d).alias(f"hll_{d}"))
     return df.groupBy(*keys).agg(*aggs)
 
 
 def merge_partials(
-    states: Sequence[DataFrame], keys: Sequence[str], measures: Sequence[str]
+    states: Sequence[DataFrame],
+    keys: Sequence[str],
+    measures: Sequence[str],
+    distinct: Sequence[str] = (),
 ) -> DataFrame:
     """Merge any number of partial states: union + one hash aggregate.
     count/sum re-add, min/max re-extremize — all associative+commutative, so
@@ -69,6 +80,8 @@ def merge_partials(
             F.min(f"min_{m}").alias(f"min_{m}"),
             F.max(f"max_{m}").alias(f"max_{m}"),
         ]
+    for d in distinct:
+        aggs.append(F.hll_union_agg(f"hll_{d}").alias(f"hll_{d}"))
     out = unioned.groupBy(*keys).agg(*aggs)
     # re-merged decimal sums widen per Spark's sum-of-decimal rule; pin the
     # stored-state type so state is stable under repeated merges
@@ -81,13 +94,20 @@ def merge_partials(
     )
 
 
-def finalize(state: DataFrame, measures: Sequence[str]) -> DataFrame:
+def finalize(
+    state: DataFrame, measures: Sequence[str], distinct: Sequence[str] = ()
+) -> DataFrame:
     """Read-time view over the stored state: count/sum/min/max pass through,
-    avg derived as exact-decimal sum / count (never stored)."""
-    cols = list(state.columns)
+    avg derived as exact-decimal sum / count, approx-distinct estimated
+    from the stored HLL sketch (neither derived value is ever stored)."""
+    cols = [c for c in state.columns if not c.startswith("hll_")]
     derived = [
         (F.col(f"sum_{m}").cast("double") / F.col(f"cnt_{m}")).alias(f"avg_{m}")
         for m in measures
+    ]
+    derived += [
+        F.hll_sketch_estimate(f"hll_{d}").alias(f"approx_distinct_{d}")
+        for d in distinct
     ]
     sums = {f"sum_{m}" for m in measures}
     out = [

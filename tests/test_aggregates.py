@@ -238,3 +238,32 @@ def test_funnel_steps_ordering_semantics(spark):
     assert set(got) == {1, 2}
     assert got[1].steps_reached == 3
     assert got[2].steps_reached == 2 and got[2].step3_ts is None
+
+
+def test_incremental_hll_distinct_merges_exactly(spark):
+    """The HLL sketch in the MV state is merge-associative: the estimate
+    from merged split-sketches equals the estimate from the whole (the
+    Datasketches HLL union is deterministic), and on small cardinalities
+    the estimate is exact."""
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        incremental as inc,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 2.0).alias("v"),
+        (F.col("id") % 211).alias("u"),
+    )
+    whole = inc.finalize(
+        inc.partial_agg(df, ["k"], ["v"], distinct=["u"]), ["v"], distinct=["u"]
+    )
+    parts = [df.filter((F.col("id") % 2) == i) for i in range(2)]
+    states = [inc.partial_agg(p, ["k"], ["v"], distinct=["u"]) for p in parts]
+    merged = inc.finalize(
+        inc.merge_partials(states, ["k"], ["v"], distinct=["u"]),
+        ["v"], distinct=["u"],
+    )
+    w = {r.k: r.approx_distinct_u for r in whole.collect()}
+    m = {r.k: r.approx_distinct_u for r in merged.collect()}
+    assert w == m
+    assert all(v == 211 for v in w.values())  # exact at small cardinality
