@@ -5825,7 +5825,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "j4_bloom_prefilter",
     "a8_summary_describe",        # new (describe()/summary() surface)
     "ml_rf_grouped_pca",          # new (two-group scale+PCA), rows-only
-    "dedup_minhash_near",         # r=4 band revert, rows-only
+    # the md5-mode oracle twin carries the hash-verified evidence for the
+    # whole minhash pipeline (same code path as the rows-only xxhash64
+    # production default, whose r=4 revert is evidenced by BENCH timings)
+    "dedup_minhash_md5",
     "w1_scalable_global_lag",     # NTZ fix — was latently broken
     "w_sessionize_batch",         # NTZ fix — was latently broken
     "ind_recursive_family",       # oracle added r03, never driver-verified
