@@ -243,3 +243,58 @@ def funnel_steps(
     for i in range(2, len(steps) + 1):
         reached = reached + F.col(f"step{i}_ts").isNotNull().cast("int")
     return base.withColumn("steps_reached", reached)
+
+
+def apply_cdc(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    payload: Sequence[str],
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> DataFrame:
+    """CDC apply: collapse an insert/update/delete change stream into the
+    final table state. The survivor per key is the LATEST change by the
+    ``order`` total order (same ``max_by(struct)`` single-aggregate shape
+    as ``latest_by_key`` — the op rides along in the payload, so the
+    shuffle still carries one candidate per (partition, key)); keys whose
+    latest change is a tombstone (``op_col == delete_value``) drop out of
+    the result entirely."""
+    resolved = latest_by_key(df, keys, order, [*payload, op_col])
+    return resolved.filter(F.col(op_col) != delete_value).drop(op_col)
+
+
+def temporal_join(
+    fact: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Temporal (point-in-time) dimension lookup: enrich each fact row
+    with the SCD-2 version that was valid AT the fact's own timestamp
+    (``valid_from <= ts < valid_to``, current rows open-ended) — the
+    per-row generalization of ``snapshot_as_of``, and the join shape that
+    prevents time-travel leakage in training pipelines (a fact must never
+    see a dimension version from its future).
+
+    Equi-join on ``keys`` with the validity range as a residual predicate:
+    one key-shuffle; version chains are short per key, so the residual
+    filter touches few candidate rows. ``history`` columns keep their
+    names — alias upstream on collision. History keys are renamed
+    internally before the join: fact and history often derive from the
+    same scan (history = scd2 over the fact source), and same-lineage
+    column references are ambiguous in a Spark self-join."""
+    h = history
+    for k in keys:
+        h = h.withColumnRenamed(k, f"__h_{k}")
+    ts = F.col(ts_col)
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__h_{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col("valid_from") <= ts) & (
+        F.col("valid_to").isNull() | (F.col("valid_to") > ts)
+    )
+    joined = fact.join(h, cond, how)
+    return joined.drop(*[f"__h_{k}" for k in keys])

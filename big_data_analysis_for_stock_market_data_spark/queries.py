@@ -5617,6 +5617,102 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_cdc_apply",
+    # events as a synthetic change stream: 'signup' inserts, 'error' is the
+    # tombstone, everything else updates. Survivor = latest change per
+    # (user, type-class is irrelevant — keyed on user_id only); users whose
+    # LAST change is a tombstone vanish.
+    oracle="""
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS changed_at,
+           value AS last_value,
+           event_id AS last_event_id
+    FROM (
+      SELECT *,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators/aggregates.apply_cdc): the event stream read
+    as inserts/updates/deletes collapses to final table state — latest
+    change wins per user, tombstoned users drop out. One max_by(struct)
+    hash aggregate; the third member of the merge family after SCD-1
+    (latest_by_key) and SCD-2 (scd2_history)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U"),
+    )
+    out = agg_ops.apply_cdc(
+        ev, keys=["user_id"], order=["ts", "event_id"],
+        payload=["ts", "value", "event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("changed_at"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    ).orderBy("user_id")
+
+
+@register(
+    "scd2_temporal_join",
+    # per-click lookup of the purchase-version valid at click time — the
+    # point-in-time join that prevents future-leakage
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, value, event_id,
+             CAST(ts AS TIMESTAMP) AS valid_from,
+             CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           h.value AS purchase_value,
+           h.valid_from AS purchase_version_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    LEFT JOIN hist h
+      ON h.user_id = c.user_id
+     AND h.valid_from <= CAST(c.ts AS TIMESTAMP)
+     AND (h.valid_to IS NULL OR h.valid_to > CAST(c.ts AS TIMESTAMP))
+    ORDER BY click_id
+    """,
+)
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each click joined to the purchase-history
+    version valid AT the click's own timestamp (no future leakage) —
+    scd2_history composed with temporal_join
+    (operators/aggregates.temporal_join). Equi-shuffle on user_id with the
+    validity range as residual predicate."""
+    ev = load(spark, sf_dir, "events")
+    hist = agg_ops.scd2_history(
+        ev.filter(F.col("event_type") == "purchase"),
+        keys=["user_id"], order=["ts", "event_id"], payload=["value", "event_id"],
+    ).select("user_id", "value", "valid_from", "valid_to")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    joined = agg_ops.temporal_join(clicks, hist, ["user_id"], "click_ts")
+    return joined.select(
+        "click_id", "user_id", "click_ts",
+        F.col("value").alias("purchase_value"),
+        F.col("valid_from").alias("purchase_version_ts"),
+    ).orderBy("click_id")
+
+
 def _mv_measure_sql(m: str) -> str:
     return f"""
            COUNT({m}) AS cnt_{m},
@@ -5804,7 +5900,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.1 too): samp_weighted_docs, samp_shuffle_shards, text_vocab_coverage,
 # a10_groupwise_ols, text_tfidf_topterms, ml_quantile_bins,
 # a7_unpivot_metrics, s_zorder_roundtrip, a11_funnel_conversion,
-# ml_auc_exact,
+# ml_auc_exact, merge_cdc_apply, scd2_temporal_join,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

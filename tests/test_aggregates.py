@@ -267,3 +267,45 @@ def test_incremental_hll_distinct_merges_exactly(spark):
     m = {r.k: r.approx_distinct_u for r in merged.collect()}
     assert w == m
     assert all(v == 211 for v in w.values())  # exact at small cardinality
+
+
+def test_apply_cdc_tombstones_and_temporal_join(spark):
+    """Latest-change-wins with delete tombstones; point-in-time lookup
+    picks the version valid at the fact timestamp, never a future one."""
+    from datetime import datetime as DT
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        apply_cdc,
+        scd2_history,
+        temporal_join,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            Row(k="a", ts=DT(2024, 1, 1), eid=1, v=1.0, op="I"),
+            Row(k="a", ts=DT(2024, 1, 2), eid=2, v=2.0, op="U"),
+            Row(k="b", ts=DT(2024, 1, 1), eid=3, v=9.0, op="I"),
+            Row(k="b", ts=DT(2024, 1, 3), eid=4, v=0.0, op="D"),  # tombstone
+        ]
+    )
+    got = {r.k: r.v for r in apply_cdc(
+        changes, ["k"], ["ts", "eid"], ["ts", "v"]
+    ).collect()}
+    assert got == {"a": 2.0}  # b's latest change is a delete
+
+    hist = scd2_history(
+        changes.filter(F.col("op") != "D"), ["k"], ["ts", "eid"], ["v"]
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(k="a", fts=DT(2024, 1, 1, 12)),  # only v=1.0 existed then
+            Row(k="a", fts=DT(2024, 1, 5)),      # current version v=2.0
+            Row(k="c", fts=DT(2024, 1, 5)),      # no history -> null
+        ]
+    )
+    out = {(r.k, r.fts): r.v for r in temporal_join(
+        facts, hist, ["k"], "fts"
+    ).collect()}
+    assert out[("a", DT(2024, 1, 1, 12))] == 1.0
+    assert out[("a", DT(2024, 1, 5))] == 2.0
+    assert out[("c", DT(2024, 1, 5))] is None
