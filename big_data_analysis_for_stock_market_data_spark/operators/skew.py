@@ -86,3 +86,43 @@ def salted_group_agg(
         else:
             final_exprs.append(getattr(F, fn)(f"__p_{fn}_{out}").alias(out))
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: the big side adds a per-row salt (hash of the
+    whole row — deterministic under recomputation, unlike rand()), the
+    small side replicates once per salt value, and the join runs on
+    (keys + salt) — a hot key's rows land on ``salt_buckets`` reducers
+    instead of one. Small-side cost: x``salt_buckets`` rows (keep it
+    broadcast-small or keep buckets modest). Result is EXACTLY the plain
+    join — salt only scatters placement.
+
+    AQE's skew-join split handles most cases adaptively; this explicit
+    form covers plans AQE declines (e.g. a skewed key feeding a
+    sort-merge join inside a cached subtree) and makes the mitigation
+    unit-testable.
+
+    Only big-side-preserving join types are legal: an unmatched SMALL-side
+    row exists ``salt_buckets`` times after replication, so right/full
+    outer joins would emit it once per salt."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, got {how!r}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
+    ).alias("__salt")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return b.join(s, keys + ["__salt"], how).drop("__salt")

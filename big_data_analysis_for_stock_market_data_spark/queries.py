@@ -5713,6 +5713,76 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id")
 
 
+@register(
+    "j5_salted_join",
+    # the salt only scatters placement, so the oracle is the PLAIN join
+    oracle=f"""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_items,
+           {_sql_dsum('l.l_extendedprice', 'sum_price')}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+    """,
+)
+def j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi join (operators/skew.salted_join): the fact
+    side salts each row deterministically, the supplier dim replicates per
+    salt, and the join runs on (key, salt) so one hot supplier spreads
+    over 8 reducers. Value-identical to the plain join by construction."""
+    from big_data_analysis_for_stock_market_data_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, on="l_suppkey", salt_buckets=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "seq_user_event_export",
+    # array_agg(... ORDER BY) twin: the (ts, event_id) order is total per
+    # user, so the joined sequence string is deterministic
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS event_seq
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def seq_user_event_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence export: each user's time-ordered event-type
+    chain as one string — the session-sequence feature a sequence-model
+    training pipeline emits per entity. One hash aggregate
+    (collect_list of (ts, event_id, type) structs), then a JVM-side
+    array_sort + transform + concat_ws — the ordering happens inside each
+    group's collected array, never as a global sort."""
+    ev = load(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("__seq"),
+    )
+    return packed.select(
+        "user_id", "n_events",
+        F.concat_ws(
+            ">", F.transform(F.col("__seq"), lambda x: x["event_type"])
+        ).alias("event_seq"),
+    ).orderBy("user_id")
+
+
 def _mv_measure_sql(m: str) -> str:
     return f"""
            COUNT({m}) AS cnt_{m},
@@ -5900,7 +5970,8 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.1 too): samp_weighted_docs, samp_shuffle_shards, text_vocab_coverage,
 # a10_groupwise_ols, text_tfidf_topterms, ml_quantile_bins,
 # a7_unpivot_metrics, s_zorder_roundtrip, a11_funnel_conversion,
-# ml_auc_exact, merge_cdc_apply, scd2_temporal_join,
+# ml_auc_exact, merge_cdc_apply, scd2_temporal_join, j5_salted_join,
+# seq_user_event_export,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

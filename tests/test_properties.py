@@ -294,3 +294,29 @@ def test_shuffle_shards_is_a_partition_invariant_permutation(spark):
     assert {(r.k, r.shard, r.pos) for r in again} == {
         (r.k, r.shard, r.pos) for r in out
     }
+
+
+def test_salted_join_equals_plain_join_and_rejects_outer(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.range(2000).select(
+        (F.when(F.col("id") % 10 < 8, 1).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("payload"),
+    )  # key 1 is hot (~80% of rows)
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3.0).alias("dim")
+    )
+    got = sorted(map(tuple, salted_join(big, small, "k").collect()))
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want
+
+    # left join preserves unmatched big rows exactly once
+    big2 = big.withColumn("k", F.col("k") + 1000)  # nothing matches
+    lgot = salted_join(big2, small, "k", how="left").collect()
+    assert len(lgot) == 2000 and all(r.dim is None for r in lgot)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
