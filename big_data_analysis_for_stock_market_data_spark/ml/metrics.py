@@ -77,23 +77,28 @@ def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     and the single final double division is IEEE-identical in any engine.
 
     Scalable construction: scores collapse to per-score tie groups first
-    (one hash aggregate), the rank prefix runs over the DISTINCT-score
-    table (a window over |distinct scores| rows, not |rows|), and totals
-    are one more aggregate. At 100 TB the distinct-score cardinality is
-    the lever — quantize scores to fixed point upstream and the window
-    side stays bounded while AUC remains exact for the quantized scores.
+    (one hash aggregate), then the rank prefix runs as the engine's
+    two-phase parallel scan over the DISTINCT-score table
+    (``windows.prefix_sum`` — bucket-local sums in parallel, a
+    |buckets|-row offsets broadcast, never a single-partition global
+    window), and totals are one more aggregate. Works unchanged at any
+    distinct-score cardinality; quantizing scores upstream just shrinks
+    the prefix side further.
     """
-    from pyspark.sql import Window
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        prefix_sum,
+    )
 
     pos = F.col(label_col).cast("long")
     g = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(pos).alias("__npos"),
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+    ranked_cum = prefix_sum(g, "__cnt", order_by="__s", out_col="__cum")
+    cum_before = F.col("__cum").cast("long") - F.col("__cnt")
     # doubled average rank of the tie group: 2·(cum_before + 1) + cnt − 1
     ar2 = 2 * (cum_before + 1) + F.col("__cnt") - 1
+    g = ranked_cum
     ranked = g.select("__npos", "__cnt", ar2.alias("__ar2"))
     tot = ranked.agg(
         F.sum(F.col("__npos") * F.col("__ar2")).alias("__sum_ar2_pos"),
