@@ -298,3 +298,78 @@ def temporal_join(
     )
     joined = fact.join(h, cond, how)
     return joined.drop(*[f"__h_{k}" for k in keys])
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, then
+    counted per (cohort_day, day_offset) where they were active again —
+    the standard product-analytics retention triangle. Two grouped
+    aggregates (first-day per key; distinct activity days per key) and a
+    key-equi join — every shuffle is keyed on ``key`` or the small output
+    pair, no window over event history."""
+    first = df.groupBy(key).agg(F.min(F.to_date(ts_col)).alias("cohort_day"))
+    active = df.select(key, F.to_date(ts_col).alias("__day")).distinct()
+    joined = active.join(first, key)
+    return (
+        joined.select(
+            "cohort_day",
+            F.datediff(F.col("__day"), F.col("cohort_day")).alias("day_offset"),
+            F.col(key),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    order: Sequence[str] | None = None,
+) -> DataFrame:
+    """First-order transition counts: how often each state follows each
+    other state within a key's time-ordered history (the Markov-chain /
+    next-event model of behavioral data). One key-partitioned lag window
+    + one grouped count; ``order`` defaults to (ts_col,) — pass a
+    tie-breaker for total order."""
+    ob = [F.col(c) for c in (order or (ts_col,))]
+    w = Window.partitionBy(key).orderBy(*ob)
+    pairs = df.select(
+        F.lag(state_col).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).filter(F.col("from_state").isNotNull())
+    return (
+        pairs.groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_state", "to_state")
+    )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram over the column's [min, max] range: one
+    min/max aggregate (two driver doubles, control-plane), then binning is
+    a pure projection and one grouped count. The max value lands in the
+    last bin (half-open bins, closed at the top end)."""
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    return (
+        df.select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
+        .orderBy("bin")
+    )

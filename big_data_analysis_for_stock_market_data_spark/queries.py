@@ -5783,6 +5783,88 @@ def seq_user_event_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@register(
+    "a12_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, a.day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN first f ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY f.cohort_day, day_offset
+    """,
+)
+def a12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity day,
+    counted on each later day they return
+    (operators/aggregates.cohort_retention) — two key-grouped aggregates
+    + one key join, no history window."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.cohort_retention(ev, key="user_id", ts_col="ts")
+
+
+@register(
+    "w_transition_matrix",
+    oracle="""
+    SELECT from_state, to_state, COUNT(*) AS n FROM (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+      FROM events
+    ) WHERE from_state IS NOT NULL
+    GROUP BY from_state, to_state
+    ORDER BY from_state, to_state
+    """,
+)
+def w_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition counts (the Markov next-event
+    matrix): key-partitioned lag + grouped count
+    (operators/aggregates.transition_matrix)."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.transition_matrix(
+        ev, key="user_id", ts_col="ts", state_col="event_type",
+        order=["ts", "event_id"],
+    )
+
+
+@register(
+    "a13_histogram_value",
+    # identical bin arithmetic on both sides: floor((v - lo) / width) with
+    # lo/hi the exact aggregated min/max doubles, capped into the last bin
+    oracle="""
+    WITH mm AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    b AS (
+      SELECT LEAST(9, CAST(floor((value - lo) / ((hi - lo) / 10))
+                           AS INT)) AS bin,
+             lo, (hi - lo) / 10 AS width
+      FROM events, mm
+    )
+    SELECT bin, COUNT(*) AS n_rows, lo + bin * width AS bin_lo
+    FROM b
+    GROUP BY bin, lo, width
+    ORDER BY bin
+    """,
+)
+def a13_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bin histogram of event values — the EDA distribution
+    scan (operators/aggregates.fixed_width_histogram): min/max aggregate
+    (two control-plane doubles), pure-projection binning, one grouped
+    count."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.fixed_width_histogram(ev, "value", n_bins=10)
+
+
 def _mv_measure_sql(m: str) -> str:
     return f"""
            COUNT({m}) AS cnt_{m},
@@ -5971,7 +6053,8 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a10_groupwise_ols, text_tfidf_topterms, ml_quantile_bins,
 # a7_unpivot_metrics, s_zorder_roundtrip, a11_funnel_conversion,
 # ml_auc_exact, merge_cdc_apply, scd2_temporal_join, j5_salted_join,
-# seq_user_event_export,
+# seq_user_event_export, a12_cohort_retention, w_transition_matrix,
+# a13_histogram_value,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

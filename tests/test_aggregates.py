@@ -309,3 +309,37 @@ def test_apply_cdc_tombstones_and_temporal_join(spark):
     assert out[("a", DT(2024, 1, 1, 12))] == 1.0
     assert out[("a", DT(2024, 1, 5))] == 2.0
     assert out[("c", DT(2024, 1, 5))] is None
+
+
+def test_cohort_transition_histogram_small_cases(spark):
+    from datetime import datetime as DT
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        cohort_retention,
+        fixed_width_histogram,
+        transition_matrix,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, ts=DT(2024, 1, 1, 9), e="view", v=0.0),
+            Row(u=1, ts=DT(2024, 1, 3, 9), e="click", v=5.0),
+            Row(u=1, ts=DT(2024, 1, 3, 10), e="view", v=10.0),
+            Row(u=2, ts=DT(2024, 1, 2, 9), e="view", v=10.0),
+        ]
+    )
+    coh = {(str(r.cohort_day), r.day_offset): r.n_users
+           for r in cohort_retention(ev, "u", "ts").collect()}
+    assert coh == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 2): 1, ("2024-01-02", 0): 1,
+    }
+
+    tm = {(r.from_state, r.to_state): r.n for r in transition_matrix(
+        ev, "u", "ts", "e", order=["ts"]
+    ).collect()}
+    assert tm == {("view", "click"): 1, ("click", "view"): 1}
+
+    # values 0,5,10,10 over [0,10] in 2 bins: [0,5) -> 1, [5,10] -> 3
+    h = {r.bin: (r.n_rows, r.bin_lo) for r in
+         fixed_width_histogram(ev, "v", 2).collect()}
+    assert h == {0: (1, 0.0), 1: (3, 5.0)}
