@@ -373,3 +373,53 @@ def fixed_width_histogram(
         .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
         .orderBy("bin")
     )
+
+
+def rolling_active_counts(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct-actives (the DAU/WAU/MAU family) computed EXACTLY
+    with no per-window COUNT DISTINCT: a key is "active at day t" iff it
+    appeared within the trailing ``window_days``. Naively that is a
+    distinct-count per window — quadratic state. Instead:
+
+    1. distinct (key, day) pairs;
+    2. gaps-and-islands per key: consecutive active days with gaps <
+       ``window_days`` merge into one coverage interval [start, end +
+       window_days);
+    3. each interval emits +1 at its start and −1 at its expiry day;
+    4. one global running sum over the delta days (the engine's two-phase
+       ``prefix_sum`` — never a single-partition window).
+
+    Output: (day, active_count) at every day the count CHANGES — the
+    complete step function of the rolling metric. Shuffles: one on key,
+    one on day; state per key is its islands, not its history."""
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        prefix_sum,
+    )
+
+    days = df.select(key, F.to_date(ts_col).alias("__day")).distinct()
+    w = Window.partitionBy(key).orderBy("__day")
+    gap = F.datediff(F.col("__day"), F.lag("__day").over(w))
+    brk = F.when(gap.isNull() | (gap >= window_days), 1).otherwise(0)
+    isl = days.withColumn("__island", F.sum(brk).over(w))
+    iv = isl.groupBy(key, "__island").agg(
+        F.min("__day").alias("__s"), F.max("__day").alias("__e")
+    )
+    deltas = iv.select(F.col("__s").alias("day"), F.lit(1).alias("__d")).unionByName(
+        iv.select(
+            F.date_add("__e", window_days).alias("day"),
+            F.lit(-1).alias("__d"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("__d").alias("__dd"))
+    # prefix_sum's quantile bucketing needs a numeric order key; DATE maps
+    # losslessly to epoch-day ints
+    per_day = per_day.withColumn("__dayi", F.unix_date("day"))
+    out = prefix_sum(per_day, "__dd", order_by="__dayi", out_col="__cum")
+    return out.select(
+        "day", F.col("__cum").cast("long").alias("active_count")
+    ).orderBy("day")

@@ -5837,6 +5837,53 @@ def w_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_rolling_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             CASE WHEN lag(day) OVER w IS NULL
+                    OR date_diff('day', lag(day) OVER w, day) >= 7
+                  THEN 1 ELSE 0 END AS brk
+      FROM days
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    isl AS (
+      SELECT user_id, day,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM g
+    ),
+    iv AS (
+      SELECT user_id, island, MIN(day) AS s, MAX(day) AS e
+      FROM isl GROUP BY user_id, island
+    ),
+    deltas AS (
+      SELECT s AS day, 1 AS d FROM iv
+      UNION ALL
+      SELECT e + 7, -1 FROM iv
+    ),
+    agg AS (SELECT day, SUM(d) AS dd FROM deltas GROUP BY day)
+    SELECT day,
+           CAST(SUM(dd) OVER (ORDER BY day) AS BIGINT) AS active_count
+    FROM agg
+    ORDER BY day
+    """,
+)
+def w_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active-user count as a step function — no
+    per-window COUNT DISTINCT: gaps-and-islands coverage intervals per
+    user, ±1 deltas at interval boundaries, one two-phase prefix sum over
+    delta days (operators/aggregates.rolling_active_counts)."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.rolling_active_counts(ev, key="user_id", ts_col="ts",
+                                         window_days=7)
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6054,7 +6101,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a7_unpivot_metrics, s_zorder_roundtrip, a11_funnel_conversion,
 # ml_auc_exact, merge_cdc_apply, scd2_temporal_join, j5_salted_join,
 # seq_user_event_export, a12_cohort_retention, w_transition_matrix,
-# a13_histogram_value,
+# a13_histogram_value, w_rolling_active_users,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

@@ -343,3 +343,39 @@ def test_cohort_transition_histogram_small_cases(spark):
     h = {r.bin: (r.n_rows, r.bin_lo) for r in
          fixed_width_histogram(ev, "v", 2).collect()}
     assert h == {0: (1, 0.0), 1: (3, 5.0)}
+
+
+def test_rolling_active_counts_step_function(spark):
+    """Hand-checked 3-day-window step function: islands merge when gaps <
+    window; expiries decrement; the step function matches a brute-force
+    per-day distinct count at every delta day."""
+    from datetime import datetime as DT, timedelta
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        rolling_active_counts,
+    )
+
+    rows = [
+        Row(u=1, ts=DT(2024, 1, 1)),
+        Row(u=1, ts=DT(2024, 1, 2)),   # island [1,2] -> covers 1..4
+        Row(u=1, ts=DT(2024, 1, 10)),  # new island -> covers 10..12
+        Row(u=2, ts=DT(2024, 1, 3)),   # covers 3..5
+    ]
+    df = spark.createDataFrame(rows)
+    steps = {str(r.day): r.active_count for r in rolling_active_counts(
+        df, "u", "ts", window_days=3
+    ).collect()}
+
+    # brute force at each delta day
+    import datetime as _dt
+    acts = {1: [_dt.date(2024, 1, 1), _dt.date(2024, 1, 2), _dt.date(2024, 1, 10)],
+            2: [_dt.date(2024, 1, 3)]}
+    for day_str, got in steps.items():
+        t = _dt.date.fromisoformat(day_str)
+        brute = sum(
+            1 for u, ds in acts.items()
+            if any(t - timedelta(days=2) <= d <= t for d in ds)
+        )
+        assert got == brute, (day_str, got, brute)
+    assert steps["2024-01-01"] == 1 and steps["2024-01-03"] == 2
+    assert steps["2024-01-05"] == 1 and steps["2024-01-06"] == 0
