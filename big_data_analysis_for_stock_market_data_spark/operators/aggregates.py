@@ -409,12 +409,19 @@ def rolling_active_counts(
     iv = isl.groupBy(key, "__island").agg(
         F.min("__day").alias("__s"), F.max("__day").alias("__e")
     )
-    deltas = iv.select(F.col("__s").alias("day"), F.lit(1).alias("__d")).unionByName(
-        iv.select(
-            F.date_add("__e", window_days).alias("day"),
-            F.lit(-1).alias("__d"),
-        )
-    )
+    # one explode, not a union: a union of two selects over iv re-executes
+    # the whole islands lineage twice (audited: ~2x the exchanges)
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("__s").alias("day"), F.lit(1).alias("__d")),
+                F.struct(
+                    F.date_add("__e", window_days).alias("day"),
+                    F.lit(-1).alias("__d"),
+                ),
+            )
+        ).alias("__x")
+    ).select("__x.day", "__x.__d")
     per_day = deltas.groupBy("day").agg(F.sum("__d").alias("__dd"))
     # prefix_sum's quantile bucketing needs a numeric order key; DATE maps
     # losslessly to epoch-day ints

@@ -58,6 +58,7 @@ EXCHANGE_BUDGET = {
     "simsearch_ivfpq_det_topk": 40,  # same Lloyd unroll + PQ encode
     "q21_sole_late_supplier": 12,  # 4-way join + semi + anti branches
     "a11_funnel_conversion": 13,   # per step: event shuffle + agg + join
+    "w_rolling_active_users": 11,  # islands + deltas + 2-phase prefix sum
 }
 
 
