@@ -584,3 +584,30 @@ def cross_containment(
         .select("eval_id", "train_id", "containment")
         .orderBy("eval_id", "train_id")
     )
+
+
+def dedup_within_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    window: str = "1 hour",
+    order: Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-windowed deduplication — the BATCH twin of streaming
+    ``dropDuplicatesWithinWatermark``: within each tumbling ``window`` a
+    key survives once (its earliest row by ``order``, default (ts, keys)),
+    and may legitimately reappear in a later window. The retention-bounded
+    dedup contract a log-ingest pipeline actually wants: exact global
+    dedup needs unbounded state; windowed dedup needs one window of state.
+
+    One key+window-partitioned row_number — shuffle on (keys, bucket),
+    deterministic survivor."""
+    bucket = F.window(F.col(ts_col), window)["start"].alias("__wstart")
+    ob = [F.col(c) for c in (order or (ts_col, *keys))]
+    w = Window.partitionBy(*keys, "__wstart").orderBy(*ob)
+    return (
+        df.withColumn("__wstart", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -2482,6 +2482,39 @@ def samp_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_windowed_events",
+    # tumbling hourly buckets: epoch-hour truncation == F.window('1 hour')
+    # start; earliest (ts, event_id) row per (user, type, bucket) survives
+    oracle="""
+    SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type,
+                            date_trunc('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def dedup_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed dedup: one (user, event_type) survivor per tumbling
+    hour — the batch twin of streaming dropDuplicatesWithinWatermark,
+    bounded-state by construction (operators/dedup.dedup_within_window)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    ev = load(spark, sf_dir, "events")
+    out = dd.dedup_within_window(
+        ev, keys=["user_id", "event_type"], ts_col="ts", window="1 hour",
+        order=["ts", "event_id"],
+    )
+    return out.select("event_id", "user_id", "event_type", "ts").orderBy(
+        "event_id"
+    )
+
+
+@register(
     "text_contamination_check",
     # shared tokenization/shingling CTE shape with _NGRAM_JACCARD_CTES;
     # split replays split_bucket (md5 "doc_id:42" mod 10000 < 8000 = train)
@@ -6101,7 +6134,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a7_unpivot_metrics, s_zorder_roundtrip, a11_funnel_conversion,
 # ml_auc_exact, merge_cdc_apply, scd2_temporal_join, j5_salted_join,
 # seq_user_event_export, a12_cohort_retention, w_transition_matrix,
-# a13_histogram_value, w_rolling_active_users,
+# a13_histogram_value, w_rolling_active_users, dedup_windowed_events,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

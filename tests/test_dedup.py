@@ -221,3 +221,29 @@ def test_cross_containment_detects_quoted_eval_doc(spark):
     }
     assert set(got) == {(10, 1)}
     assert got[(10, 1)] == 1.0
+
+
+def test_dedup_within_window_reappearance(spark):
+    """A key dedups inside its tumbling window but legitimately reappears
+    in a later window; earliest row survives deterministically."""
+    from datetime import datetime as DT
+
+    from big_data_analysis_for_stock_market_data_spark.operators.dedup import (
+        dedup_within_window,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "k", DT(2024, 1, 1, 9, 5)),
+            (2, "k", DT(2024, 1, 1, 9, 40)),   # same hour -> dropped
+            (3, "k", DT(2024, 1, 1, 10, 1)),   # next hour -> survives
+            (4, "j", DT(2024, 1, 1, 9, 50)),   # other key untouched
+        ],
+        "eid long, k string, ts timestamp",
+    )
+    got = sorted(
+        r.eid for r in dedup_within_window(
+            df, keys=["k"], ts_col="ts", window="1 hour", order=["ts", "eid"]
+        ).collect()
+    )
+    assert got == [1, 3, 4]
