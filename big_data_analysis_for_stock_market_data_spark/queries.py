@@ -5917,6 +5917,109 @@ def w_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a14_abc_classification",
+    # Pareto/ABC: parts ranked by exact-decimal revenue, cumulative share
+    # via window sum of the SAME decimals (exact), classes at 60%/85%.
+    # Share division happens once in double on identical inputs.
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, CAST(r AS DOUBLE) AS revenue,
+             CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(r) OVER () AS DOUBLE) AS cum_share
+      FROM rev
+    )
+    SELECT l_partkey, revenue,
+           cum_share,
+           CASE WHEN cum_share <= 0.6 THEN 'A'
+                WHEN cum_share <= 0.85 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY l_partkey
+    """,
+)
+def a14_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    classed by cumulative revenue share (A: top 60%, B: to 85%, C: tail).
+    The ranking window runs over |parts| aggregate rows, not line items;
+    shares divide exact-decimal sums so both engines agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+        ).alias("__r")
+    )
+    w = Window.orderBy(F.col("__r").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_share = (
+        F.sum("__r").over(w).cast("double")
+        / F.sum("__r").over(total).cast("double")
+    )
+    out = rev.select(
+        "l_partkey",
+        F.col("__r").cast("double").alias("revenue"),
+        cum_share.alias("cum_share"),
+    ).withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.6, "A")
+        .when(F.col("cum_share") <= 0.85, "B")
+        .otherwise("C"),
+    )
+    return out.orderBy("l_partkey")
+
+
+@register(
+    "a15_basket_pairs",
+    # co-occurrence mining: part pairs bought in the same order, with
+    # support counts — all integers, pair explosion bounded by per-order
+    # line counts (the per-key quadratic is the per-order basket, ~7 rows)
+    oracle="""
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM parts a JOIN parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 3
+    ORDER BY part_a, part_b
+    """,
+)
+def a15_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >= 3
+    orders. The self-join is keyed on the order — the quadratic blowup is
+    per-basket (a handful of lines), never corpus-wide; the grouped count
+    shuffles one row per surviving pair."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = parts.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+        .orderBy("part_a", "part_b")
+    )
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6135,6 +6238,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_auc_exact, merge_cdc_apply, scd2_temporal_join, j5_salted_join,
 # seq_user_event_export, a12_cohort_retention, w_transition_matrix,
 # a13_histogram_value, w_rolling_active_users, dedup_windowed_events,
+# a14_abc_classification, a15_basket_pairs,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
