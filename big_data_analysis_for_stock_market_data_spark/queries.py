@@ -6020,6 +6020,147 @@ def a15_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a16_rfm_segments",
+    # per-customer R/F/M terciles: boundaries = exact interpolated 33/67th
+    # percentiles rounded once to 6dp (identical both engines); score =
+    # 1 + count of boundaries <= value. Monetary uses exact-decimal sums.
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT round(quantile_cont(recency_days, 1.0/3), 6) AS r1,
+             round(quantile_cont(recency_days, 2.0/3), 6) AS r2,
+             round(quantile_cont(frequency, 1.0/3), 6) AS f1,
+             round(quantile_cont(frequency, 2.0/3), 6) AS f2,
+             round(quantile_cont(monetary, 1.0/3), 6) AS m1,
+             round(quantile_cont(monetary, 2.0/3), 6) AS m2
+      FROM cust
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           1 + CAST(recency_days >= r1 AS INT)
+             + CAST(recency_days >= r2 AS INT) AS r_score,
+           1 + CAST(frequency >= f1 AS INT)
+             + CAST(frequency >= f2 AS INT) AS f_score,
+           1 + CAST(monetary >= m1 AS INT)
+             + CAST(monetary >= m2 AS INT) AS m_score
+    FROM cust, b
+    ORDER BY o_custkey
+    """,
+)
+def a16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, vs the
+    corpus max date), frequency (order count), monetary (exact-decimal
+    spend), each scored 1-3 by exact tercile boundaries (two control-plane
+    doubles per axis, binning as a pure projection — the ml_quantile_bins
+    machinery applied per axis)."""
+    o = load(spark, sf_dir, "orders")
+    max_date = o.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(max_date), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double").alias("monetary"),
+    )
+    bounds = cust.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"{c}_{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 1.0 / 3), (2, 2.0 / 3))
+        ]
+    ).first()
+
+    def score(col: str, a, b):
+        return (
+            1
+            + (F.col(col) >= F.lit(a)).cast("int")
+            + (F.col(col) >= F.lit(b)).cast("int")
+        )
+
+    return cust.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        score("recency_days", bounds[0], bounds[1]).alias("r_score"),
+        score("frequency", bounds[2], bounds[3]).alias("f_score"),
+        score("monetary", bounds[4], bounds[5]).alias("m_score"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "a17_zscore_outliers",
+    # bit-exact z-score gate: per-user mean and variance from integer
+    # cents moments (n·Σx² − (Σx)² — exact longs << 2^53), σ via IEEE
+    # sqrt on identical doubles, flag |x·n − Σx| > 2·n·σ_scaled avoided by
+    # comparing in the same double algebra on both sides
+    oracle="""
+    WITH q AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100.0) AS BIGINT) AS c
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(c) AS BIGINT) AS sx,
+             CAST(SUM(c * c) AS BIGINT) AS sxx
+      FROM q GROUP BY user_id
+    )
+    SELECT q.event_id, q.user_id,
+           CAST(q.c AS DOUBLE) / 100.0 AS value_cents,
+           (CAST(q.c AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+             / sqrt((m.n * m.sxx - m.sx * m.sx)
+                    / (CAST(m.n AS DOUBLE) * (m.n - 1))) AS zscore
+    FROM q JOIN m ON m.user_id = q.user_id
+    WHERE m.n >= 3
+      AND (m.n * m.sxx - m.sx * m.sx) > 0
+      AND abs(CAST(q.c AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.n)
+          > 2.0 * sqrt((m.n * m.sxx - m.sx * m.sx)
+                       / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+    ORDER BY q.event_id
+    """,
+)
+def a17_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier flagging: events more than 2 sample standard
+    deviations from their user's mean. Moments are exact integer cents
+    (the groupwise_ols trick), so mean/σ/z are built from identical
+    doubles in any engine — the flag boundary cannot flip. One grouped
+    aggregate + one broadcast-or-hash join back; no window."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("__c"),
+    )
+    m = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__c").alias("__sx"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__sxx"),
+    )
+    j = q.join(m, "user_id")
+    n = F.col("__n")
+    num = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    var = num / (n.cast("double") * (n - 1))
+    mean = F.col("__sx").cast("double") / n
+    dev = F.col("__c").cast("double") - mean
+    z = dev / F.sqrt(var)
+    return (
+        j.filter((n >= 3) & (num > 0) & (F.abs(dev) > 2.0 * F.sqrt(var)))
+        .select(
+            "event_id", "user_id",
+            (F.col("__c").cast("double") / 100.0).alias("value_cents"),
+            z.alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6238,7 +6379,8 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_auc_exact, merge_cdc_apply, scd2_temporal_join, j5_salted_join,
 # seq_user_event_export, a12_cohort_retention, w_transition_matrix,
 # a13_histogram_value, w_rolling_active_users, dedup_windowed_events,
-# a14_abc_classification, a15_basket_pairs,
+# a14_abc_classification, a15_basket_pairs, a16_rfm_segments,
+# a17_zscore_outliers,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
