@@ -6161,6 +6161,57 @@ def a17_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g1_triangle_count",
+    # triangles on the co-purchase graph: edges (a<b) from basket pairs
+    # with support >= 2; each triangle counted once via a<b<c ordering
+    oracle="""
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT COUNT(*) AS n_triangles,
+           (SELECT COUNT(*) FROM edges) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph — the graph-metric
+    companion to dedup_clusters' connected components. Edges are ordered
+    (u < v) so each triangle is enumerated exactly once as u < v < w via
+    two hash joins; at scale the standard mitigation (orient edges from
+    low- to high-degree endpoints) bounds the join fan-out, noted here
+    because the ordered-id orientation is already degree-agnostic for
+    this graph size."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    tris = e1.join(e2, "v").join(e3, ["u", "w"])
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6380,7 +6431,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seq_user_event_export, a12_cohort_retention, w_transition_matrix,
 # a13_histogram_value, w_rolling_active_users, dedup_windowed_events,
 # a14_abc_classification, a15_basket_pairs, a16_rfm_segments,
-# a17_zscore_outliers,
+# a17_zscore_outliers, g1_triangle_count,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

@@ -43,6 +43,7 @@ NESTED_LOOP_OK = {
     # aggregate is the correct global-threshold plan (TPC-H Q11/Q22 shape)
     "q11_important_parts",
     "q22_sales_opportunity",
+    "g1_triangle_count",   # 1-row x 1-row scalar combine (count + edge count)
 }
 
 MAX_EXCHANGES = 9
