@@ -6212,6 +6212,65 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a18_chi2_independence",
+    # chi-squared statistic over the lang x source contingency table. Each
+    # cell's (obs-exp)^2/exp is computed from identical integer counts
+    # (IEEE-identical doubles), then quantized to integer nano-units so
+    # the CROSS-CELL SUM is order-free — a double sum's ulps would depend
+    # on each engine's aggregation order.
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, SUM(obs) AS r FROM cells GROUP BY lang),
+    ct AS (SELECT source, SUM(obs) AS c FROM cells GROUP BY source),
+    n AS (SELECT SUM(obs) AS total FROM cells),
+    contrib AS (
+      SELECT CAST(round(
+               pow(CAST(cells.obs AS DOUBLE)
+                   - CAST(rt.r AS DOUBLE) * ct.c / n.total, 2)
+               / (CAST(rt.r AS DOUBLE) * ct.c / n.total) * 1e9)
+             AS BIGINT) AS cell_nano
+      FROM cells
+      JOIN rt ON rt.lang = cells.lang
+      JOIN ct ON ct.source = cells.source
+      CROSS JOIN n
+    )
+    SELECT CAST(SUM(cell_nano) AS BIGINT) AS chi2_nano,
+           (SELECT (COUNT(DISTINCT lang) - 1)
+                   * (COUNT(DISTINCT source) - 1) FROM cells) AS dof
+    FROM contrib
+    """,
+)
+def a18_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between document language and
+    source: contingency cells + marginals are integer counts, each cell's
+    contribution is an IEEE-identical double quantized to nano-units, and
+    the cross-cell sum is integer — order-free, so the statistic is
+    bit-exact in any engine. Three grouped aggregates + two marginal
+    joins; nothing leaves the executors but the 1-row result."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = cells.groupBy("lang").agg(F.sum("obs").alias("__r"))
+    ct = cells.groupBy("source").agg(F.sum("obs").alias("__c"))
+    total = cells.agg(F.sum("obs")).first()[0]
+    j = cells.join(rt, "lang").join(ct, "source")
+    exp = F.col("__r").cast("double") * F.col("__c") / F.lit(float(total))
+    cell = F.pow(F.col("obs").cast("double") - exp, 2) / exp
+    contrib = j.select(
+        F.round(cell * 1e9, 0).cast("long").alias("cell_nano")
+    )
+    dims = cells.agg(
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).alias("dof")
+    )
+    return contrib.agg(
+        F.sum("cell_nano").cast("long").alias("chi2_nano")
+    ).crossJoin(dims)
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6431,7 +6490,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seq_user_event_export, a12_cohort_retention, w_transition_matrix,
 # a13_histogram_value, w_rolling_active_users, dedup_windowed_events,
 # a14_abc_classification, a15_basket_pairs, a16_rfm_segments,
-# a17_zscore_outliers, g1_triangle_count,
+# a17_zscore_outliers, g1_triangle_count, a18_chi2_independence,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

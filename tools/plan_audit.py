@@ -44,6 +44,7 @@ NESTED_LOOP_OK = {
     "q11_important_parts",
     "q22_sales_opportunity",
     "g1_triangle_count",   # 1-row x 1-row scalar combine (count + edge count)
+    "a18_chi2_independence",  # 1-row statistic x 1-row dof combine
 }
 
 MAX_EXCHANGES = 9
