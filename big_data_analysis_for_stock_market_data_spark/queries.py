@@ -6202,6 +6202,10 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__sup") >= 2)
         .select("u", "v")
     )
+    # e1/e2/e3 all read edges: checkpoint once or the whole distinct +
+    # self-join + support lineage executes three times (audited: 22 vs 9
+    # exchanges). Same truncation connected_components uses per round.
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges
     e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
     e3 = edges.select(F.col("u").alias("u"), F.col("v").alias("w"))
@@ -6251,6 +6255,9 @@ def a18_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; nothing leaves the executors but the 1-row result."""
     docs = load(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    # four consumers (rt/ct/dims/contrib) would rescan documents four
+    # times; the contingency table is |langs x sources| rows — checkpoint
+    cells = cells.localCheckpoint(eager=True)
     rt = cells.groupBy("lang").agg(F.sum("obs").alias("__r"))
     ct = cells.groupBy("source").agg(F.sum("obs").alias("__c"))
     total = cells.agg(F.sum("obs")).first()[0]
