@@ -6363,6 +6363,51 @@ def mv_incremental_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_rollup_cascade",
+    # the day-grain view is derived from HOUR-grain stored state, never
+    # from raw events; oracle is the direct day aggregate over raw rows —
+    # merge algebra makes the two bit-identical
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS day,
+           COUNT(*) AS n_rows,
+           COUNT(value) AS cnt_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value
+    FROM events
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+)
+def mv_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup cascade: hour-grain mergeable state is the ONLY
+    input to the day-grain view — ``merge_partials`` re-grouped on the
+    coarser key (operators/incremental.py). The multi-granularity pattern
+    of a metrics store: raw rows are touched once at the finest grain;
+    every coarser rollup merges key-sized state instead of rescanning."""
+    from big_data_analysis_for_stock_market_data_spark.operators import incremental as inc
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "value",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    hour_state = inc.partial_agg(ev, ["user_id", "day", "hour"], ["value"])
+    day_state = inc.merge_partials(
+        [hour_state.drop("hour")], ["user_id", "day"], ["value"]
+    )
+    out = inc.finalize(day_state, ["value"])
+    return out.select(
+        "user_id", "day", "n_rows", "cnt_value", "sum_value",
+        "min_value", "max_value", "avg_value",
+    ).orderBy("user_id", "day")
+
+
+@register(
     "s_json_roundtrip",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
@@ -6498,6 +6543,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a13_histogram_value, w_rolling_active_users, dedup_windowed_events,
 # a14_abc_classification, a15_basket_pairs, a16_rfm_segments,
 # a17_zscore_outliers, g1_triangle_count, a18_chi2_independence,
+# mv_rollup_cascade,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
