@@ -6278,6 +6278,131 @@ def a18_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a19_wow_growth",
+    # time intelligence: week-over-week revenue growth per order priority.
+    # Weekly sums are exact decimals; growth = (w - prev)/prev divides two
+    # IEEE-identical doubles. date_trunc('week') is ISO-Monday in both.
+    oracle="""
+    WITH weekly AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('week', CAST(o_orderdate AS TIMESTAMP))
+                  AS TIMESTAMP) AS week,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      GROUP BY o_orderpriority, week
+    )
+    SELECT o_orderpriority, week, revenue,
+           (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+             AS wow_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY week)
+    ORDER BY o_orderpriority, week
+    """,
+)
+def a19_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time intelligence: week-over-week revenue growth per order
+    priority — grouped exact-decimal weekly sums, then a key-partitioned
+    lag over the |priorities x weeks| aggregate (window on aggregate rows,
+    never raw orders)."""
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("week", F.col("o_orderdate")).alias("week"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double").alias("revenue")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.withColumn(
+        "wow_growth", (F.col("revenue") - prev) / prev
+    ).orderBy("o_orderpriority", "week")
+
+
+@register(
+    "ml_impute_group_median",
+    # imputation: 'error' events' values are treated as missing and filled
+    # with the user's median over non-missing rows (exact interpolated
+    # percentile, 6dp-rounded — identical boundaries both engines)
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT user_id, round(quantile_cont(v, 0.5), 6) AS m
+      FROM base GROUP BY user_id
+    )
+    SELECT b.event_id, b.user_id,
+           COALESCE(b.v, med.m) AS value_imputed,
+           b.v IS NULL AS was_imputed
+    FROM base b JOIN med ON med.user_id = b.user_id
+    ORDER BY b.event_id
+    """,
+)
+def ml_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-prep imputation: values flagged missing (here: 'error' events)
+    filled with the per-user exact median of the observed rows — one
+    grouped percentile aggregate + a broadcast-or-hash join back, the
+    deterministic Imputer twin (Spark ML's Imputer uses approxQuantile
+    median whose cut drifts with partitioning)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value")).alias("__v"),
+    )
+    med = base.groupBy("user_id").agg(
+        F.round(F.percentile("__v", F.lit(0.5)), 6).alias("__m")
+    )
+    j = base.join(med, "user_id")
+    return j.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("__v"), F.col("__m")).alias("value_imputed"),
+        F.col("__v").isNull().alias("was_imputed"),
+    ).orderBy("event_id")
+
+
+@register(
+    "w_event_trigrams",
+    oracle="""
+    SELECT path, COUNT(*) AS n FROM (
+      SELECT lag(event_type, 2) OVER w || '>' ||
+             lag(event_type, 1) OVER w || '>' || event_type AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 15
+    """,
+)
+def w_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths (the Sankey/path-mining aggregate):
+    two lags over the per-user order extend the transition matrix to
+    trigrams; one grouped count + top-k."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.lag("event_type", 2).over(w),
+        F.lag("event_type", 1).over(w),
+        F.col("event_type"),
+    )
+    two_back = F.lag("event_type", 2).over(w)
+    return (
+        ev.select(path.alias("path"), two_back.alias("__ok"))
+        .filter(F.col("__ok").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(15)
+    )
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6543,7 +6668,8 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a13_histogram_value, w_rolling_active_users, dedup_windowed_events,
 # a14_abc_classification, a15_basket_pairs, a16_rfm_segments,
 # a17_zscore_outliers, g1_triangle_count, a18_chi2_independence,
-# mv_rollup_cascade,
+# mv_rollup_cascade, a19_wow_growth, ml_impute_group_median,
+# w_event_trigrams,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
