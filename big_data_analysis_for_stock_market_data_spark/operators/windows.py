@@ -663,3 +663,56 @@ def rsi_scan(
         res.withColumn(out_col, rsi)
         .drop("__rn1", "__g", "__l", "__avg_gain", "__avg_loss")
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    fill: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Densify a sparse per-key daily series: generate each key's full
+    date spine (min..max active day, via ``sequence`` + ``explode`` — the
+    spine is built per key on executors, never on the driver) and left
+    join the observations back; absent days take the ``fill`` expressions
+    (default: nulls, ready for forward-fill).
+
+    Fan-out is bounded by each key's date span; the join is keyed on
+    (keys, day) — at 100 TB the spine costs one explode + one keyed
+    shuffle, versus the driver-side calendar broadcast a naive
+    implementation ships."""
+    ks = list(keys)
+    span = df.groupBy(*ks).agg(
+        F.min(day_col).alias("__lo"), F.max(day_col).alias("__hi")
+    )
+    spine = span.select(
+        *ks,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"))
+        ).alias(day_col),
+    )
+    out = spine.join(df, ks + [day_col], "left")
+    for name, expr in (fill or {}).items():
+        out = out.withColumn(name, F.coalesce(F.col(name), expr))
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward per key: each null takes the most
+    recent non-null value in ``order_by`` order — ``last(ignorenulls)``
+    over an unbounded-preceding frame, one key-partitioned window. The
+    standard densification step after ``gap_fill_daily``."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

@@ -6403,6 +6403,69 @@ def w_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_gap_fill_forward",
+    # densify each user's sparse daily series over their min..max span
+    # (generate_series twin), zero-fill the count, forward-fill the last
+    # observed daily sum (LOCF); all values exact decimals/integers
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_sum
+      FROM events GROUP BY user_id, day
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily
+      GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+               AS day
+      FROM span
+    ),
+    filled AS (
+      SELECT s.user_id, s.day,
+             COALESCE(d.n_events, 0) AS n_events,
+             d.day_sum
+      FROM spine s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = s.day
+    )
+    SELECT user_id, day, n_events,
+           last_value(day_sum IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS day_sum_ffill
+    FROM filled
+    ORDER BY user_id, day
+    """,
+)
+def w_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-user daily rollup, gap-filled over
+    each user's own date span (executor-side sequence/explode spine, never
+    a driver calendar) with zero-filled counts, then LOCF forward-fill of
+    the last observed daily sum (operators/windows.gap_fill_daily +
+    forward_fill)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double").alias("day_sum"),
+    )
+    filled = win_ops.gap_fill_daily(
+        daily, keys=["user_id"], day_col="day",
+        fill={"n_events": F.lit(0)},
+    )
+    out = win_ops.forward_fill(
+        filled.withColumnRenamed("day_sum", "day_sum_ffill"),
+        keys=["user_id"], order_by="day", cols=["day_sum_ffill"],
+    )
+    return out.select(
+        "user_id", "day", "n_events", "day_sum_ffill"
+    ).orderBy("user_id", "day")
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6669,7 +6732,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a14_abc_classification, a15_basket_pairs, a16_rfm_segments,
 # a17_zscore_outliers, g1_triangle_count, a18_chi2_independence,
 # mv_rollup_cascade, a19_wow_growth, ml_impute_group_median,
-# w_event_trigrams,
+# w_event_trigrams, w_gap_fill_forward,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------

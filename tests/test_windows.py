@@ -73,3 +73,33 @@ def test_with_lag_lead(spark):
     rows = df.orderBy("date").collect()
     assert [r.lag_high for r in rows] == [None, 5.0, 6.0]
     assert [r.lead_high for r in rows] == [6.0, 7.0, None]
+
+
+def test_gap_fill_and_forward_fill(spark):
+    """Spine densifies each key's own span only; zero-fill and LOCF
+    semantics hand-checked."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        forward_fill,
+        gap_fill_daily,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.date(2024, 1, 1), 2, 10.0),
+            ("a", dt.date(2024, 1, 4), 1, 40.0),
+            ("b", dt.date(2024, 1, 2), 5, 7.0),
+        ],
+        "k string, day date, n long, v double",
+    )
+    filled = gap_fill_daily(df, ["k"], "day", fill={"n": F.lit(0)})
+    out = forward_fill(filled, ["k"], "day", ["v"]).collect()
+    rows = {(r.k, str(r.day)): (r.n, r.v) for r in out}
+    assert len(rows) == 5  # a: 4 days (1..4), b: 1 day — never a's span
+    assert rows[("a", "2024-01-02")] == (0, 10.0)  # gap: zero count, LOCF v
+    assert rows[("a", "2024-01-03")] == (0, 10.0)
+    assert rows[("a", "2024-01-04")] == (1, 40.0)
+    assert rows[("b", "2024-01-02")] == (5, 7.0)
