@@ -6466,6 +6466,84 @@ def w_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_fuzzy_names",
+    # fuzzy matching: Levenshtein <= 4 between DISTINCT names sharing a
+    # last-token block — the blocked fuzzy-join shape (never all-pairs);
+    # both engines implement classic unit-cost Levenshtein
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    b AS (
+      SELECT p_name,
+             regexp_split_to_array(p_name, ' ')[-1] AS blk
+      FROM names
+    )
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           levenshtein(a.p_name, c.p_name) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 4
+    ORDER BY name_a, name_b
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking: near-identical part names
+    (edit distance <= 4) compared only within a shared last-token block —
+    the standard entity-resolution shape where the block bounds the
+    quadratic term, exactly like the shingle buckets bound MinHash.
+    Distinct names first: the comparison space is |distinct| not |rows|."""
+    p = load(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.withColumn(
+        "__blk", F.element_at(F.split(F.col("p_name"), " "), -1)
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), "__blk")
+    b = blocked.select(F.col("p_name").alias("name_b"), "__blk")
+    pairs = a.join(b, "__blk").filter(F.col("name_a") < F.col("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        pairs.select("name_a", "name_b", dist.alias("dist"))
+        .filter(F.col("dist") <= 4)
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "a20_weighted_stats",
+    # revenue-weighted average discount: both numerator and denominator
+    # are exact decimal sums; one double division per group
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS weighted_avg_discount,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a20_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted aggregation: revenue-weighted mean discount per return
+    flag — Σ(w·x)/Σw with both sums exact decimals, so the single double
+    division agrees bit-for-bit in any engine. The grouped-weighted-mean
+    building block plain AVG cannot express."""
+    li = load(spark, sf_dir, "lineitem")
+    num = F.sum(
+        (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    ).cast("double")
+    den = F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (num / den).alias("weighted_avg_discount"),
+            den.alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6732,7 +6810,8 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a14_abc_classification, a15_basket_pairs, a16_rfm_segments,
 # a17_zscore_outliers, g1_triangle_count, a18_chi2_independence,
 # mv_rollup_cascade, a19_wow_growth, ml_impute_group_median,
-# w_event_trigrams, w_gap_fill_forward,
+# w_event_trigrams, w_gap_fill_forward, dedup_fuzzy_names,
+# a20_weighted_stats,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
