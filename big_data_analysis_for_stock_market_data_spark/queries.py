@@ -6544,6 +6544,108 @@ def a20_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "h1_ancestor_closure",
+    # arbitrary-depth hierarchy traversal: docs 1..255 form a binary tree
+    # (parent = id // 2); the transitive ancestor closure is computed by
+    # iterative doubling in Spark and replayed as WITH RECURSIVE here
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT doc_id AS id, doc_id // 2 AS parent
+      FROM documents WHERE doc_id BETWEEN 1 AND 255
+    ),
+    anc AS (
+      SELECT id, parent AS ancestor, 1 AS depth FROM nodes WHERE parent >= 1
+      UNION ALL
+      SELECT a.id, n.parent, a.depth + 1
+      FROM anc a JOIN nodes n ON n.id = a.ancestor
+      WHERE n.parent >= 1
+    )
+    SELECT id, ancestor, depth FROM anc
+    ORDER BY id, depth
+    """,
+)
+def h1_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-depth hierarchy traversal (the WITH RECURSIVE family,
+    generically — org charts, BOM explosions, category trees): the
+    transitive ancestor closure of a binary tree over doc ids, computed
+    by ITERATIVE DOUBLING — each round joins the closure to itself, so
+    depth d needs ceil(log2(d)) rounds, not d (8 levels in 3 rounds).
+    Each round localCheckpoints (the connected_components discipline) so
+    lineage stays flat; the driver sees only the loop counter."""
+    docs = load(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("id")).filter(
+        (F.col("id") >= 1) & (F.col("id") <= 255)
+    ).withColumn("parent", (F.col("id") / 2).cast("long"))
+    # closure starts as direct edges with depth 1
+    clo = nodes.filter(F.col("parent") >= 1).select(
+        "id", F.col("parent").alias("ancestor"), F.lit(1).alias("depth")
+    ).localCheckpoint(eager=True)
+    while True:
+        # join closure with itself: paths id->mid (depth a) + mid->anc
+        # (depth b) give id->anc (depth a+b); doubling squares max depth
+        right = clo.select(
+            F.col("id").alias("ancestor_in"),
+            F.col("ancestor").alias("ancestor_out"),
+            F.col("depth").alias("d2"),
+        )
+        longer = (
+            clo.join(right, clo["ancestor"] == right["ancestor_in"])
+            .select(
+                "id",
+                F.col("ancestor_out").alias("ancestor"),
+                (F.col("depth") + F.col("d2")).alias("depth"),
+            )
+        )
+        new_clo = clo.unionByName(longer).distinct().localCheckpoint(eager=True)
+        if new_clo.count() == clo.count():  # control-plane fixpoint test
+            clo = new_clo
+            break
+        clo = new_clo
+    return clo.orderBy("id", "depth")
+
+
+@register(
+    "a21_mad_robust",
+    # robust dispersion: MAD = median(|x - median(x)|) per user; both
+    # medians are exact interpolated percentiles rounded to 6dp
+    oracle="""
+    WITH med AS (
+      SELECT user_id, round(quantile_cont(value, 0.5), 6) AS m
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           ANY_VALUE(med.m) AS median_value,
+           round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+    FROM events e JOIN med ON med.user_id = e.user_id
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def a21_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per user — the robust dispersion measure
+    (50% breakdown point vs the z-score scan's moment sensitivity). Two
+    grouped exact-percentile aggregates with a join between them; the
+    deviation median sees |x − median| computed from the 6dp-rounded
+    group median, identical in both engines."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("__m")
+    )
+    j = ev.join(med, "user_id")
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.any_value("__m").alias("median_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("__m")), F.lit(0.5)),
+                6,
+            ).alias("mad"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6811,7 +6913,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a17_zscore_outliers, g1_triangle_count, a18_chi2_independence,
 # mv_rollup_cascade, a19_wow_growth, ml_impute_group_median,
 # w_event_trigrams, w_gap_fill_forward, dedup_fuzzy_names,
-# a20_weighted_stats,
+# a20_weighted_stats, h1_ancestor_closure, a21_mad_robust,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
