@@ -6646,6 +6646,135 @@ def a21_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a22_share_of_region",
+    # ratio-to-parent: nation revenue as a share of its region's total —
+    # both levels exact decimal, one double division per nation
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY region, nation
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region
+    FROM nat
+    ORDER BY region, nation
+    """,
+)
+def a22_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent (share-of-total within a hierarchy level): nation
+    revenue over its region's total — star join with broadcast dims, one
+    grouped exact-decimal aggregate, a parent-partitioned window over the
+    |nations|-sized aggregate."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+    )
+    nat = j.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("__rev")
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region", "nation",
+        F.col("__rev").cast("double").alias("revenue"),
+        (
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(w).cast("double")
+        ).alias("share_of_region"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "w_interval_merge",
+    # gaps-and-islands with interval semantics: each event spans
+    # [ts, ts+30min]; overlapping/adjacent spans per user merge into
+    # maximal intervals. Integer-micros arithmetic throughout.
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM g
+    )
+    SELECT user_id,
+           CAST(make_timestamp(MIN(s)) AS TIMESTAMP) AS interval_start,
+           CAST(make_timestamp(MAX(e)) AS TIMESTAMP) AS interval_end,
+           COUNT(*) AS n_events
+    FROM isl
+    GROUP BY user_id, island
+    ORDER BY user_id, interval_start
+    """,
+)
+def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per key: each event claims [ts, ts+30min]; spans
+    that overlap (start <= running max end of predecessors) merge into
+    maximal intervals — gaps-and-islands generalized from points to
+    INTERVALS via the running-max-end trick (a later event can be fully
+    contained in an earlier long one, which plain lag-gap logic misses).
+    Integer-micros arithmetic; one key-partitioned window + one grouped
+    aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("__s"),
+        (F.unix_micros(F.col("ts")) + F.lit(1_800_000_000)).alias("__e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("__e").over(w)
+    brk = F.when(
+        prev_max_e.isNull() | (F.col("__s") > prev_max_e), 1
+    ).otherwise(0)
+    wi = Window.partitionBy("user_id").orderBy("__s", "__e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = ev.withColumn("__island", F.sum(brk).over(wi))
+    return (
+        isl.groupBy("user_id", "__island")
+        .agg(
+            F.timestamp_micros(F.min("__s")).alias("interval_start"),
+            F.timestamp_micros(F.max("__e")).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__island")
+        .orderBy("user_id", "interval_start")
+    )
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -6914,6 +7043,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mv_rollup_cascade, a19_wow_growth, ml_impute_group_median,
 # w_event_trigrams, w_gap_fill_forward, dedup_fuzzy_names,
 # a20_weighted_stats, h1_ancestor_closure, a21_mad_robust,
+# a22_share_of_region, w_interval_merge,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
