@@ -204,3 +204,21 @@ def test_exact_auc_matches_sklearn_formula(spark):
     ) / (len(pos) * len(neg))
     assert row.n_pos == 3 and row.n_neg == 3
     assert abs(row.auc - brute) < 1e-15
+
+
+def test_quantile_bins_exact_boundaries(spark):
+    """Quartile binning on a known distribution: boundaries at exact
+    interpolated percentiles, bin = count of boundaries <= value, stable
+    under repartitioning (unlike QuantileDiscretizer's sketch)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import quantile_bins
+
+    df = spark.range(100).select((F.col("id") + 1.0).alias("x"))  # 1..100
+    out = quantile_bins(df, "x", n_bins=4)
+    counts = {r.bin: r.cnt for r in
+              out.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # boundaries 25.75/50.5/75.25 -> bins of 25/25/25/25
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+    re4 = quantile_bins(df.repartition(4), "x", n_bins=4)
+    assert sorted(map(tuple, re4.collect())) == sorted(map(tuple, out.collect()))
