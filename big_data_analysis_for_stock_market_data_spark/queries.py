@@ -6775,6 +6775,62 @@ def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a23_gini_revenue",
+    # exact Gini over per-customer revenue (G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n,
+    # x ranked ascending). Revenue is integer CENTS so Σx emits as BIGINT
+    # with no float conversion at all; Σ(i·x) exceeds 2^53 at scale, so
+    # gini is emitted as round(G·1e6) — the double noise from the big-sum
+    # conversion (~1e-11 of the micro quantum) cannot flip the integer.
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i
+      FROM cust
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS BIGINT) AS total_cents,
+           CAST(round((2.0 * CAST(SUM(i * rev) AS DOUBLE)
+                       / (COUNT(*) * CAST(SUM(rev) AS DOUBLE))
+                       - (COUNT(*) + 1.0) / COUNT(*)) * 1e6)
+                AS BIGINT) AS gini_micro
+    FROM ranked
+    """,
+)
+def a23_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue concentration — the
+    inequality metric from the rank formulation, ranks from a window over
+    the |customers|-sized aggregate (never raw orders). Integer-cents
+    revenue keeps Σx conversion-free; the coefficient ships in micro-units
+    (double-to-integer rounding is engine-portable where decimal-place
+    rounding is not). Companion to the ABC/Pareto classification."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+        ).alias("__rev")
+    )
+    w = Window.orderBy("__rev", "o_custkey")
+    ranked = cust.select("__rev", F.row_number().over(w).alias("__i"))
+    n = F.count(F.lit(1))
+    tot = F.sum("__rev")
+    iwx = F.sum(F.col("__i") * F.col("__rev"))
+    gini = (
+        2.0 * iwx.cast("double") / (n * tot.cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        tot.cast("long").alias("total_cents"),
+        F.round(gini * 1e6, 0).cast("long").alias("gini_micro"),
+    )
+
+
+@register(
     "a13_histogram_value",
     # identical bin arithmetic on both sides: floor((v - lo) / width) with
     # lo/hi the exact aggregated min/max doubles, capped into the last bin
@@ -7043,7 +7099,7 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mv_rollup_cascade, a19_wow_growth, ml_impute_group_median,
 # w_event_trigrams, w_gap_fill_forward, dedup_fuzzy_names,
 # a20_weighted_stats, h1_ancestor_closure, a21_mad_robust,
-# a22_share_of_region, w_interval_merge,
+# a22_share_of_region, w_interval_merge, a23_gini_revenue,
 # samp_topk_quality (displaced), dedup_ngram_jaccard (displaced),
 # ml_rdd_compat_rf (displaced rows-only).
 # ---------------------------------------------------------------------------
