@@ -421,19 +421,24 @@ def quantile_bins(
     approxQuantile sketches whose cut points drift with partitioning).
     Boundaries are exact interpolated percentiles rounded once to
     ``round_to`` dp (so any engine computes identical cut points); the bin
-    id is the count of boundaries <= value. The driver sees only the
-    ``n_bins - 1`` boundary doubles (control-plane); binning itself is a
-    pure projection — no shuffle, no UDF."""
+    id is the count of boundaries <= value. The boundary aggregate stays
+    IN the plan as a broadcast 1-row cross join (no ``.first()`` driver
+    scalar); binning itself is a pure projection — no extra shuffle, no
+    UDF."""
     from pyspark.sql import functions as F
 
     fracs = [i / n_bins for i in range(1, n_bins)]
-    row = df.agg(
+    bounds = df.agg(
         *[
-            F.round(F.percentile(col, F.lit(q)), round_to).alias(f"q{i}")
+            F.round(F.percentile(col, F.lit(q)), round_to).alias(f"__q{i}")
             for i, q in enumerate(fracs)
         ]
-    ).first()
+    )
     b = F.lit(0)
     for i in range(len(fracs)):
-        b = b + (F.col(col) >= F.lit(row[i])).cast("int")
-    return df.withColumn(out, b)
+        b = b + (F.col(col) >= F.col(f"__q{i}")).cast("int")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, b)
+        .drop(*[f"__q{i}" for i in range(len(fracs))])
+    )

@@ -356,21 +356,27 @@ def fixed_width_histogram(
     col: str,
     n_bins: int,
 ) -> DataFrame:
-    """Fixed-width histogram over the column's [min, max] range: one
-    min/max aggregate (two driver doubles, control-plane), then binning is
-    a pure projection and one grouped count. The max value lands in the
-    last bin (half-open bins, closed at the top end)."""
-    lo, hi = df.agg(F.min(col), F.max(col)).first()
-    width = (hi - lo) / n_bins if hi > lo else 1.0
+    """Fixed-width histogram over the column's [min, max] range: the
+    min/max aggregate stays IN the plan as a broadcast 1-row cross join
+    (no ``.first()`` driver scalar), binning is a pure projection, then
+    one grouped count. The max value lands in the last bin (half-open
+    bins, closed at the top end). Null values have no bin and are
+    excluded; an empty or all-null column has no [min, max] range and
+    yields an empty result rather than a TypeError."""
+    mm = df.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    width = F.when(hi > lo, (hi - lo) / n_bins).otherwise(F.lit(1.0))
     bin_id = F.least(
         F.lit(n_bins - 1),
-        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.floor((F.col(col) - lo) / width).cast("int"),
     )
     return (
-        df.select(bin_id.alias("bin"))
-        .groupBy("bin")
+        df.crossJoin(F.broadcast(mm))
+        .filter(F.col(col).isNotNull())
+        .select(bin_id.alias("bin"), (lo + bin_id * width).alias("bin_lo"))
+        .groupBy("bin", "bin_lo")
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
+        .select("bin", "n_rows", "bin_lo")
         .orderBy("bin")
     )
 

@@ -601,7 +601,15 @@ def dedup_within_window(
     dedup needs unbounded state; windowed dedup needs one window of state.
 
     One key+window-partitioned row_number — shuffle on (keys, bucket),
-    deterministic survivor."""
+    deterministic survivor. Schema-preserving: both helper columns are
+    dropped, and a pre-existing ``__wstart``/``__rn`` input column is
+    rejected rather than silently clobbered."""
+    for helper in ("__wstart", "__rn"):
+        if helper in df.columns:
+            raise ValueError(
+                f"dedup_within_window reserves column name {helper!r}; "
+                "rename the input column"
+            )
     bucket = F.window(F.col(ts_col), window)["start"].alias("__wstart")
     ob = [F.col(c) for c in (order or (ts_col, *keys))]
     w = Window.partitionBy(*keys, "__wstart").orderBy(*ob)
@@ -609,5 +617,5 @@ def dedup_within_window(
         df.withColumn("__wstart", bucket)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__wstart")
     )

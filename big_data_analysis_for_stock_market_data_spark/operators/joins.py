@@ -186,7 +186,18 @@ def bloom_prefilter_join(
     Driver participation is ``num_bits/64`` longs (control-plane only, like
     an AQE statistics exchange — never row data). Default 16 Ki bits / 5
     hashes: ~1e-4 false-positive rate at ~600 distinct build keys; size
-    ``num_bits`` ~ 16x the build-side distinct count for that rate."""
+    ``num_bits`` ~ 16x the build-side distinct count for that rate.
+
+    Only big-side-REDUCING join types are legal: the pre-filter drops
+    big-side rows with no small-side match, which is exactly the inner /
+    semi contract but silently corrupts left/outer results (unmatched big
+    rows would vanish — except Bloom false positives, which would come
+    back null-padded, making the output collision-dependent)."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi", "cross"):
+        raise ValueError(
+            "bloom_prefilter_join preserves only inner/semi semantics "
+            f"(the pre-filter drops unmatched big-side rows), got {how!r}"
+        )
     width = num_bits // 64
     pos = small.select(
         F.explode(F.array(*_bloom_positions(F.col(on), num_bits, num_hashes))).alias("p")

@@ -43,16 +43,232 @@ _MAGIC = {
 
 def with_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Expression-level metadata: byte length, sha256 content id, sniffed
-    MIME from magic bytes. All JVM-side — no Python for pure metadata."""
+    MIME from magic bytes. All JVM-side — no Python for pure metadata.
+    RIFF is a container, not a format: its MIME is refined by the form
+    type at bytes 9-12 (WAVE/AVI /WEBP)."""
     p = F.col(payload_col)
     hexpfx = F.lower(F.hex(F.substring(p, 1, 4)))
+    riff_form = F.decode(F.substring(p, 9, 4), "UTF-8")
     mime = F.lit("application/octet-stream")
     for magic, m in _MAGIC.items():
         mime = F.when(hexpfx.startswith(magic), F.lit(m)).otherwise(mime)
+    mime = F.when(
+        hexpfx.startswith("52494646"),
+        F.when(riff_form == "WAVE", F.lit("audio/wav"))
+        .when(riff_form == "AVI ", F.lit("video/x-msvideo"))
+        .when(riff_form == "WEBP", F.lit("image/webp"))
+        .otherwise(F.lit("application/x-riff")),
+    ).otherwise(mime)
     return (
         df.withColumn("payload_bytes", F.length(p).cast("long"))
         .withColumn("content_sha256", F.sha2(p, 256))
         .withColumn("sniffed_mime", mime)
+    )
+
+
+def build_wav(
+    pcm: bytes,
+    sample_rate: int,
+    channels: int = 1,
+    bits: int = 16,
+    extra_chunk: bytes | None = None,
+) -> bytes:
+    """Construct a valid RIFF/WAVE container around raw PCM bytes (pure
+    Python, no media library). ``extra_chunk`` (a complete chunk, id+size+
+    payload) is inserted BEFORE ``fmt `` so a reader that assumes fixed
+    offsets instead of walking chunks breaks — used by tests to prove
+    ``parse_container_headers`` really walks the chunk list."""
+    import struct
+
+    block_align = channels * bits // 8
+    if len(pcm) % block_align:
+        raise ValueError("pcm length must be a multiple of block align")
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = b""
+    if extra_chunk is not None:
+        body += extra_chunk
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def build_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Construct a valid 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER)
+    around raw pixel rows. ``pixel_bytes`` must already be row-padded to
+    the 4-byte stride ``((width*3 + 3) // 4) * 4``."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    if len(pixel_bytes) != stride * height:
+        raise ValueError("pixel_bytes must be stride * height bytes")
+    offset = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        len(pixel_bytes), 2835, 2835, 0, 0,
+    )
+    head = b"BM" + struct.pack(
+        "<IHHI", offset + len(pixel_bytes), 0, 0, offset
+    )
+    return head + info + pixel_bytes
+
+
+_CONTAINER_FIELDS = [
+    ("container", T.StringType()),
+    ("sample_rate", T.LongType()),
+    ("channels", T.LongType()),
+    ("bits_per_sample", T.LongType()),
+    ("n_samples", T.LongType()),
+    ("duration_micros", T.LongType()),
+    ("width", T.LongType()),
+    ("height", T.LongType()),
+    ("bpp", T.LongType()),
+    ("data_bytes", T.LongType()),
+]
+
+
+def _parse_one_container(payload: bytes) -> dict:
+    """Real header parse of one payload: walk RIFF chunks for WAVE
+    (fmt /data may sit anywhere in the chunk list), read the two BMP
+    headers. Unknown or truncated payloads degrade to container='unknown'
+    with null fields — never an exception (a 100 TB scan WILL contain
+    corrupt blobs)."""
+    import struct
+
+    out = {k: None for k, _ in _CONTAINER_FIELDS}
+    out["container"] = "unknown"
+    if payload is None:
+        return out
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos, fmt, data_size = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos: pos + 4]
+                (size,) = struct.unpack_from("<I", payload, pos + 4)
+                if cid == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+                elif cid == b"data":
+                    data_size = size
+                pos += 8 + size + (size % 2)  # chunks are word-aligned
+            if fmt is None or data_size is None:
+                return out
+            _, channels, rate, _, block_align, bits = fmt
+            n = data_size // block_align
+            # round half AWAY from zero (the SQL round semantics) — not
+            # Python round()'s half-to-even, which breaks hash parity on
+            # exact .5 microsecond ties
+            import math
+
+            out.update(
+                container="wav", sample_rate=rate, channels=channels,
+                bits_per_sample=bits, n_samples=n,
+                duration_micros=int(
+                    math.floor(n * 1_000_000.0 / rate + 0.5)
+                ),
+                data_bytes=data_size,
+            )
+        elif payload[:2] == b"BM" and len(payload) >= 54:
+            file_size, _, _, offset = struct.unpack_from("<IHHI", payload, 2)
+            _, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+            out.update(
+                container="bmp", width=width, height=abs(height), bpp=bpp,
+                data_bytes=file_size - offset,
+            )
+    except (struct.error, IndexError):
+        out = {k: None for k, _ in _CONTAINER_FIELDS}
+        out["container"] = "unknown"
+    return out
+
+
+def synthesize_containers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic media-container synthesis from a text corpus (test
+    fixture — the driver ships no media table): odd ids become RIFF/WAVE
+    payloads whose PCM is the UTF-8 text zero-padded to a 4-byte block,
+    even ids become 24-bit BMPs whose dimensions derive from the id and
+    whose pixels are a sha256 keystream. Ids divisible by 3 get a junk
+    ``LIST`` chunk ahead of ``fmt `` so fixed-offset readers fail. Every
+    header field is pure integer arithmetic on (id, text length) — which
+    is what makes ``parse_container_headers`` SQL-oracle-checkable."""
+    import struct
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                rid = int(rid)
+                raw = (text or "").encode("utf-8")
+                if rid % 2 == 1:
+                    rate = 8000 + (rid % 5) * 2000
+                    channels = 2 if rid % 4 == 3 else 1
+                    pcm = raw + b"\x00" * (-len(raw) % 4)
+                    extra = (
+                        b"LIST" + struct.pack("<I", 8) + b"INFOjunk"
+                        if rid % 3 == 0
+                        else None
+                    )
+                    payload = build_wav(
+                        pcm, rate, channels, 16, extra_chunk=extra
+                    )
+                else:
+                    w, h = 1 + rid % 64, 1 + rid % 48
+                    stride = ((w * 3 + 3) // 4) * 4
+                    need = stride * h
+                    digest = hashlib.sha256(raw).digest()
+                    payload = build_bmp(
+                        w, h, (digest * (need // len(digest) + 1))[:need]
+                    )
+                rows.append({id_col: rid, "payload": payload})
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def parse_container_headers(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL media-container metadata extraction — not a fake decoder: a
+    pure-Python RIFF/WAVE chunk walker plus BMP header reader over
+    mapInPandas (Arrow-batched; payloads never visit the driver). Output:
+    one row per asset with (container, audio fields, image fields,
+    data_bytes) — nulls where the format has no such field.
+
+    This retires the 'decode is stubbed' caveat for header-grade
+    metadata; sample/pixel DECODING (the part that genuinely needs
+    PIL/librosa) remains behind the fake/stub backends in
+    extract_features/resize_images."""
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [T.StructField(k, t, True) for k, t in _CONTAINER_FIELDS]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col] + [k for k, _ in _CONTAINER_FIELDS]
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rec = _parse_one_container(payload)
+                rec[id_col] = rid
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        run, schema=out_schema
     )
 
 

@@ -94,6 +94,7 @@ def salted_join(
     on: str | Sequence[str],
     salt_buckets: int = 8,
     how: str = "inner",
+    salt_on: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi join: the big side adds a per-row salt (hash of the
     whole row — deterministic under recomputation, unlike rand()), the
@@ -102,6 +103,13 @@ def salted_join(
     instead of one. Small-side cost: x``salt_buckets`` rows (keep it
     broadcast-small or keep buckets modest). Result is EXACTLY the plain
     join — salt only scatters placement.
+
+    LIMITATION of the default whole-row salt: fully duplicated rows of a
+    hot key all hash to the SAME salt bucket, so for duplicate-heavy hot
+    keys (common in log data) the mitigation degrades to nothing. Pass
+    ``salt_on`` — column(s) unique-ish per row, e.g. an event id or
+    ingest offset — to salt on those instead; any near-unique expression
+    restores the scatter while staying deterministic under task retry.
 
     AQE's skew-join split handles most cases adaptively; this explicit
     form covers plans AQE declines (e.g. a skewed key feeding a
@@ -117,8 +125,9 @@ def salted_join(
             f"salted_join supports inner/left/semi/anti joins, got {how!r}"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    salt_cols = list(salt_on) if salt_on is not None else list(big.columns)
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
+        F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
     ).alias("__salt")
     b = big.withColumn("__salt", salt)
     s = small.withColumn(

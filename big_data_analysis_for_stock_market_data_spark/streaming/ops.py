@@ -291,15 +291,16 @@ def streaming_running_totals(
     """Per-key running totals (count, exact integer-micros sum, max so
     far) with O(1) state per key, on either stateful API:
 
-    - ``api='transform_with_state'``: Spark 4's
-      ``transformWithStateInPandas`` (StatefulProcessor + ValueState) —
-      the modern API; its Python worker needs ``protobuf``;
     - ``api='apply_in_pandas'``: ``applyInPandasWithState`` (GroupState)
-      — dependency-free;
+      — dependency-free; the verified, registry-pinned path;
+    - ``api='transform_with_state'``: Spark 4's
+      ``transformWithStateInPandas`` (StatefulProcessor + ValueState).
+      EXPERIMENTAL here: its Python worker needs ``protobuf``, absent in
+      this environment, so the branch is mirror-maintained but has no
+      executable test — do not route verified entries through it;
     - ``api='auto'``: modern API when protobuf is importable, else the
-      GroupState path. Outputs are identical either way (every statistic
-      is association-free), so the choice is an execution detail, not a
-      semantic one.
+      GroupState path. Outputs are designed to be identical either way
+      (every statistic is association-free).
     """
     if api == "auto":
         try:
@@ -311,9 +312,20 @@ def streaming_running_totals(
     if api == "apply_in_pandas":
         def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
             n, s, mx = state.get if state.exists else (0, 0, None)
-            for pdf in pdfs:
+            # Arrow may deliver a key's micro-batch rows as SEVERAL chunks
+            # in arbitrary chunk order; folding chunk-by-chunk would apply
+            # the running statistics out of timestamp order. Concatenate the
+            # whole micro-batch for this key, then sort ONCE and fold ONCE.
+            # State stays O(1) per key; only one micro-batch is buffered.
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                whole = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                )
                 out, n, s, mx = _fold_running_totals(
-                    key[0], pdf, ts_col, value_col, n, s, mx
+                    key[0], whole, ts_col, value_col, n, s, mx
                 )
                 yield out
             state.update((n, s, mx))
@@ -345,9 +357,17 @@ def streaming_running_totals(
                 n, s, mx = self._totals.get()
             else:
                 n, s, mx = 0, 0, None
-            for pdf in rows:
+            # Same chunk-order hazard as the GroupState path: concat the
+            # key's whole micro-batch, sort once, fold once.
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                whole = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                )
                 out, n, s, mx = _fold_running_totals(
-                    key[0], pdf, ts_col, value_col, n, s, mx
+                    key[0], whole, ts_col, value_col, n, s, mx
                 )
                 yield out
             self._totals.update((n, s, mx))

@@ -344,6 +344,21 @@ def test_cohort_transition_histogram_small_cases(spark):
          fixed_width_histogram(ev, "v", 2).collect()}
     assert h == {0: (1, 0.0), 1: (3, 5.0)}
 
+    # degenerate inputs (empty / all-null) have no binnable range — they
+    # yield an empty result, not a TypeError from None arithmetic; null
+    # values have no bin and are excluded rather than landing in the
+    # last bin via least()'s null-skipping
+    assert fixed_width_histogram(ev.filter("v < -1"), "v", 2).count() == 0
+    assert fixed_width_histogram(
+        ev.select(F.lit(None).cast("double").alias("v")), "v", 2
+    ).count() == 0
+    with_null = ev.select("v").union(
+        spark.createDataFrame([(None,)], "v double")
+    )
+    h2 = {r.bin: r.n_rows
+          for r in fixed_width_histogram(with_null, "v", 2).collect()}
+    assert h2 == {0: 1, 1: 3}
+
 
 def test_rolling_active_counts_step_function(spark):
     """Hand-checked 3-day-window step function: islands merge when gaps <

@@ -1,6 +1,7 @@
 """Dedup operator tests: exact, MinHash+LSH, SimHash (operators/dedup.py)."""
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from big_data_analysis_for_stock_market_data_spark.operators import dedup as D
 
@@ -241,9 +242,17 @@ def test_dedup_within_window_reappearance(spark):
         ],
         "eid long, k string, ts timestamp",
     )
-    got = sorted(
-        r.eid for r in dedup_within_window(
-            df, keys=["k"], ts_col="ts", window="1 hour", order=["ts", "eid"]
-        ).collect()
+    out = dedup_within_window(
+        df, keys=["k"], ts_col="ts", window="1 hour", order=["ts", "eid"]
     )
+    # schema-preserving: no helper columns leak into the output
+    assert out.columns == df.columns
+    got = sorted(r.eid for r in out.collect())
     assert got == [1, 3, 4]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="__wstart"):
+        dedup_within_window(
+            df.withColumn("__wstart", F.lit(1)),
+            keys=["k"], ts_col="ts",
+        )

@@ -100,6 +100,16 @@ def test_bloom_prefilter_join_equals_plain_join(spark):
     want = big.join(small, on="k").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
+    # the pre-filter drops unmatched big rows, so only inner/semi
+    # semantics survive — other join types must be rejected loudly
+    import pytest as _pytest
+    for bad in ("left", "left_outer", "full", "right"):
+        with _pytest.raises(ValueError, match="inner/semi"):
+            bloom_prefilter_join(big, small, on="k", how=bad)
+    semi = bloom_prefilter_join(big, small, on="k", how="left_semi").collect()
+    want_semi = big.join(small, on="k", how="left_semi").collect()
+    assert sorted(map(tuple, semi)) == sorted(map(tuple, want_semi))
+
     # the literal-bitmask pre-filter prunes most non-matching keys
     from big_data_analysis_for_stock_market_data_spark.operators.joins import (
         _bloom_positions,

@@ -87,3 +87,52 @@ def test_resize_stub_raises(spark):
     df = spark.createDataFrame([(1, b"abc")], "asset_id long, payload binary")
     with _pytest.raises(Exception, match="NotImplementedError|imaging"):
         mm.resize_images(df, decode_backend="stub").collect()
+
+
+def test_container_header_parse_real_bytes(spark):
+    """parse_container_headers must read actual header bytes: a WAV with a
+    junk LIST chunk ahead of fmt (fixed-offset readers break), a stereo
+    WAV, a BMP with a padded stride, and a corrupt blob -> 'unknown'."""
+    import struct
+
+    pcm = bytes(range(200)) * 2  # 400 bytes
+    junk = b"LIST" + struct.pack("<I", 8) + b"INFOjunk"
+    wav1 = M.build_wav(pcm, 16000, channels=1, extra_chunk=junk)
+    wav2 = M.build_wav(pcm, 8000, channels=2)
+    px = b"\x01" * (((5 * 3 + 3) // 4) * 4) * 7  # w=5 stride=16, h=7
+    bmp = M.build_bmp(5, 7, px)
+    df = spark.createDataFrame(
+        [(1, wav1), (2, wav2), (3, bmp), (4, b"\x00garbage"), (5, None)],
+        "asset_id long, payload binary",
+    )
+    got = {r.asset_id: r for r in M.parse_container_headers(df).collect()}
+    r1 = got[1]
+    assert (r1.container, r1.sample_rate, r1.channels, r1.bits_per_sample) \
+        == ("wav", 16000, 1, 16)
+    assert r1.n_samples == 200 and r1.duration_micros == 12500
+    r2 = got[2]
+    assert (r2.container, r2.channels, r2.n_samples) == ("wav", 2, 100)
+    assert r2.duration_micros == 12500  # 100 samples @ 8 kHz
+    r3 = got[3]
+    assert (r3.container, r3.width, r3.height, r3.bpp, r3.data_bytes) \
+        == ("bmp", 5, 7, 24, 16 * 7)
+    assert got[4].container == "unknown" and got[4].sample_rate is None
+    assert got[5].container == "unknown"
+
+
+def test_payload_meta_riff_refinement(spark):
+    """RIFF is a container: the sniffed MIME must refine by form type."""
+    import struct
+
+    wav = M.build_wav(b"\x00\x00", 8000)
+    avi = b"RIFF" + struct.pack("<I", 4) + b"AVI " 
+    webp = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
+    png = bytes.fromhex("89504e47") + b"rest"
+    df = spark.createDataFrame(
+        [(1, wav), (2, avi), (3, webp), (4, png)],
+        "asset_id long, payload binary",
+    )
+    got = {r.asset_id: r.sniffed_mime for r in M.with_payload_meta(df).collect()}
+    assert got == {
+        1: "audio/wav", 2: "video/x-msvideo", 3: "image/webp", 4: "image/png",
+    }

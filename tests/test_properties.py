@@ -320,3 +320,16 @@ def test_salted_join_equals_plain_join_and_rejects_outer(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "k", how="full")
+
+    # duplicate-heavy hot key: whole-row salt collapses to ONE bucket
+    # (the documented limitation); salt_on a unique id restores scatter
+    dup = spark.range(400).select(
+        F.lit(1).alias("k"), F.lit(7.0).alias("payload"),
+        F.col("id").alias("uid"),
+    )
+    sgot = sorted(
+        map(tuple, salted_join(dup, small, "k", salt_on=["uid"])
+            .drop("uid").collect())
+    )
+    swant = sorted(map(tuple, dup.join(small, "k").drop("uid").collect()))
+    assert sgot == swant

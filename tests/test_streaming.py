@@ -421,6 +421,38 @@ def test_running_totals_state_resumes_across_batches(spark, stream_dir):
         assert sub.max_so_far.tolist() == np.maximum.accumulate(vals).tolist()
 
 
+def test_running_totals_chunk_order_race(spark, stream_dir):
+    """Regression for the r04 driver FAIL: Arrow may split one key's
+    micro-batch into several chunks delivered in arbitrary order. Force
+    maximal splitting (1 record per Arrow batch) and require the fold to
+    still equal the batch running window — i.e. the operator must concat
+    + sort a key's whole micro-batch before folding, not fold
+    chunk-by-chunk in arrival order."""
+    d, pdf = stream_dir
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = st.read_stream_parquet(spark, d, EVENTS_SCHEMA)
+        rt = st.streaming_running_totals(
+            stream, "user_id", "ts", "value", api="apply_in_pandas"
+        )
+        _, sink = st.run_to_memory(rt, output_mode="append")
+        got = spark.table(sink).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == len(pdf)
+    for uid, grp in pdf.sort_values("ts").groupby("user_id"):
+        sub = got[got.key == uid].sort_values("ts")
+        assert sub.n_so_far.tolist() == list(range(1, len(grp) + 1))
+        vals = grp.value.to_numpy()
+        micros = vals * 1e6
+        want_sum = np.cumsum(
+            (np.floor(np.abs(micros) + 0.5) * np.sign(micros)).astype("int64")
+        )
+        assert sub.sum_micros.tolist() == want_sum.tolist()
+        assert sub.max_so_far.tolist() == np.maximum.accumulate(vals).tolist()
+
+
 def test_stream_static_join_matches_batch(spark, stream_dir):
     """Stream-static enrichment: replay of the joined stream equals the
     batch join; left rows with no dim match drop (inner) and the stream's

@@ -45,9 +45,23 @@ NESTED_LOOP_OK = {
     "q22_sales_opportunity",
     "g1_triangle_count",   # 1-row x 1-row scalar combine (count + edge count)
     "a18_chi2_independence",  # 1-row statistic x 1-row dof combine
+    # r05 driver-scalar folds: the former .first() literals became
+    # broadcast 1-row aggregates crossed into the plan — same shape
+    "a13_histogram_value",    # min/max 1-row agg x rows
+    "a16_rfm_segments",       # max-date + tercile-bounds 1-row aggs
+    "ml_quantile_bins",       # quantile-boundary 1-row agg x rows
 }
 
 MAX_EXCHANGES = 9
+
+#: Entries whose construction may legitimately touch the driver:
+#: j4's Bloom build collects num_bits/64 longs (a bitmask, control-plane
+#: by design — joins.py bloom_prefilter_join docstring); streaming
+#: entries drain a memory sink by contract; ML entries train models.
+DRIVER_ACTION_OK = {
+    "j4_bloom_prefilter",
+}
+DRIVER_ACTION_OK_PREFIXES = ("stream_", "ml_", "stock_fe", "stock_rf")
 
 #: Multi-stage algorithms earn a larger, PINNED budget (adjudicated against
 #: the r04 audit): regressions past the pin still flag.
@@ -61,6 +75,8 @@ EXCHANGE_BUDGET = {
     "q21_sole_late_supplier": 12,  # 4-way join + semi + anti branches
     "a11_funnel_conversion": 13,   # per step: event shuffle + agg + join
     "w_rolling_active_users": 11,  # islands + deltas + 2-phase prefix sum
+    "a18_chi2_independence": 10,   # r05: grand-total .first() folded into
+                                   # the plan = +1 broadcast exchange
 }
 
 
@@ -73,10 +89,29 @@ def main() -> None:
     from big_data_analysis_for_stock_market_data_spark.session import get_session
 
     spark = get_session(app_name="plan_audit")
+
+    # Count driver-side actions (first/collect/toPandas) fired while an
+    # entry BUILDS its DataFrame — a lineage that computes data into a
+    # driver literal isn't a distributed plan. Documented control-plane
+    # sites are whitelisted above.
+    from pyspark.sql import DataFrame as _DF
+
+    action_counts: list[int] = [0]
+    _orig = {m: getattr(_DF, m) for m in ("first", "collect", "toPandas")}
+
+    def _counting(m):
+        def wrapper(self, *a, **kw):
+            action_counts[0] += 1
+            return _orig[m](self, *a, **kw)
+        return wrapper
+
     results: dict[str, dict] = {}
     violations: list[str] = []
     for name, fn in registry.queries().items():
         t0 = time.time()
+        action_counts[0] = 0
+        for m in _orig:
+            setattr(_DF, m, _counting(m))
         try:
             df = fn(spark, sf_dir)
             plan = P.explain_str(df, "simple")
@@ -84,6 +119,10 @@ def main() -> None:
             results[name] = {"error": traceback.format_exc(limit=1)}
             violations.append(f"{name}: build error")
             continue
+        finally:
+            for m, orig in _orig.items():
+                setattr(_DF, m, orig)
+        driver_actions = action_counts[0]
         pynodes = sorted({n for n in P.PYTHON_NODES if n in plan})
         rec = {
             "exchanges": plan.count("Exchange"),
@@ -91,9 +130,19 @@ def main() -> None:
             "python_nodes": pynodes,
             "cartesian": "CartesianProduct" in plan,
             "bnlj": "BroadcastNestedLoopJoin" in plan,
+            "driver_actions": driver_actions,
             "build_sec": round(time.time() - t0, 2),
         }
         results[name] = rec
+        if (
+            driver_actions
+            and name not in DRIVER_ACTION_OK
+            and not name.startswith(DRIVER_ACTION_OK_PREFIXES)
+        ):
+            violations.append(
+                f"{name}: {driver_actions} driver action(s) "
+                "(first/collect/toPandas) during plan construction"
+            )
         if "BatchEvalPython" in pynodes:
             violations.append(f"{name}: row-at-a-time Python (BatchEvalPython)")
         if (rec["cartesian"] or rec["bnlj"]) and name not in NESTED_LOOP_OK:
