@@ -45,6 +45,12 @@ HEADLINE = [
     "simsearch_cosine_scores",
     "stream_tumbling_daily",
     "stream_upsert_latest",
+    # r05 surface: binned range join, corpus-to-corpus ANN join, LM
+    # quality scoring, real container-header decode
+    "j6_binned_range_join",
+    "simsearch_ann_join",
+    "text_unigram_logprob",
+    "mm_container_headers",
 ]
 
 STOCK_ROWS = 671_024  # the reference dataset's exact row count

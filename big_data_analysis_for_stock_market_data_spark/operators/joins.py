@@ -150,6 +150,50 @@ def range_join(
     return left.join(r, on=cond, how="inner")
 
 
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval join for LARGE interval tables — the scale path
+    ``range_join`` documents but (by broadcast) doesn't need for small
+    dims. A pure range predicate gives Spark only a nested-loop plan
+    (|left| x |right| comparisons); binning turns it into an equi join:
+
+    - each interval ``[lo, hi)`` explodes to one row per covered bin of
+      width ``bin_width`` (fan-out ~ interval_len/bin_width + 1);
+    - each point maps to exactly ONE bin — so every (point, interval)
+      match surfaces exactly once and no post-join dedup is needed;
+    - the join runs on the bin key (shuffle/broadcast hash join, AQE
+      eligible), with the exact range predicate as a residual filter.
+
+    Pick ``bin_width`` near the median interval length: too small
+    explodes the interval side, too large funnels everything into few
+    bins (skew). Both sides stay fully distributed — this is the 100 TB
+    form of the operator."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    r = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bin_width).cast("long"),
+                F.floor(F.col(right_hi) / bin_width).cast("long"),
+            )
+        ),
+    )
+    l = left.withColumn(
+        "__bin", F.floor(F.col(left_point) / bin_width).cast("long")
+    )
+    residual = (F.col(left_point) >= F.col(right_lo)) & (
+        F.col(left_point) < F.col(right_hi)
+    )
+    return l.join(r, on="__bin", how="inner").filter(residual).drop("__bin")
+
+
 def _bloom_positions(key, num_bits: int, num_hashes: int):
     """k independent bit positions per key: xxhash64 seeded by the hash
     index, mod m. (Avoids Kirsch-Mitzenmacher h1+j*h2 arithmetic, which

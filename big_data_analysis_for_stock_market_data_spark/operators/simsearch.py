@@ -205,6 +205,72 @@ def lsh_bucket_topk(
     )
 
 
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 1,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_mode: str = "hash",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Corpus-to-corpus approximate nearest-neighbor JOIN: for every left
+    vector, its top-k approximate neighbors among the right vectors —
+    retrieval-style linking (eval→train near-dup attribution, cross-corpus
+    retrieval augmentation) where BOTH sides are large.
+
+    Unlike ``lsh_bucket_topk`` (which broadcasts a bounded query batch),
+    both sides here bucket by sign-LSH and meet in a bucket-keyed SHUFFLE
+    equi join — each side scans once, candidates are bounded by bucket
+    co-occupancy, and nothing is broadcast, so the operator survives two
+    100 TB corpora. Exact cosine re-ranks candidates; ``round_to`` rounds
+    before ranking for cross-engine tie stability; ``plane_mode='axis'``
+    makes the family SQL-replayable. A left vector with no shared bucket
+    yields no row (ANN contract: recall is tunable via tables/planes)."""
+    l_b = ensure_parallelism(left).select(
+        F.col(id_col).alias("__lid"),
+        F.col(vec_col).alias("__lvec"),
+        F.explode(
+            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim,
+                                   plane_mode=plane_mode)
+                      for t in range(n_tables)])
+        ).alias("__bucket"),
+    )
+    r_b = ensure_parallelism(right).select(
+        F.col(id_col).alias("__rid"),
+        F.col(vec_col).alias("__rvec"),
+        F.explode(
+            F.array(*[_bucket_expr(F.col(vec_col), t, n_planes, dim,
+                                   plane_mode=plane_mode)
+                      for t in range(n_tables)])
+        ).alias("__bucket"),
+    )
+    cand = (
+        l_b.join(r_b, "__bucket")
+        .filter(F.col("__lid") != F.col("__rid"))
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    cos = cosine(F.col("__lvec"), F.col("__rvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = cand.select(
+        F.col("__lid").alias("left_id"),
+        F.col("__rid").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("left_id", "rank")
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     n_clusters: int = 16,

@@ -369,6 +369,49 @@ def vocab_coverage(
     return out.orderBy(*by) if by else out
 
 
+def unigram_logprob(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Corpus-LM document quality score (the CCNet-style filter signal,
+    reduced to its distributable core): train a unigram model ON the
+    corpus itself — p(t) = count(t)/N — and score each document by its
+    total token log-probability. Low-probability-dense docs (boilerplate,
+    mangled encodings, keyword stuffing) score far below clean prose.
+
+    Engine-exact by construction: each token's log10 p is quantized ONCE
+    to integer nano-units (double→integer rounding is portable), and the
+    per-doc figure is an INTEGER sum of those units — order-free, no
+    float-summation drift. Plan: one posting explode, a vocab-sized
+    grouped count (total count folded in as a broadcast 1-row aggregate),
+    one term-keyed join back (AQE broadcasts it when the vocabulary is
+    small), one per-doc sum. Emits (id, n_tokens, sum_logp_nano);
+    averages are derivable and deliberately not emitted as doubles."""
+    scale = float(10 ** round_to)
+    posting = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(col))).alias("term")
+    )
+    total = posting.agg(F.count(F.lit(1)).cast("double").alias("__n_total"))
+    freq = (
+        posting.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .crossJoin(F.broadcast(total))
+    )
+    logp_nano = F.round(
+        F.log10(F.col("__cnt") / F.col("__n_total")) * scale, 0
+    ).cast("long")
+    return (
+        posting.join(freq, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(logp_nano).alias("sum_logp_nano"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,
@@ -384,19 +427,21 @@ def tfidf_top_terms(
     and the two disagree exactly at quantization boundaries). The emitted
     ``score_nano`` = round(tf · idf_nano) is therefore reproducible
     bit-for-bit; rank ties break on the term. Three grouped aggregates +
-    one broadcast-sized idf join + a per-doc top-k window; N is a driver
-    scalar (control-plane count). ``round_to`` sets the fixed-point scale
-    (9 = nano)."""
-    n_docs = df.count()
+    one broadcast-sized idf join + a per-doc top-k window; N stays IN the
+    plan as a broadcast 1-row count aggregate (no driver scalar).
+    ``round_to`` sets the fixed-point scale (9 = nano)."""
     scale = float(10 ** round_to)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     posting = df.select(F.col(id_col), F.explode(tokens_col(F.col(col))).alias("term"))
     tf = posting.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__cnt"))
     dl = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dlen"))
-    dfq = posting.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("__df")
+    dfq = (
+        posting.groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
     )
     idf_nano = F.round(
-        F.log(F.lit(float(n_docs)) / F.col("__df")) * scale, 0
+        F.log(F.col("__n_docs") / F.col("__df")) * scale, 0
     ).cast("long")
     scored = (
         tf.join(dl, id_col)

@@ -2077,6 +2077,43 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    # fixed-point contract like tfidf: per-token log10(cnt/N) quantized
+    # ONCE to integer nano-units, per-doc INTEGER sum — order-free, no
+    # float-summation drift across engines
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks),
+    freq AS (
+      SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(CAST(round(log10(f.cnt / n.n_total) * 1000000000.0)
+                    AS BIGINT)) AS sum_logp_nano
+    FROM toks t
+    JOIN freq f ON f.term = t.term
+    CROSS JOIN n
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality scoring (the CCNet-style filter signal):
+    p(t) = corpus frequency, document score = integer-nano sum of token
+    log-probabilities (operators/text.unigram_logprob). One explode, one
+    vocab count, one term join, one per-doc sum."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logprob(docs).orderBy("doc_id")
+
+
+@register(
     "ml_quantile_bins",
     # boundaries = exact interpolated quartiles rounded to 6dp (identical
     # in both engines); bin = count of boundaries <= value
@@ -3173,6 +3210,61 @@ def simsearch_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ss.lsh_bucket_topk(
         emb, queries_df, k=5, n_planes=6, n_tables=8,
         plane_mode="axis", round_to=6,
+    )
+
+
+@register(
+    "simsearch_ann_join",
+    # same axis-plane family as simsearch_lsh_topk, but corpus-to-corpus:
+    # odd vectors retrieve from even vectors through a bucket-keyed
+    # shuffle join (no broadcast side) — the oracle replays the exact
+    # candidate set and 6-dp pre-rank rounding
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_duck_axis_bucket(t, 6)} AS bk{t}" for t in range(8))}
+      FROM embeddings
+    ),
+    l AS (SELECT * FROM b WHERE vec_id % 2 = 1),
+    r AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS neighbor_id,
+             l.embedding AS le, r.embedding AS re
+      FROM l JOIN r
+        ON l.vec_id <> r.vec_id
+       AND ({" OR ".join(f"l.bk{t} = r.bk{t}" for t in range(8))})
+    ),
+    scored AS (
+      SELECT left_id, neighbor_id,
+             ROUND({_duck_dot('le', 're')}
+                   / ({_duck_norm('le')} * {_duck_norm('re')}), 6) AS cos_sim
+      FROM cand
+    )
+    SELECT left_id, neighbor_id, cos_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY left_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 2
+    """,
+)
+def simsearch_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-to-corpus ANN join (operators/simsearch.ann_join): every
+    odd-id vector retrieves its top-2 approximate neighbors among even-id
+    vectors via sign-LSH buckets meeting in a SHUFFLE equi join — the
+    both-sides-large retrieval/linking shape (eval→train attribution,
+    cross-corpus augmentation) where lsh_bucket_topk's broadcast query
+    batch doesn't apply. Axis planes + 6-dp pre-rank rounding keep the
+    candidate set and ranking SQL-replayable."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ss.ann_join(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        k=2, n_planes=6, n_tables=8, plane_mode="axis", round_to=6,
     )
 
 
@@ -5844,6 +5936,43 @@ def j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_binned_range_join",
+    # value bands from supplier keys: [k*5, k*5+7.5) — all binary
+    # fractions, so lo/hi/bin arithmetic is exact in both engines; the
+    # binned plan must equal the plain theta join row-for-row
+    oracle="""
+    SELECT e.event_id, s.s_suppkey, e.value,
+           s.s_suppkey * 5.0 AS band_lo
+    FROM events e
+    JOIN supplier s
+      ON e.value >= s.s_suppkey * 5.0
+     AND e.value <  s.s_suppkey * 5.0 + 7.5
+    ORDER BY e.event_id, s.s_suppkey
+    """,
+)
+def j6_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via binning (operators/joins.
+    binned_range_join): intervals explode to covered bins, points map to
+    one bin, and the match runs as an EQUI join on the bin key with the
+    exact range predicate as residual — the distributed form of a range
+    join (a pure range predicate would force a |left| x |right|
+    nested-loop). Overlapping bands exercise multi-match; each match
+    surfaces exactly once without dedup."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 5.0).alias("band_lo"),
+        (F.col("s_suppkey") * 5.0 + 7.5).alias("band_hi"),
+    )
+    out = join_ops.binned_range_join(
+        ev, sup, "value", "band_lo", "band_hi", bin_width=5.0
+    )
+    return out.select("event_id", "s_suppkey", "value", "band_lo").orderBy(
+        "event_id", "s_suppkey"
+    )
+
+
+@register(
     "seq_user_event_export",
     # array_agg(... ORDER BY) twin: the (ts, event_id) order is total per
     # user, so the joined sequence string is deterministic
@@ -7226,15 +7355,15 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "w2_daily_lag_avg",           # events.ts reader surface, r02-stale
     "sql_entry_daily_label",      # the SQL-API twin of the flagship
     "j2_daygrain_fanout",
-    "a4_duplicate_stats",
-    "a5_null_stats",
     "a6_moments",
     "q1_pricing_summary",
     "q4_order_priority",
-    "setop_except_union",
     "f_scalar_arithmetic",
-    # new oracle-bearing entry this round outranks another stale re-check
+    # new oracle-bearing entries this round outrank more stale re-checks
     "mm_container_headers",
+    "j6_binned_range_join",
+    "text_unigram_logprob",
+    "simsearch_ann_join",
 )
 
 

@@ -135,3 +135,40 @@ def test_bloom_prefilter_join_equals_plain_join(spark):
     survivors = big.filter(cond).count()
     matching = big.join(small.select("k").distinct(), on="k").count()
     assert matching <= survivors < big.count() * 0.2
+
+
+def test_binned_range_join_equals_plain_range_join(spark):
+    """The binned equi-join form must equal the nested-loop range join
+    row-for-row: overlapping intervals multi-match (each match exactly
+    once), boundary points respect [lo, hi), negatives bin correctly."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.operators.joins import (
+        binned_range_join,
+        range_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, -7.5), (2, -0.01), (3, 0.0), (4, 2.5), (5, 5.0), (6, 99.9)],
+        "pid long, x double",
+    )
+    iv = spark.createDataFrame(
+        [(10, -10.0, 0.0), (11, -1.0, 3.0), (12, 2.0, 5.0), (13, 5.0, 6.0)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in binned_range_join(pts, iv, "x", "lo", "hi", 2.0).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid) for r in range_join(pts, iv, "x", "lo", "hi").collect()
+    )
+    assert got == want
+    # hand-checked: -7.5 in [-10,0); -0.01 in both [-10,0) and [-1,3);
+    # 0.0 and 2.5 in [-1,3); 2.5 also in [2,5); 5.0 in [5,6) only
+    assert want == [(1, 10), (2, 10), (2, 11), (3, 11), (4, 11), (4, 12),
+                    (5, 13)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        binned_range_join(pts, iv, "x", "lo", "hi", 0)

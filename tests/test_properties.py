@@ -333,3 +333,48 @@ def test_salted_join_equals_plain_join_and_rejects_outer(spark):
     )
     swant = sorted(map(tuple, dup.join(small, "k").drop("uid").collect()))
     assert sgot == swant
+
+
+@given(
+    pts=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=64),
+        min_size=1, max_size=12,
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False,
+                      width=64),
+            st.floats(min_value=0.1, max_value=50, allow_nan=False,
+                      width=64),
+        ),
+        min_size=1, max_size=8,
+    ),
+    bin_width=st.sampled_from([0.5, 3.0, 7.5, 40.0]),
+)
+@SETTINGS
+def test_binned_range_join_matches_nested_loop(spark, pts, ivs, bin_width):
+    """For ANY points, intervals, and bin width, the binned equi-join form
+    equals the nested-loop range join exactly — multi-matches surface
+    once, never twice (a point maps to one bin)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.joins import (
+        binned_range_join,
+        range_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pts)], "pid long, x double"
+    )
+    idf = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivs)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in binned_range_join(pdf, idf, "x", "lo", "hi",
+                                   bin_width).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, "x", "lo", "hi").collect()
+    )
+    assert got == want

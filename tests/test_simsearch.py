@@ -178,3 +178,44 @@ def test_pq_encode_range_and_adc_identity(spark):
     top = ss.pq_topk(df, queries, n_neighbors=3, m=8, k=16, dim=64)
     first = top.filter("rank = 1").head()
     assert first.neighbor_id == 999
+
+
+def test_ann_join_contract(spark):
+    """Corpus-to-corpus ANN join: a left vector that is an exact positive
+    scaling of a right vector shares every sign bucket, so it MUST
+    surface that right vector as its top-1 with cosine 1.0; neighbors
+    come only from the right side, never self-pair, and ranks order by
+    (cos desc, id)."""
+    import numpy as np
+
+    from big_data_analysis_for_stock_market_data_spark.operators.simsearch import (
+        ann_join,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    right_rows = [(int(i), [float(x) for x in rng.normal(size=dim)])
+                  for i in range(0, 20, 2)]
+    # left 1 = 2x right 4 (same signs everywhere -> same buckets)
+    twin = [2.0 * x for x in right_rows[2][1]]
+    left_rows = [(1, twin)] + [
+        (int(i), [float(x) for x in rng.normal(size=dim)])
+        for i in range(3, 20, 2)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    left = spark.createDataFrame(left_rows, schema)
+    right = spark.createDataFrame(right_rows, schema)
+    out = ann_join(left, right, k=2, dim=dim, n_planes=4, n_tables=4,
+                   round_to=6).collect()
+    right_ids = {r[0] for r in right_rows}
+    by_left = {}
+    for r in out:
+        assert r.neighbor_id in right_ids and r.neighbor_id != r.left_id
+        by_left.setdefault(r.left_id, []).append(r)
+    top1 = sorted(by_left[1], key=lambda r: r.rank)[0]
+    assert top1.neighbor_id == right_rows[2][0] and top1.cos_sim == 1.0
+    for rows in by_left.values():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)

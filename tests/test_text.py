@@ -192,3 +192,24 @@ def test_tfidf_topterms_hand_case(spark):
     import math
     expect = round(round(math.log(3.0) * 1e9) / 3)
     assert abs(top[1][1] - expect) <= 1
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Corpus: 'a a b' + 'b c' -> p(a)=2/5, p(b)=2/5, p(c)=1/5; per-doc
+    sums of round(log10(p)*1e9) as exact integers."""
+    import math
+
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.sum_logp_nano)
+           for r in unigram_logprob(docs).collect()}
+    lp = lambda p: round(math.log10(p) * 1e9)
+    assert got == {
+        1: (3, 2 * lp(2 / 5) + lp(2 / 5)),
+        2: (2, lp(2 / 5) + lp(1 / 5)),
+    }

@@ -50,6 +50,8 @@ NESTED_LOOP_OK = {
     "a13_histogram_value",    # min/max 1-row agg x rows
     "a16_rfm_segments",       # max-date + tercile-bounds 1-row aggs
     "ml_quantile_bins",       # quantile-boundary 1-row agg x rows
+    "text_tfidf_topterms",    # corpus-count 1-row agg x idf table
+    "text_unigram_logprob",   # token-total 1-row agg x vocab table
 }
 
 MAX_EXCHANGES = 9
@@ -60,6 +62,12 @@ MAX_EXCHANGES = 9
 #: entries drain a memory sink by contract; ML entries train models.
 DRIVER_ACTION_OK = {
     "j4_bloom_prefilter",
+    # iterative fixpoint tests: a bounded .limit(1).count() per round is
+    # the loop-termination probe, not data movement
+    "dedup_clusters",
+    "h1_ancestor_closure",
+    # the entry's RESULT is the two split sizes (rows-only by contract)
+    "o3_random_split",
 }
 DRIVER_ACTION_OK_PREFIXES = ("stream_", "ml_", "stock_fe", "stock_rf")
 
@@ -77,6 +85,7 @@ EXCHANGE_BUDGET = {
     "w_rolling_active_users": 11,  # islands + deltas + 2-phase prefix sum
     "a18_chi2_independence": 10,   # r05: grand-total .first() folded into
                                    # the plan = +1 broadcast exchange
+    "text_tfidf_topterms": 10,     # r05: corpus-count fold, same +1
 }
 
 
@@ -97,7 +106,10 @@ def main() -> None:
     from pyspark.sql import DataFrame as _DF
 
     action_counts: list[int] = [0]
-    _orig = {m: getattr(_DF, m) for m in ("first", "collect", "toPandas")}
+    _orig = {
+        m: getattr(_DF, m)
+        for m in ("first", "collect", "toPandas", "count")
+    }
 
     def _counting(m):
         def wrapper(self, *a, **kw):
