@@ -442,3 +442,35 @@ def quantile_bins(
         .withColumn(out, b)
         .drop(*[f"__q{i}" for i in range(len(fracs))])
     )
+
+
+def string_index(
+    df,
+    col: str,
+    out: str | None = None,
+) -> "DataFrame":
+    """Deterministic StringIndexer twin: category -> dense integer index
+    ordered by (frequency DESC, value ASC) — Spark ML's own
+    ``frequencyDesc`` ordering with the tie-break made EXPLICIT (the ML
+    stage breaks frequency ties by encounter order, which depends on
+    partition layout; this one is a pure function of the data). Nulls
+    index to -1 (ML's 'keep' puts them last at index |vocab|; an explicit
+    sentinel survives re-indexing when the vocabulary grows).
+
+    Plan: one vocab-sized grouped count + a dense_rank window over the
+    |vocab| aggregate (never raw rows) + one broadcast-sized join back."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = out or f"{col}_idx"
+    vocab = df.filter(F.col(col).isNotNull()).groupBy(col).agg(
+        F.count(F.lit(1)).alias("__freq")
+    )
+    w = Window.orderBy(F.col("__freq").desc(), F.col(col).asc())
+    # the window runs over |vocab| rows, not raw data — a bounded,
+    # dimension-sized sort exactly like topk_per_group's rank stage
+    mapping = vocab.select(
+        col, (F.row_number().over(w) - 1).cast("long").alias(out)
+    )
+    joined = df.join(F.broadcast(mapping), on=col, how="left")
+    return joined.withColumn(out, F.coalesce(F.col(out), F.lit(-1)))

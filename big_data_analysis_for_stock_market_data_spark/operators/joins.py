@@ -71,11 +71,21 @@ def as_of_join(
     right_time: str,
     right_values: Sequence[str],
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join (J3 extension — natural for time series, absent in the
     reference). For each left row, attach the most recent right row at or
     before ``left_time`` (direction='backward') or the earliest at or after
     (direction='forward'), within the same ``on`` partition keys.
+
+    ``tolerance`` (an INTERVAL string, e.g. ``'1 hour'``) bounds the
+    lookback/lookahead like pandas ``merge_asof(tolerance=...)``: a match
+    further than that in time nulls out — the attribution-window contract
+    ('credit the last touch within N days', never an unboundedly stale
+    one). The carried match time comes from the latest right ROW; with
+    nulls inside ``right_values`` columns, per-column carries can
+    originate from older rows than that time (same per-column
+    ``last(ignorenulls)`` contract as the unbounded form).
 
     Spark-first implementation: union the two sides tagged by origin, sort
     within each partition key by time once, and carry right-side values
@@ -86,6 +96,29 @@ def as_of_join(
         on = [on]
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if tolerance is not None:
+        # carry the matched right row's own time, then null out carried
+        # values whose match is further than the tolerance
+        inner = as_of_join(
+            left,
+            right.withColumn("__match_t", F.col(right_time)),
+            on, left_time, right_time,
+            [*right_values, "__match_t"],
+            direction=direction,
+        )
+        lt = F.col(left_time).cast("timestamp")
+        mt = F.col("__match_t").cast("timestamp")
+        gap_ok = (
+            (lt - mt) <= F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else (mt - lt) <= F.expr(f"INTERVAL {tolerance}")
+        )
+        out = inner
+        for v in right_values:
+            out = out.withColumn(
+                v, F.when(gap_ok, F.col(v)).otherwise(F.lit(None))
+            )
+        return out.drop("__match_t")
 
     lt = F.col(left_time)
     left_tagged = left.select(

@@ -716,3 +716,38 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    order_by: Sequence[str],
+    out: str = "n_distinct_so_far",
+) -> DataFrame:
+    """Exact running DISTINCT count per key — e.g. 'distinct event types a
+    user has touched so far'. COUNT(DISTINCT) OVER a running frame is
+    unsupported in Spark (and quadratic where supported); the standard
+    decomposition is two windows on the same key shuffle:
+
+    1. first-occurrence flag: row_number over (keys, value) == 1;
+    2. running sum of the flags over (keys) in ``order_by`` order.
+
+    Ties in ``order_by`` across DIFFERENT values of ``value_col`` make
+    the running figure order-dependent — include a unique id in
+    ``order_by`` for a total order (same contract as every running
+    window here)."""
+    ob = [F.col(c) for c in order_by]
+    w_first = Window.partitionBy(*keys, value_col).orderBy(*ob)
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*ob)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn(
+            "__is_first", (F.row_number().over(w_first) == 1).cast("long")
+        )
+        .withColumn(out, F.sum("__is_first").over(w_run))
+        .drop("__is_first")
+    )

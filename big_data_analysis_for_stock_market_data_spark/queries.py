@@ -1865,6 +1865,59 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "value", "ref_value")
 
 
+@register(
+    "asof_join_tolerance",
+    # bounded-lookback attribution: latest click <= purchase time AND
+    # within 1 hour, else null. The latest click overall is the latest
+    # within any backward window, so tolerance = null-out (both sides)
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT event_id, user_id, ts, click_id, c_ts
+    FROM (
+      SELECT p.event_id, p.user_id, p.ts, c.click_id, c.c_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.c_ts DESC NULLS LAST, c.click_id DESC) AS rn
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.c_ts <= p.ts
+       AND c.c_ts >= p.ts - INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window as-of join (pandas merge_asof ``tolerance``
+    semantics): each purchase credits the user's most recent click ONLY if
+    it happened within the last hour — stale touches null out
+    (operators/joins.as_of_join(tolerance='1 hour')). Same single-shuffle
+    union+carry plan as the unbounded as-of; the bound is a post-carry
+    projection, not a range join."""
+    events = load(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = join_ops.as_of_join(
+        p, c, on="user_id", left_time="ts", right_time="c_ts",
+        right_values=["click_id", "c_ts"], tolerance="1 hour",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "click_id", "c_ts"
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis (operators/text.py).
 # ---------------------------------------------------------------------------
@@ -6211,6 +6264,138 @@ def a15_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a24_association_rules",
+    # directed rules over the support>=3 pairs: confidence and lift as
+    # round(ratio-of-exact-ints * 1e9) -> BIGINT — double-to-integer
+    # rounding of identical IEEE expressions is engine-portable
+    oracle="""
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM parts),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS sup_i FROM parts GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS sup_ab
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, sup_ab FROM pair
+      UNION ALL
+      SELECT pb AS antecedent, pa AS consequent, sup_ab FROM pair
+    )
+    SELECT r.antecedent, r.consequent, r.sup_ab,
+           ia.sup_i AS sup_ante, ic.sup_i AS sup_cons,
+           CAST(round(CAST(r.sup_ab AS DOUBLE) * 1000000000.0 / ia.sup_i)
+                AS BIGINT) AS confidence_nano,
+           CAST(round(CAST(r.sup_ab AS DOUBLE) * n.n_baskets
+                      * 1000000000.0 / (ia.sup_i * ic.sup_i))
+                AS BIGINT) AS lift_nano
+    FROM rules r
+    JOIN item ia ON ia.l_partkey = r.antecedent
+    JOIN item ic ON ic.l_partkey = r.consequent
+    CROSS JOIN n
+    ORDER BY antecedent, consequent
+    """,
+)
+def a24_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the basket pairs (a15 continued):
+    directed rules with support, confidence = sup(a,b)/sup(a), and lift =
+    conf / P(b) — both emitted as round(ratio * 1e9) integers so the
+    exact-integer-ratio arithmetic hashes identically in any engine.
+    Basket count enters as a broadcast 1-row aggregate; the pair
+    explosion stays per-order-bounded exactly as in a15."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    parts = parts.localCheckpoint(eager=True)  # 4 consumers below
+    n = parts.agg(
+        F.count_distinct("l_orderkey").alias("__n_baskets")
+    )
+    item = parts.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup_i"))
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= 3)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"), "sup_ab",
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"), "sup_ab",
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("sup_i").alias("sup_ante"),
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("sup_i").alias("sup_cons"),
+    )
+    out = (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+    )
+    conf = F.round(
+        F.col("sup_ab").cast("double") * 1e9 / F.col("sup_ante"), 0
+    ).cast("long")
+    lift = F.round(
+        F.col("sup_ab").cast("double") * F.col("__n_baskets") * 1e9
+        / (F.col("sup_ante") * F.col("sup_cons")),
+        0,
+    ).cast("long")
+    return out.select(
+        "antecedent", "consequent", "sup_ab", "sup_ante", "sup_cons",
+        conf.alias("confidence_nano"), lift.alias("lift_nano"),
+    ).orderBy("antecedent", "consequent")
+
+
+@register(
+    "ml_string_index",
+    # deterministic StringIndexer: index = dense frequency rank with an
+    # explicit (freq DESC, value ASC) total order — pure integers
+    oracle="""
+    WITH vocab AS (
+      SELECT event_type, COUNT(*) AS freq FROM events GROUP BY event_type
+    ),
+    mapping AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, event_type) - 1
+               AS event_type_idx
+      FROM vocab
+    )
+    SELECT e.event_id, e.event_type, m.event_type_idx
+    FROM events e JOIN mapping m USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def ml_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic StringIndexer twin (ml/pipeline.string_index):
+    category -> dense index by (frequency DESC, value ASC) — Spark ML's
+    frequencyDesc ordering with the tie-break made a pure function of
+    the data (the ML stage's tie order depends on partition layout).
+    Vocab count + |vocab|-row rank window + broadcast join back."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import string_index
+
+    ev = load(spark, sf_dir, "events")
+    out = string_index(ev, "event_type")
+    return out.select("event_id", "event_type", "event_type_idx").orderBy(
+        "event_id"
+    )
+
+
+@register(
     "a16_rfm_segments",
     # per-customer R/F/M terciles: boundaries = exact interpolated 33/67th
     # percentiles rounded once to 6dp (identical both engines); score =
@@ -6417,6 +6602,89 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+def _pagerank_oracle_sql(n_iters: int = 3, damping_pct: int = 85) -> str:
+    """Unrolled integer-PageRank CTE chain (fixed iteration count is part
+    of the spec, same convention as the unrolled Lloyd iterations in
+    _ivf_oracle_sql). All-integer arithmetic — ``//`` floor division and
+    integer sums — so the replay is bit-identical in any engine."""
+    base = f"CAST({(100 - damping_pct) * 1_000_000_000} AS BIGINT) // (100 * n.n)"
+    ctes = [
+        """parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    eo AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
+    pr0 AS (
+      SELECT node, CAST(1000000000 AS BIGINT) // n.n AS pr
+      FROM nodes CROSS JOIN n
+    )"""
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""pr{t + 1} AS (
+      SELECT no.node,
+             {base} + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS pr
+      FROM nodes no CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.v AS node, SUM(p.pr // d.outdeg) AS s
+        FROM edges e
+        JOIN deg d ON d.u = e.u
+        JOIN pr{t} p ON p.node = e.u
+        GROUP BY e.v
+      ) s ON s.node = no.node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, pr AS pr_nano FROM pr{n_iters} ORDER BY node"
+    )
+
+
+@register(
+    "g2_pagerank",
+    # integer nano-unit PageRank, 3 iterations unrolled: floor-division
+    # contributions + integer sums are order-free and bit-identical
+    # across engines (float PageRank's in-neighbor sums are not)
+    oracle=_pagerank_oracle_sql(n_iters=3, damping_pct=85),
+)
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) on the undirected
+    co-purchase part graph — integer nano-unit formulation
+    (operators/graph.pagerank_nano): contributions are pr div outdeg,
+    updates are damped integer sums, so the in-neighbor aggregation is
+    order-free and the oracle replays every iteration exactly. Each round
+    is key-equi joins + one grouped sum on (node) — co-partitioned at
+    scale."""
+    from big_data_analysis_for_stock_market_data_spark.operators.graph import pagerank_nano
+
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("v"))
+    eo = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    edges = eo.unionByName(
+        eo.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return pagerank_nano(edges, n_iters=3, damping_pct=85).orderBy("node")
 
 
 @register(
@@ -6672,6 +6940,42 @@ def w_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "day", "n_events", "day_sum_ffill"
     ).orderBy("user_id", "day")
+
+
+@register(
+    "w_cumulative_distinct",
+    # COUNT(DISTINCT) OVER a running frame is unsupported/quadratic; both
+    # sides use the first-occurrence-flag + running-sum decomposition on
+    # the (ts, event_id) total order
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           SUM(is_first) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS n_distinct_so_far
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    ORDER BY event_id
+    """,
+)
+def w_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running distinct-count per user ('how many event types has
+    this user touched so far') — the two-window decomposition on one key
+    shuffle (operators/windows.cumulative_distinct); the naive
+    COUNT(DISTINCT) running frame is unsupported in Spark and quadratic
+    where engines allow it."""
+    ev = load(spark, sf_dir, "events")
+    out = win_ops.cumulative_distinct(
+        ev, keys=["user_id"], value_col="event_type",
+        order_by=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "n_distinct_so_far"
+    ).orderBy("event_id")
 
 
 @register(
@@ -7354,16 +7658,16 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # stalest (r02-only) verdicts, rotated back through the window --------
     "w2_daily_lag_avg",           # events.ts reader surface, r02-stale
     "sql_entry_daily_label",      # the SQL-API twin of the flagship
-    "j2_daygrain_fanout",
-    "a6_moments",
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "f_scalar_arithmetic",
     # new oracle-bearing entries this round outrank more stale re-checks
+    "a24_association_rules",
+    "ml_string_index",
     "mm_container_headers",
     "j6_binned_range_join",
     "text_unigram_logprob",
     "simsearch_ann_join",
+    "w_cumulative_distinct",
+    "asof_join_tolerance",
+    "g2_pagerank",
 )
 
 

@@ -172,3 +172,25 @@ def test_binned_range_join_equals_plain_range_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive"):
         binned_range_join(pts, iv, "x", "lo", "hi", 0)
+
+
+def test_as_of_join_tolerance(spark):
+    """pandas-merge_asof tolerance semantics: a match further than the
+    bound nulls out; within the bound it is identical to the unbounded
+    as-of (the latest right row <= t is the latest within any window)."""
+    trades = spark.createDataFrame([
+        Row(sym="A", t=_ts(5), x=1),    # quote @4 -> 1 min gap, keeps
+        Row(sym="A", t=_ts(40), x=2),   # quote @9 -> 31 min gap, nulls
+        Row(sym="B", t=_ts(7), x=3),    # no quote at all
+    ])
+    quotes = spark.createDataFrame([
+        Row(sym="A", qt=_ts(4), bid=99.0),
+        Row(sym="A", qt=_ts(9), bid=100.5),
+    ])
+    out = J.as_of_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        right_values=["bid"], tolerance="10 minutes",
+    )
+    got = {(r.sym, r.t.minute): r.bid for r in out.collect()}
+    assert got == {("A", 5): 99.0, ("A", 40): None, ("B", 7): None}
+    assert "__match_t" not in out.columns

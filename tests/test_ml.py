@@ -222,3 +222,25 @@ def test_quantile_bins_exact_boundaries(spark):
     assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
     re4 = quantile_bins(df.repartition(4), "x", n_bins=4)
     assert sorted(map(tuple, re4.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_string_index_deterministic_ordering_and_nulls(spark):
+    """frequencyDesc with explicit lexicographic tie-break; nulls -> -1;
+    result invariant under repartitioning (unlike ML's StringIndexer tie
+    order)."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        string_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "b"), (3, "a"), (4, "a"), (5, "c"), (6, None)],
+        "id long, cat string",
+    )
+    got = {r.id: r.cat_idx for r in string_index(df, "cat").collect()}
+    # freq: a=2, b=2, c=1 -> tie a/b broken lexicographically: a=0, b=1
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 2, 6: -1}
+    got2 = {
+        r.id: r.cat_idx
+        for r in string_index(df.repartition(5), "cat").collect()
+    }
+    assert got2 == got

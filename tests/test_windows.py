@@ -103,3 +103,25 @@ def test_gap_fill_and_forward_fill(spark):
     assert rows[("a", "2024-01-03")] == (0, 10.0)
     assert rows[("a", "2024-01-04")] == (1, 40.0)
     assert rows[("b", "2024-01-02")] == (5, 7.0)
+
+
+def test_cumulative_distinct_hand_computed(spark):
+    """Running distinct count per key: repeats don't increment; the figure
+    follows (ts, id) order; keys are independent."""
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        cumulative_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (2, 1, "b"), (3, 1, "a"), (4, 1, "c"),
+            (5, 2, "a"), (6, 2, "a"),
+        ],
+        "eid long, k long, e string",
+    )
+    out = cumulative_distinct(
+        df, keys=["k"], value_col="e", order_by=["eid"]
+    )
+    assert sorted(out.columns) == sorted([*df.columns, "n_distinct_so_far"])
+    got = {r.eid: r.n_distinct_so_far for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1, 6: 1}

@@ -52,6 +52,7 @@ NESTED_LOOP_OK = {
     "ml_quantile_bins",       # quantile-boundary 1-row agg x rows
     "text_tfidf_topterms",    # corpus-count 1-row agg x idf table
     "text_unigram_logprob",   # token-total 1-row agg x vocab table
+    "a24_association_rules",  # basket-count 1-row agg x rules
 }
 
 MAX_EXCHANGES = 9
@@ -86,6 +87,8 @@ EXCHANGE_BUDGET = {
     "a18_chi2_independence": 10,   # r05: grand-total .first() folded into
                                    # the plan = +1 broadcast exchange
     "text_tfidf_topterms": 10,     # r05: corpus-count fold, same +1
+    "a24_association_rules": 12,   # pairs + 2 item-support joins + rules
+                                   # union + basket-count broadcast
 }
 
 
