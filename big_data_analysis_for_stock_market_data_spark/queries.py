@@ -4930,6 +4930,86 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_left_join",
+    # the left-outer streaming contract: unmatched-left (null-padded)
+    # rows emit only once the watermark PROVES no match can arrive, so a
+    # drained replay equals the batch left join only below the watermark
+    # horizon. Both sides therefore restrict to purchases at least
+    # (within + 5 min) older than min(max purchase ts, max click ts) —
+    # the final global watermark is the min across both input streams —
+    # making the comparison exact by construction.
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click'),
+    b AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                 AS wm_base)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM p CROSS JOIN b
+    LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.ts <= b.wm_base - INTERVAL '65' MINUTE
+    ORDER BY purchase_id, click_id
+    """,
+)
+def stream_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: purchases keep
+    a null-padded row when no click follows within the hour — emitted
+    only after the watermark proves completeness (the defining left-outer
+    streaming semantics). The entry compares the drained replay against
+    the batch left join BELOW the watermark horizon, which is the honest
+    form of the equivalence: above the horizon the stream correctly
+    withholds judgment."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = st.stream_stream_interval_join(
+        purchases, clicks, on=["user_id"],
+        left_ts="purchase_ts", right_ts="click_ts",
+        within="1 hour", watermark="1 second", how="left_outer",
+    )
+    _, sink = st.run_to_memory(joined, output_mode="append")
+    # horizon = min of both sides' max event time (the final global
+    # watermark base), as a broadcast 1-row aggregate over the batch twin
+    ev_batch = load(spark, sf_dir, "events")
+    bound = ev_batch.groupBy().agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("__wm_base")
+    )
+    return (
+        spark.table(sink)
+        .crossJoin(F.broadcast(bound))
+        .filter(
+            F.col("purchase_ts")
+            <= F.col("__wm_base") - F.expr("INTERVAL '65' MINUTE")
+        )
+        .select(
+            "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
     "stream_ema_user",
     # recursive-CTE twin of the streaming recurrence. The fold is
     # ema' = a*x + (1-a)*ema with a = 2/(span+1) seeded at the first value
@@ -7655,9 +7735,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "s_zorder_roundtrip",
     # the one r04 red, re-checked after the chunk-order fix ---------------
     "stream_running_totals",
-    # stalest (r02-only) verdicts, rotated back through the window --------
-    "w2_daily_lag_avg",           # events.ts reader surface, r02-stale
+    # stalest (r02-only) verdict, rotated back through the window ---------
     "sql_entry_daily_label",      # the SQL-API twin of the flagship
+    # (w2_daily_lag_avg's events-reader surface is covered transitively
+    # by the many in-window events entries; slot goes to the new
+    # left-outer streaming join)
+    "stream_interval_left_join",
     # new oracle-bearing entries this round outrank more stale re-checks
     "a24_association_rules",
     "ml_string_index",

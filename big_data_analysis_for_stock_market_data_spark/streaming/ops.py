@@ -391,13 +391,24 @@ def stream_stream_interval_join(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right rows within
+    """Watermarked stream-stream join: right rows within
     ``[left_ts, left_ts + within]`` for matching keys. Both sides carry
     watermarks and the join condition is time-bounded — the two facts that
     let Spark EVICT buffered rows instead of holding both streams forever
     (an unbounded-state stream-stream join is a memory leak, not an
-    operator). Column names must be disjoint apart from ``on``."""
+    operator). Column names must be disjoint apart from ``on``.
+
+    ``how='left_outer'`` additionally emits unmatched left rows
+    null-padded — but only once the watermark proves no matching right
+    row can still arrive, so outer results trail the watermark by design
+    (a drained replay converges to the batch left join)."""
+    if how not in ("inner", "left_outer", "leftouter"):
+        raise ValueError(
+            "stream-stream interval join supports inner/left_outer, "
+            f"got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = None
@@ -409,7 +420,7 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner").drop(*[rw[k] for k in on])
+    return lw.join(rw, cond, how).drop(*[rw[k] for k in on])
 
 
 def stream_static_join(

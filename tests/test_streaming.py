@@ -477,3 +477,18 @@ def test_stream_static_join_matches_batch(spark, stream_dir):
     batch_s = batch.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, batch_s)
     assert (got["user_id"] != 4).all() and len(got) < len(pdf)
+
+
+def test_interval_join_rejects_unsupported_how(spark, stream_dir):
+    d, _ = stream_dir
+    s1 = st.read_stream_parquet(spark, d, EVENTS_SCHEMA).select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    s2 = st.read_stream_parquet(spark, d, EVENTS_SCHEMA).select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    with pytest.raises(ValueError, match="inner/left_outer"):
+        st.stream_stream_interval_join(
+            s1, s2, on=["user_id"], left_ts="l_ts", right_ts="r_ts",
+            how="full_outer",
+        )

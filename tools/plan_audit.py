@@ -53,6 +53,7 @@ NESTED_LOOP_OK = {
     "text_tfidf_topterms",    # corpus-count 1-row agg x idf table
     "text_unigram_logprob",   # token-total 1-row agg x vocab table
     "a24_association_rules",  # basket-count 1-row agg x rules
+    "stream_interval_left_join",  # watermark-horizon 1-row agg x drain
 }
 
 MAX_EXCHANGES = 9
