@@ -131,12 +131,36 @@ _CONTAINER_FIELDS = [
 ]
 
 
+def build_png(width: int, height: int, idat: bytes) -> bytes:
+    """Construct a structurally-valid PNG (signature + IHDR + IDAT + IEND
+    chunk layout with correct lengths and CRCs). ``idat`` bytes stand in
+    for the compressed stream — chunk GRAMMAR is what the parser reads;
+    zlib decode is out of scope like WAV sample decode."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _parse_one_container(payload: bytes) -> dict:
     """Real header parse of one payload: walk RIFF chunks for WAVE
-    (fmt /data may sit anywhere in the chunk list), read the two BMP
-    headers. Unknown or truncated payloads degrade to container='unknown'
-    with null fields — never an exception (a 100 TB scan WILL contain
-    corrupt blobs)."""
+    (fmt /data may sit anywhere in the chunk list), walk PNG chunks
+    (big-endian lengths; IDAT may be split into several chunks), read the
+    two BMP headers. Unknown or truncated payloads degrade to
+    container='unknown' with null fields — never an exception (a 100 TB
+    scan WILL contain corrupt blobs)."""
     import struct
 
     out = {k: None for k, _ in _CONTAINER_FIELDS}
@@ -144,7 +168,28 @@ def _parse_one_container(payload: bytes) -> dict:
     if payload is None:
         return out
     try:
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            pos, ihdr, idat_bytes = 8, None, 0
+            while pos + 8 <= len(payload):
+                (size,) = struct.unpack_from(">I", payload, pos)
+                ctype = payload[pos + 4: pos + 8]
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack_from(">IIBBBBB", payload, pos + 8)
+                elif ctype == b"IDAT":
+                    idat_bytes += size
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + size  # len + type + data + crc
+            if ihdr is None:
+                return out
+            width, height, depth, color, _, _, _ = ihdr
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            out.update(
+                container="png", width=width, height=height,
+                bpp=(depth * channels) if channels else None,
+                data_bytes=idat_bytes,
+            )
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             pos, fmt, data_size = 12, None, None
             while pos + 8 <= len(payload):
                 cid = payload[pos: pos + 4]
@@ -190,14 +235,17 @@ def synthesize_containers(
     text_col: str = "text",
 ) -> DataFrame:
     """Deterministic media-container synthesis from a text corpus (test
-    fixture — the driver ships no media table): odd ids become RIFF/WAVE
-    payloads whose PCM is the UTF-8 text zero-padded to a 4-byte block,
-    even ids become 24-bit BMPs whose dimensions derive from the id and
-    whose pixels are a sha256 keystream. Ids divisible by 3 get a junk
-    ``LIST`` chunk ahead of ``fmt `` so fixed-offset readers fail. Every
-    header field is pure integer arithmetic on (id, text length) — which
-    is what makes ``parse_container_headers`` SQL-oracle-checkable."""
+    fixture — the driver ships no media table): ids ≡ 0 (mod 4) become
+    PNGs (IDAT split into TWO chunks so single-chunk readers fail), the
+    remaining odd ids RIFF/WAVE payloads whose PCM is the UTF-8 text
+    zero-padded to a 4-byte block, the remaining even ids 24-bit BMPs
+    whose dimensions derive from the id and whose pixels are a sha256
+    keystream. WAV ids divisible by 3 get a junk ``LIST`` chunk ahead of
+    ``fmt `` so fixed-offset readers fail. Every header field is pure
+    integer arithmetic on (id, text length) — which is what makes
+    ``parse_container_headers`` SQL-oracle-checkable."""
     import struct
+    import zlib
 
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField("payload", T.BinaryType(), True)]
@@ -209,7 +257,31 @@ def synthesize_containers(
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 rid = int(rid)
                 raw = (text or "").encode("utf-8")
-                if rid % 2 == 1:
+                if rid % 4 == 0:
+                    w, h = 1 + rid % 128, 1 + rid % 96
+                    n_idat = 1 + (len(raw) % 512)
+                    stream = (
+                        hashlib.sha256(raw).digest() * (n_idat // 32 + 1)
+                    )[:n_idat]
+                    # split IDAT at a deterministic point: multi-chunk
+                    # IDAT is legal PNG and defeats single-chunk readers
+                    cut = n_idat // 2
+                    png = build_png(w, h, stream[:cut])
+                    # splice the second IDAT chunk before IEND
+                    def _chunk(ct, d):
+                        return (
+                            struct.pack(">I", len(d)) + ct + d
+                            + struct.pack(
+                                ">I", zlib.crc32(ct + d) & 0xFFFFFFFF
+                            )
+                        )
+                    iend = _chunk(b"IEND", b"")
+                    payload = (
+                        png[: -len(iend)]
+                        + _chunk(b"IDAT", stream[cut:])
+                        + iend
+                    )
+                elif rid % 2 == 1:
                     rate = 8000 + (rid % 5) * 2000
                     channels = 2 if rid % 4 == 3 else 1
                     pcm = raw + b"\x00" * (-len(raw) % 4)

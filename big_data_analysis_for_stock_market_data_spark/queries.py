@@ -3679,14 +3679,22 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_container_headers",
     # REAL header parsing, replayed in SQL: every synthesized field is
-    # integer arithmetic on (doc_id, utf-8 byte length) — odd ids are
+    # integer arithmetic on (doc_id, utf-8 byte length) — ids % 4 = 0 are
+    # PNGs (big-endian IHDR, IDAT split across two chunks,
+    # w=1+id%128, h=1+id%96, 8-bit truecolor), remaining odd ids are
     # RIFF/WAVE (rate 8000 + id%5*2000, 1-2 channels, 16-bit PCM padded
-    # to 4 bytes, junk LIST chunk when id%3=0), even ids are 24-bit BMPs
-    # (w=1+id%64, h=1+id%48, 4-byte row stride). duration is a rounded
-    # ratio of exact ints -> bigint micros (engine-portable).
+    # to 4 bytes, junk LIST chunk when id%3=0), remaining even ids are
+    # 24-bit BMPs (w=1+id%64, h=1+id%48, 4-byte row stride). duration is
+    # a rounded ratio of exact ints -> bigint micros (engine-portable).
     oracle="""
     WITH s AS (
       SELECT doc_id, strlen(text) AS len FROM documents
+    ),
+    png AS (
+      SELECT doc_id,
+             1 + doc_id % 128 AS w, 1 + doc_id % 96 AS h,
+             1 + (len % 512) AS data_bytes
+      FROM s WHERE doc_id % 4 = 0
     ),
     wav AS (
       SELECT doc_id,
@@ -3698,7 +3706,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bmp AS (
       SELECT doc_id,
              1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h
-      FROM s WHERE doc_id % 2 = 0
+      FROM s WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0
     )
     SELECT doc_id, 'wav' AS container,
            CAST(rate AS BIGINT) AS sample_rate,
@@ -3717,16 +3725,22 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(24 AS BIGINT),
            CAST(((w * 3 + 3) // 4) * 4 * h AS BIGINT)
     FROM bmp
+    UNION ALL
+    SELECT doc_id, 'png', NULL, NULL, NULL, NULL, NULL,
+           CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(24 AS BIGINT),
+           CAST(data_bytes AS BIGINT)
+    FROM png
     ORDER BY doc_id
     """,
 )
 def mm_container_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real pure-Python media-container parsing — a RIFF/WAVE chunk
-    walker + BMP header reader over mapInPandas
+    """Real pure-Python media-container parsing — RIFF/WAVE and PNG chunk
+    walkers + BMP header reader over mapInPandas
     (operators/multimodal.parse_container_headers), fed by deterministic
     synthesized containers (synthesize_containers). This is header-grade
     decode with NO fake backend: the parser reads actual bytes the
-    builders wrote, including payloads with a junk chunk ahead of fmt."""
+    builders wrote, including WAVs with a junk chunk ahead of fmt and
+    PNGs whose IDAT is split across two chunks."""
     from big_data_analysis_for_stock_market_data_spark.operators import multimodal as mm
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -7594,6 +7608,44 @@ def s_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_partitioned_pruned",
+    # Hive-layout roundtrip: write partitioned by event_type, read ONE
+    # partition back — values must survive the directory encoding, and
+    # the filter must become partition pruning (pinned in
+    # test_io_partitioning), not a full scan
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def s_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink/source: events written partitionBy(event_type),
+    one partition read back through the partition-column filter — the
+    standard lakehouse layout where a predicate on the partition column
+    prunes DIRECTORIES (no data files of other partitions are opened).
+    Values, including timestamps, survive the directory encoding."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    out_dir = tempfile.mkdtemp(prefix="engine_part_rt_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    back = spark.read.parquet(out_dir).filter(F.col("event_type") == "click")
+    return (
+        back.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
     "s_orc_roundtrip",
     oracle="""
     SELECT event_type,
@@ -7735,12 +7787,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "s_zorder_roundtrip",
     # the one r04 red, re-checked after the chunk-order fix ---------------
     "stream_running_totals",
-    # stalest (r02-only) verdict, rotated back through the window ---------
-    "sql_entry_daily_label",      # the SQL-API twin of the flagship
-    # (w2_daily_lag_avg's events-reader surface is covered transitively
-    # by the many in-window events entries; slot goes to the new
-    # left-outer streaming join)
+    # (w2_daily_lag_avg's and sql_entry_daily_label's events/flagship
+    # surfaces are covered transitively by many in-window entries; their
+    # slots go to the new left-outer streaming join and the partitioned
+    # sink roundtrip — new oracles outrank stale re-checks)
     "stream_interval_left_join",
+    "s_partitioned_pruned",
     # new oracle-bearing entries this round outrank more stale re-checks
     "a24_association_rules",
     "ml_string_index",

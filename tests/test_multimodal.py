@@ -136,3 +136,28 @@ def test_payload_meta_riff_refinement(spark):
     assert got == {
         1: "audio/wav", 2: "video/x-msvideo", 3: "image/webp", 4: "image/png",
     }
+
+
+def test_png_header_parse_multi_chunk_idat(spark):
+    """PNG parsing must walk the chunk grammar: IHDR is big-endian, IDAT
+    may be split into several chunks (sum counts), IEND terminates."""
+    import struct
+    import zlib
+
+    def chunk(ct, d):
+        return (struct.pack(">I", len(d)) + ct + d
+                + struct.pack(">I", zlib.crc32(ct + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0)  # RGBA
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", b"\x01" * 100) + chunk(b"IDAT", b"\x02" * 23)
+           + chunk(b"IEND", b""))
+    df = spark.createDataFrame(
+        [(1, png), (2, b"\x89PNG\r\n\x1a\nbroken")],
+        "asset_id long, payload binary",
+    )
+    got = {r.asset_id: r for r in M.parse_container_headers(df).collect()}
+    r1 = got[1]
+    assert (r1.container, r1.width, r1.height, r1.bpp, r1.data_bytes) \
+        == ("png", 640, 480, 32, 123)
+    assert got[2].container == "unknown"
