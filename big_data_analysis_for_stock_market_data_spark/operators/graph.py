@@ -54,7 +54,15 @@ def pagerank_nano(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    # materialized once like nodes: every iteration's eager checkpoint
+    # would otherwise re-run this shuffle (and the caller's whole edges
+    # lineage) per round
+    outdeg = (
+        edges.groupBy(src)
+        .agg(F.count(F.lit(1)).alias("__outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=True)
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
     base = F.expr(
         f"CAST({(100 - damping_pct) * 1_000_000_000} AS BIGINT)"

@@ -97,6 +97,11 @@ def as_of_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     if tolerance is not None:
+        if "__match_t" in right.columns:
+            raise ValueError(
+                "as_of_join(tolerance=...) reserves column name "
+                "'__match_t'; rename the right-side column"
+            )
         # carry the matched right row's own time, then null out carried
         # values whose match is further than the tolerance
         inner = as_of_join(

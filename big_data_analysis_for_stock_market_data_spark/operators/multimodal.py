@@ -131,26 +131,32 @@ _CONTAINER_FIELDS = [
 ]
 
 
-def build_png(width: int, height: int, idat: bytes) -> bytes:
-    """Construct a structurally-valid PNG (signature + IHDR + IDAT + IEND
-    chunk layout with correct lengths and CRCs). ``idat`` bytes stand in
-    for the compressed stream — chunk GRAMMAR is what the parser reads;
-    zlib decode is out of scope like WAV sample decode."""
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: big-endian length + type + data + CRC32(type+data)."""
     import struct
     import zlib
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + ctype + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def build_png(width: int, height: int, *idat_chunks: bytes) -> bytes:
+    """Construct a structurally-valid PNG (signature + IHDR + one IDAT
+    chunk per argument + IEND, with correct lengths and CRCs). Multiple
+    ``idat_chunks`` produce a split IDAT stream — legal PNG that defeats
+    single-chunk readers. The bytes stand in for the compressed stream —
+    chunk GRAMMAR is what the parser reads; zlib decode is out of scope
+    like WAV sample decode."""
+    import struct
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + b"".join(_png_chunk(b"IDAT", d) for d in idat_chunks)
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -202,6 +208,8 @@ def _parse_one_container(payload: bytes) -> dict:
             if fmt is None or data_size is None:
                 return out
             _, channels, rate, _, block_align, bits = fmt
+            if block_align <= 0 or rate <= 0:
+                return out  # corrupt fmt: no divisible sample geometry
             n = data_size // block_align
             # round half AWAY from zero (the SQL round semantics) — not
             # Python round()'s half-to-even, which breaks hash parity on
@@ -223,7 +231,7 @@ def _parse_one_container(payload: bytes) -> dict:
                 container="bmp", width=width, height=abs(height), bpp=bpp,
                 data_bytes=file_size - offset,
             )
-    except (struct.error, IndexError):
+    except (struct.error, IndexError, ZeroDivisionError, OverflowError):
         out = {k: None for k, _ in _CONTAINER_FIELDS}
         out["container"] = "unknown"
     return out
@@ -245,7 +253,6 @@ def synthesize_containers(
     integer arithmetic on (id, text length) — which is what makes
     ``parse_container_headers`` SQL-oracle-checkable."""
     import struct
-    import zlib
 
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField("payload", T.BinaryType(), True)]
@@ -266,21 +273,7 @@ def synthesize_containers(
                     # split IDAT at a deterministic point: multi-chunk
                     # IDAT is legal PNG and defeats single-chunk readers
                     cut = n_idat // 2
-                    png = build_png(w, h, stream[:cut])
-                    # splice the second IDAT chunk before IEND
-                    def _chunk(ct, d):
-                        return (
-                            struct.pack(">I", len(d)) + ct + d
-                            + struct.pack(
-                                ">I", zlib.crc32(ct + d) & 0xFFFFFFFF
-                            )
-                        )
-                    iend = _chunk(b"IEND", b"")
-                    payload = (
-                        png[: -len(iend)]
-                        + _chunk(b"IDAT", stream[cut:])
-                        + iend
-                    )
+                    payload = build_png(w, h, stream[:cut], stream[cut:])
                 elif rid % 2 == 1:
                     rate = 8000 + (rid % 5) * 2000
                     channels = 2 if rid % 4 == 3 else 1

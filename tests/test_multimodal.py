@@ -161,3 +161,17 @@ def test_png_header_parse_multi_chunk_idat(spark):
     assert (r1.container, r1.width, r1.height, r1.bpp, r1.data_bytes) \
         == ("png", 640, 480, 32, 123)
     assert got[2].container == "unknown"
+
+
+def test_corrupt_wav_zero_block_align_degrades(spark):
+    """A fmt chunk with block_align=0 / rate=0 must degrade to 'unknown',
+    not kill the task with ZeroDivisionError (the never-throw contract)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 0, 0, 0, 0)
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    df = spark.createDataFrame([(1, bad)], "asset_id long, payload binary")
+    got = M.parse_container_headers(df).collect()[0]
+    assert got.container == "unknown" and got.n_samples is None

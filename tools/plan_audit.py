@@ -70,8 +70,20 @@ DRIVER_ACTION_OK = {
     "h1_ancestor_closure",
     # the entry's RESULT is the two split sizes (rows-only by contract)
     "o3_random_split",
+    # model TRAINING entries (fit + metrics collection is the product);
+    # deliberately NOT a blanket ml_ prefix — pure-plan ml_ entries
+    # (quantile_bins, string_index, impute, auc) must stay gated so a
+    # reintroduced .first() regresses loudly
+    "ml_rf_metrics",
+    "ml_svc_pca_metrics",
+    "ml_rf_grouped_pca",
+    "ml_pca_variance",
+    "ml_gbt_metrics",
+    "ml_cv_rf_grid",
+    "ml_rdd_compat_rf",
+    "ml_rf_confusion",
 }
-DRIVER_ACTION_OK_PREFIXES = ("stream_", "ml_", "stock_fe", "stock_rf")
+DRIVER_ACTION_OK_PREFIXES = ("stream_", "stock_fe", "stock_rf")
 
 #: Multi-stage algorithms earn a larger, PINNED budget (adjudicated against
 #: the r04 audit): regressions past the pin still flag.
@@ -157,7 +169,7 @@ def main() -> None:
         ):
             violations.append(
                 f"{name}: {driver_actions} driver action(s) "
-                "(first/collect/toPandas) during plan construction"
+                "(first/collect/toPandas/count) during plan construction"
             )
         if "BatchEvalPython" in pynodes:
             violations.append(f"{name}: row-at-a-time Python (BatchEvalPython)")
