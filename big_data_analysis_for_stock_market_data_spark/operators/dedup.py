@@ -619,3 +619,61 @@ def dedup_within_window(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__wstart")
     )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    window: int = 40,
+    max_doc_freq: int = 64,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate detection: (id_a, id_b, n_shared) for
+    every document pair sharing at least one exact ``window``-character
+    substring, with n_shared = how many distinct such windows they share.
+    The character-level exact-match dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"), whose
+    suffix-array formulation is replaced by the shape that distributes:
+    slide a ``window``-char window over each normalized document, emit the
+    DISTINCT windows as an inverted index, and join documents through
+    shared windows. A window seen in more than ``max_doc_freq`` documents
+    is boilerplate (licence headers, navigation chrome) and is dropped
+    from the index — the same hot-posting cap as the shingle pipelines,
+    which is what keeps the candidate count linear instead of quadratic
+    at corpus scale.
+
+    Text is trim+lowercase-normalized (whitespace kept: runs of spaces
+    are real duplication signal at the character level). Documents
+    shorter than ``window`` chars emit no windows and join nothing.
+    Plan: one explode → distinct (map-side combine on (window, id)) →
+    doc-freq filter → self-join keyed on the window string → pair count.
+    All shuffles are keyed by the window value; no global sort, no
+    driver-side state."""
+    norm = F.trim(F.lower(F.col(col)))
+    wins = F.when(
+        F.length(norm) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - window + 1),
+            lambda i: F.substring(norm, i, window),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posting = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("__w"))
+    )
+    rare = (
+        posting.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
+        .select("__w")
+    )
+    indexed = posting.join(rare, "__w")
+    a = indexed.select(F.col("__w"), F.col(id_col).alias("id_a"))
+    b = indexed.select(F.col("__w"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "__w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("id_a", "id_b")
+    )

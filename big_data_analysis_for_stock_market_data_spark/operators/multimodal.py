@@ -160,13 +160,49 @@ def build_png(width: int, height: int, *idat_chunks: bytes) -> bytes:
     )
 
 
+def build_gif(width: int, height: int, n_frames: int = 1) -> bytes:
+    """Construct a structurally-valid GIF89a: header + logical screen
+    descriptor (little-endian dims), ``n_frames`` image descriptors each
+    with a 2x2-subblock LZW stand-in body, and the 0x3B trailer. Frame
+    sub-images defeat readers that stop at the screen descriptor when
+    counting frames."""
+    import struct
+
+    head = b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0)
+    frame = (
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, min(width, 2), min(height, 2), 0)
+        + b"\x02"            # LZW min code size
+        + b"\x02\x44\x01"    # one 2-byte sub-block
+        + b"\x00"            # block terminator
+    )
+    return head + frame * n_frames + b"\x3b"
+
+
+def build_jpeg(width: int, height: int, n_app_segments: int = 1) -> bytes:
+    """Construct a minimal well-formed JPEG byte stream: SOI, ``n_app
+    _segments`` APPn padding segments (so dims are NOT at a fixed offset),
+    an SOF0 frame header carrying the real dimensions (big-endian), a
+    zero-length entropy stand-in, EOI. A reader must walk marker segments
+    to find SOF — exactly what ``_parse_one_container`` does."""
+    import struct
+
+    out = b"\xff\xd8"
+    for i in range(n_app_segments):
+        seg = b"PAD" + bytes([i % 251])
+        out += b"\xff\xe0" + struct.pack(">H", 2 + len(seg)) + seg
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    return out + b"\xff\xd9"
+
+
 def _parse_one_container(payload: bytes) -> dict:
     """Real header parse of one payload: walk RIFF chunks for WAVE
     (fmt /data may sit anywhere in the chunk list), walk PNG chunks
     (big-endian lengths; IDAT may be split into several chunks), read the
-    two BMP headers. Unknown or truncated payloads degrade to
-    container='unknown' with null fields — never an exception (a 100 TB
-    scan WILL contain corrupt blobs)."""
+    two BMP headers, walk GIF blocks counting frames, walk JPEG marker
+    segments to the SOF frame header. Unknown or truncated payloads
+    degrade to container='unknown' with null fields — never an exception
+    (a 100 TB scan WILL contain corrupt blobs)."""
     import struct
 
     out = {k: None for k, _ in _CONTAINER_FIELDS}
@@ -223,6 +259,58 @@ def _parse_one_container(payload: bytes) -> dict:
                     math.floor(n * 1_000_000.0 / rate + 0.5)
                 ),
                 data_bytes=data_size,
+            )
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            width, height = struct.unpack_from("<HH", payload, 6)
+            flags = payload[10]
+            pos = 13
+            if flags & 0x80:  # global color table present
+                pos += 3 * (2 << (flags & 0x07))
+            frames = 0
+            while pos < len(payload):
+                block = payload[pos]
+                if block == 0x3B:  # trailer
+                    break
+                if block == 0x21:  # extension: label then sub-blocks
+                    pos += 2
+                elif block == 0x2C:  # image descriptor
+                    frames += 1
+                    lflags = payload[pos + 9]
+                    pos += 10
+                    if lflags & 0x80:  # local color table
+                        pos += 3 * (2 << (lflags & 0x07))
+                    pos += 1  # LZW minimum code size
+                else:
+                    return out  # unknown block type: corrupt
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]  # skip data sub-blocks
+                pos += 1  # block terminator
+            out.update(
+                container="gif", width=width, height=height, bpp=8,
+                n_samples=frames,
+            )
+        elif payload[:2] == b"\xff\xd8":
+            pos, sof = 2, None
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    return out
+                marker = payload[pos + 1]
+                if marker == 0xD9:  # EOI
+                    break
+                (size,) = struct.unpack_from(">H", payload, pos + 2)
+                is_sof = 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                )
+                if is_sof:
+                    sof = struct.unpack_from(">BHHB", payload, pos + 4)
+                    break
+                pos += 2 + size
+            if sof is None:
+                return out
+            precision, height, width, n_comp = sof
+            out.update(
+                container="jpeg", width=width, height=height,
+                bpp=precision * n_comp,
             )
         elif payload[:2] == b"BM" and len(payload) >= 54:
             file_size, _, _, offset = struct.unpack_from("<IHHI", payload, 2)
@@ -298,6 +386,41 @@ def synthesize_containers(
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def synthesize_gif_jpeg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic GIF/JPEG synthesis from an id column: even ids
+    become multi-frame GIF89a (w = 1 + id % 200, h = 1 + id % 150,
+    frames = 1 + id % 4), odd ids become JPEGs whose SOF0 sits behind
+    1 + id % 3 APP0 padding segments (w = 1 + id % 320, h = 1 + id % 240)
+    — so a fixed-offset reader fails on every odd id. Every field is
+    integer arithmetic on the id, which is what makes the parse
+    SQL-oracle-checkable."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("payload", T.BinaryType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                if rid % 2 == 0:
+                    payload = build_gif(
+                        1 + rid % 200, 1 + rid % 150, n_frames=1 + rid % 4
+                    )
+                else:
+                    payload = build_jpeg(
+                        1 + rid % 320, 1 + rid % 240,
+                        n_app_segments=1 + rid % 3,
+                    )
+                rows.append({id_col: rid, "payload": payload})
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(run, out_schema)
 
 
 def parse_container_headers(

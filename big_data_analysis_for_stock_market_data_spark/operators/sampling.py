@@ -164,3 +164,77 @@ def shuffle_shards(
     out = df.withColumn("shard", shard).withColumn("__ok", order_key)
     w = Window.partitionBy("shard").orderBy(F.col("__ok"), F.col(key_col))
     return out.withColumn("pos", F.row_number().over(w)).drop("__ok")
+
+
+def rebalance_hash_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_shares: Mapping[str, float] | None = None,
+    seed: int = DEFAULT_SEED,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Deterministic training-mix rebalancing: downsample each group so
+    the surviving corpus approximates ``target_shares`` (group → share of
+    the output, summing to ~1), at the LARGEST feasible total — i.e. the
+    binding group (the one whose actual share falls shortest of its
+    target) is kept whole and every other group is thinned toward
+    proportion. ``target_shares=None`` means equal shares: every group is
+    downsampled to ≈ the smallest group's size, in which case the per-
+    group keep threshold ``floor(buckets * min_n / n_g)`` is pure integer
+    arithmetic — engine-exact with no float boundary anywhere (the
+    property the registry oracle certifies).
+
+    This is the domain/language-mix step of a pretraining data pipeline
+    (e.g. the mixture reweighting in LLaMA/GPT-3-style recipes), made
+    auditable: selection is a pure function of (key, seed), so the same
+    mix is rebuilt byte-identically on any cluster layout, and an
+    external engine can replay it from the formula alone.
+
+    Plan shape: one small grouped count, a broadcast 1-row min (or the
+    feasibility reduce for explicit shares), a broadcast threshold join
+    back to the fact table, one filter on the md5 bucket of the row key.
+    The big side is scanned once and never shuffled."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    if target_shares is None:
+        mn = counts.agg(F.min("__n").alias("__ref"))
+        thr = (
+            counts.crossJoin(F.broadcast(mn))
+            .select(
+                group_col,
+                F.floor(
+                    (F.lit(buckets) * F.col("__ref"))
+                    / F.col("__n")
+                ).cast("long").alias("__thr"),
+            )
+        )
+    else:
+        share = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )[F.col(group_col)]
+        scaled = counts.select(
+            group_col, "__n", share.alias("__w"),
+        ).filter(F.col("__w").isNotNull())
+        # largest feasible total: T = min_g(n_g / w_g); keep w_g*T of g
+        feas = scaled.agg(
+            F.min(F.col("__n") / F.col("__w")).alias("__t")
+        )
+        thr = (
+            scaled.crossJoin(F.broadcast(feas))
+            .select(
+                group_col,
+                F.least(
+                    F.lit(buckets).cast("double"),
+                    F.floor(
+                        F.lit(buckets) * F.col("__w") * F.col("__t")
+                        / F.col("__n")
+                    ).cast("double"),
+                ).cast("long").alias("__thr"),
+            )
+        )
+    bkt = split_bucket(F.col(key_col), seed, buckets)
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(bkt < F.col("__thr"))
+        .drop("__thr")
+    )

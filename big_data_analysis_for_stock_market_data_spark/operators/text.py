@@ -463,3 +463,68 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .orderBy(id_col, "rank")
     )
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings; arrays
+    shorter than ``n`` yield an empty array (guarding the DESCENDING
+    sequence(1, 0) Spark would otherwise generate)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: for each document,
+    the fraction of word n-gram occurrences that belong to (a) the single
+    most frequent n-gram (``top_gram_frac``) and (b) any n-gram occurring
+    more than once (``dup_gram_frac``). High values flag boilerplate,
+    keyword stuffing, and template spam — the repetition filters of the
+    Gopher/MassiveText quality rules (Rae et al. 2021, Table A1), reduced
+    to their distributable core.
+
+    Every document appears in the output: docs with fewer than ``n``
+    tokens emit n_grams = 0 and NULL fractions (0/0 is undefined, not 0).
+    Fractions are small-int ratios in doubles — engine-exact, no float
+    summation. Plan: explode → two hash aggregates keyed by doc prefix
+    (partial map-side combine applies) → one left join back to the doc
+    spine. No windows, no global sort; scales linearly in corpus size."""
+    grams = ngrams_col(tokens_col(F.col(col)), n)
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum("__c").alias("n_grams"),
+        F.max("__c").alias("top_gram_count"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+            "dup_gram_count"
+        ),
+    )
+    spine = df.select(id_col)
+    out = spine.join(stats, id_col, "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    return out.select(
+        id_col,
+        n_grams.alias("n_grams"),
+        F.coalesce(F.col("top_gram_count"), F.lit(0)).alias("top_gram_count"),
+        F.coalesce(F.col("dup_gram_count"), F.lit(0)).alias("dup_gram_count"),
+        F.when(n_grams > 0,
+               F.col("top_gram_count").cast("double") / n_grams)
+        .alias("top_gram_frac"),
+        F.when(n_grams > 0,
+               F.col("dup_gram_count").cast("double") / n_grams)
+        .alias("dup_gram_frac"),
+    )

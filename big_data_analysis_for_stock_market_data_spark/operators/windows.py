@@ -751,3 +751,52 @@ def cumulative_distinct(
         .withColumn(out, F.sum("__is_first").over(w_run))
         .drop("__is_first")
     )
+
+
+def sequence_pattern_match(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    step_col: str,
+    pattern: str,
+    tiebreak: Sequence[str] = (),
+    sep: str = ">",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern detection over each entity's
+    time-ordered event chain. Builds the per-key ordered ``step_col``
+    chain (joined with ``sep``) and reports how many non-overlapping
+    matches of ``pattern`` it contains — the row-pattern-matching workload
+    (SQL:2016 MATCH_RECOGNIZE, Flink CEP) reduced to the shape that
+    distributes: one hash aggregate collecting (ts, tiebreak, step)
+    structs, a JVM-side array_sort + transform + concat_ws, one regexp
+    scan. No per-event window, no state machine shuffle; the chain lives
+    inside its group's collected array, never as a global sort.
+
+    ``pattern`` must stay in the Java-regex ∩ RE2 common subset (literals,
+    classes, alternation, greedy quantifiers) so an external SQL engine
+    replays the match count byte-identically. Left-to-right
+    non-overlapping count semantics are shared by every regex engine.
+
+    At 100 TB the bound is the longest single entity's chain (a collected
+    array must fit one task); for entities with million-event histories,
+    pre-chunk by (key, time bucket) the way ``dedup_within_window``
+    buckets state."""
+    order_struct = F.struct(ts_col, *tiebreak, step_col)
+    packed = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(F.collect_list(order_struct)).alias("__seq"),
+    )
+    chain = F.concat_ws(
+        sep, F.transform(F.col("__seq"), lambda x: x[step_col])
+    )
+    n_matches = F.size(F.expr(f"regexp_extract_all(__chain, '{pattern}', 0)"))
+    return (
+        packed.withColumn("__chain", chain)
+        .select(
+            *keys,
+            "n_events",
+            F.col("__chain").alias("event_chain"),
+            n_matches.alias("n_matches"),
+            (n_matches > 0).alias("matched"),
+        )
+    )

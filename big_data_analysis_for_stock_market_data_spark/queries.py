@@ -7721,6 +7721,341 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_csv_malformed_audit",
+    # the corrupt-line set is deterministic (doc_id % 7 = 3 writes an
+    # unparseable first field), so PERMISSIVE-mode classification is
+    # integer arithmetic on doc_id — an oracle for the bad-record path
+    # itself, not just the happy path
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'valid' END
+             AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS BIGINT)
+             AS sum_valid_ids,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN n_chars END) AS BIGINT)
+             AS sum_valid_chars
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record handling audit: a CSV written with a deterministic
+    fraction of malformed lines (unparseable LONG in the first field) is
+    read back under PERMISSIVE mode with ``columnNameOfCorruptRecord``;
+    the audit classifies every line and checksums the valid ones. At
+    100 TB a scan WILL contain malformed lines — the engine contract is
+    that they are quarantined into the corrupt column, not dropped
+    (DROPMALFORMED) or fatal (FAILFAST), and the quarantine is exact."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    line = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(F.lit("bad"), F.col("doc_id").cast("string"), F.lit(",0")),
+    ).otherwise(
+        F.concat_ws(",", F.col("doc_id").cast("string"),
+                    F.col("n_chars").cast("string")),
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_csv_bad_")
+    docs.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out_dir)
+    )
+    status = F.when(
+        F.col("_corrupt").isNotNull(), F.lit("corrupt")
+    ).otherwise(F.lit("valid"))
+    # the audit must reference EVERY data column: CSV column pruning
+    # parses only requested fields, and an unparsed field can't flag the
+    # record as corrupt (classification would silently depend on the
+    # downstream projection — the audit checksums all columns instead)
+    return (
+        back.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("doc_id")))
+            .alias("sum_valid_ids"),
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars")))
+            .alias("sum_valid_chars"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "stream_chained_rollup",
+    # multiple-stateful-operators contract: the day row aggregates HOUR
+    # PARTIALS (exact decimals — associative, lossless merge), and both
+    # sides restrict to day windows closed strictly below the final
+    # watermark (max ts - 61 min), the honest append-mode completeness
+    # horizon
+    oracle="""
+    WITH h AS (
+      SELECT user_id,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hs,
+             COUNT(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 61 MINUTE AS bound
+      FROM events
+    )
+    SELECT user_id,
+           CAST(date_trunc('day', hs) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', hs) AS TIMESTAMP) + INTERVAL 1 DAY
+             AS window_end,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_inner_buckets,
+           CAST(SUM(s) AS DOUBLE) AS sum_value
+    FROM h CROSS JOIN b
+    WHERE date_trunc('day', hs) + INTERVAL 1 DAY <= bound
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+    """,
+)
+def stream_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained hour→day streaming rollup: TWO stateful windowed
+    aggregations in one query (SPARK-40925 multiple stateful operators) —
+    the streaming twin of the batch `mv_rollup_cascade`. Day rows are
+    built from hour partials via window_time() event-time propagation;
+    append-mode emission is compared below the final watermark horizon
+    on both sides (streaming/ops.chained_windowed_rollup)."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    rolled = st.chained_windowed_rollup(
+        _events_stream(spark, sf_dir), "ts", "1 hour", "1 day", "value",
+        watermark="1 hour", group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(rolled, output_mode="append")
+    bound = load(spark, sf_dir, "events").groupBy().agg(
+        (F.max("ts") - F.expr("INTERVAL '61' MINUTE")).alias("__bound")
+    )
+    return (
+        spark.table(sink)
+        .crossJoin(F.broadcast(bound))
+        .filter(F.col("window_end") <= F.col("__bound"))
+        .select(
+            "user_id", "window_start", "window_end",
+            "n_events", "n_inner_buckets", "sum_value",
+        )
+        .orderBy("user_id", "window_start")
+    )
+
+
+@register(
+    "text_repetition_stats",
+    # small-int ratios in doubles (engine-exact); docs with < 2 tokens
+    # keep their spine row with 0 grams and NULL fractions
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS g
+      FROM toks
+    ),
+    per AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    st AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(MAX(c) AS BIGINT) AS top_gram_count,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_gram_count
+      FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(top_gram_count, 0) AS top_gram_count,
+           COALESCE(dup_gram_count, 0) AS dup_gram_count,
+           CASE WHEN COALESCE(n_grams, 0) > 0
+                THEN CAST(top_gram_count AS DOUBLE) / n_grams END
+             AS top_gram_frac,
+           CASE WHEN COALESCE(n_grams, 0) > 0
+                THEN CAST(dup_gram_count AS DOUBLE) / n_grams END
+             AS dup_gram_frac
+    FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021 Table A1):
+    per-document top-bigram and duplicate-bigram occupancy fractions —
+    the boilerplate/keyword-stuffing signal of a pretraining quality
+    gate (operators/text.repetition_stats). Explode → two doc-keyed hash
+    aggregates → spine left join; no windows, linear in corpus size."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(docs, n=2).orderBy("doc_id")
+
+
+@register(
+    "dedup_exact_substring",
+    # the Lee-et-al exact-substring dedup shape: inverted index over
+    # distinct 40-char windows, doc-freq capped at 64 (cap binds only on
+    # boilerplate; pair recall below the cap is exact, which is what
+    # makes the SQL replay an equality, not an approximation)
+    oracle=r"""
+    WITH nrm AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(strlen(t) - 39, 0) + 1),
+               i -> substr(t, i, 40))) AS ws
+      FROM nrm
+    ),
+    posting AS (SELECT doc_id, unnest(ws) AS w FROM wins),
+    rare AS (
+      SELECT w FROM posting GROUP BY w
+      HAVING COUNT(*) BETWEEN 2 AND 64
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM posting a JOIN rare r ON a.w = r.w
+    JOIN posting b ON b.w = a.w
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level exact-substring duplicate pairs (Lee et al. 2021,
+    'Deduplicating Training Data Makes Language Models Better'): documents
+    sharing any exact 40-char window, found through a doc-freq-capped
+    inverted window index instead of a suffix array — the formulation
+    that distributes (operators/dedup.exact_substring_pairs)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.exact_substring_pairs(docs, window=40, max_doc_freq=64)
+
+
+@register(
+    "samp_rebalance_sources",
+    # equal-share rebalance: per-group keep threshold floor(10000 * min_n
+    # / n_g) is pure integer arithmetic; membership is the split_bucket
+    # md5 formula — both sides engine-exact, no float boundary anywhere
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    thr AS (
+      SELECT source,
+             CAST(floor((10000.0 * mn) / n) AS BIGINT) AS thr
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN thr ON thr.source = d.source
+    WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))
+               AS BIGINT) % 10000 < thr.thr
+    ORDER BY d.doc_id
+    """,
+)
+def samp_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix rebalancing: every source domain
+    downsampled to ≈ the smallest domain's size (equal-share mixture) via
+    md5-bucket thresholds — the auditable domain-mix step of a
+    pretraining recipe (operators/sampling.rebalance_hash_sample). The
+    fact table is scanned once and filtered against a broadcast
+    per-group threshold; no shuffle of the big side."""
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents")
+    out = sp.rebalance_hash_sample(
+        docs, "source", "doc_id", target_shares=None, seed=42
+    )
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+@register(
+    "seq_pattern_recovery",
+    # regex kept to the Java-regex ∩ RE2 common subset; both engines
+    # count non-overlapping left-to-right matches
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id)
+             AS event_chain,
+           CAST(len(regexp_extract_all(
+             string_agg(event_type, '>' ORDER BY ts, event_id),
+             'error>(click|purchase)')) AS INT) AS n_matches,
+           len(regexp_extract_all(
+             string_agg(event_type, '>' ORDER BY ts, event_id),
+             'error>(click|purchase)')) > 0 AS matched
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def seq_pattern_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over behavioral sequences (MATCH_RECOGNIZE /
+    Flink-CEP workload, batch form): per user, how many times an 'error'
+    event is immediately followed by a 'click' or 'purchase' — the
+    error-recovery pattern. One hash aggregate + JVM array sort + one
+    regexp scan per entity (operators/windows.sequence_pattern_match)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import windows as w
+
+    ev = load(spark, sf_dir, "events")
+    return w.sequence_pattern_match(
+        ev, keys=["user_id"], ts_col="ts", step_col="event_type",
+        pattern="error>(click|purchase)", tiebreak=["event_id"],
+    ).orderBy("user_id")
+
+
+@register(
+    "mm_gif_jpeg_headers",
+    # every field is integer arithmetic on doc_id (synthesize_gif_jpeg's
+    # contract), so the marker/block walk is SQL-replayable
+    oracle="""
+    SELECT doc_id, 'gif' AS container,
+           CAST(1 + doc_id % 200 AS BIGINT) AS width,
+           CAST(1 + doc_id % 150 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bpp,
+           CAST(1 + doc_id % 4 AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'jpeg',
+           CAST(1 + doc_id % 320 AS BIGINT),
+           CAST(1 + doc_id % 240 AS BIGINT),
+           CAST(24 AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    ORDER BY doc_id
+    """,
+)
+def mm_gif_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF block walk (frame count behind data sub-blocks) and JPEG
+    marker-segment walk (SOF0 behind a variable number of APP0 segments)
+    — real pure-Python container parsing, extending mm_container_headers'
+    PNG/RIFF/BMP family (operators/multimodal.build_gif/build_jpeg/
+    _parse_one_container). Dims are NOT at fixed offsets in either
+    family, so the oracle certifies genuine structure walking."""
+    from big_data_analysis_for_stock_market_data_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    synth = mm.synthesize_gif_jpeg(docs, id_col="doc_id")
+    parsed = mm.parse_container_headers(synth, id_col="doc_id")
+    return parsed.select(
+        "doc_id", "container", "width", "height", "bpp",
+        F.col("n_samples").alias("n_frames"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -7733,6 +8068,13 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose code changed this round, then a rotation of the stalest
 # (r02-only) verdicts. Everything not listed keeps registration order
 # after the window.
+#
+# r06 window FIRST-CLAIM backlog — oracle-bearing entries added after the
+# r05 window was frozen at 50; all green in the local sf0.01 replay this
+# session, none driver-verdicted yet. These outrank stale re-checks next
+# round: text_repetition_stats, dedup_exact_substring,
+# samp_rebalance_sources, seq_pattern_recovery, mm_gif_jpeg_headers,
+# stream_chained_rollup, s_csv_malformed_audit.
 #
 # r06 window backlog (green driver verdicts exist for all of these, but
 # they are r02-stale and should rotate through): w3_lead_label,

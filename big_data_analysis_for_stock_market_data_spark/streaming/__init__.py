@@ -15,6 +15,7 @@ parquet the batch oracle reads.
 """
 
 from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
+    chained_windowed_rollup,
     read_stream_parquet,
     run_to_memory,
     run_to_parquet,
@@ -29,6 +30,7 @@ from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
 )
 
 __all__ = [
+    "chained_windowed_rollup",
     "read_stream_parquet",
     "run_to_memory",
     "run_to_parquet",

@@ -141,6 +141,61 @@ def session_agg(
     )
 
 
+def chained_windowed_rollup(
+    df: DataFrame,
+    ts_col: str,
+    inner: str,
+    outer: str,
+    value_col: str,
+    watermark: str = "1 hour",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """TWO chained stateful aggregations in one streaming query — the
+    multiple-stateful-operators capability (SPARK-40925, Spark 3.4+):
+    an ``inner``-grain windowed aggregate whose event-time column
+    (``window_time``) feeds a second, ``outer``-grain windowed aggregate.
+    The streaming twin of the batch hour→day cascade in
+    ``operators/incremental.py`` (`mv_rollup_cascade`): the day row is
+    built from hour partials, never from raw events, so per-key state at
+    the outer grain is bounded by |inner buckets per outer bucket|, not
+    by event count.
+
+    Emits, per (group, outer window): event count, exact-decimal value
+    sum (associative — partials merge losslessly), and the number of
+    non-empty inner buckets. Requires append mode; an outer window emits
+    only once the propagated watermark passes its end, so a drained
+    replay equals the batch rollup strictly BELOW the final watermark
+    horizon (the registry entry applies the same horizon filter to both
+    sides — the honest completeness contract, as in the left-outer
+    stream-stream join)."""
+    w1 = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*group_by, F.window(ts_col, inner).alias("__w1"))
+        .agg(
+            F.count(value_col).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__s"),
+        )
+    )
+    w2 = (
+        w1.groupBy(
+            *group_by, F.window(F.window_time("__w1"), outer).alias("__w2")
+        )
+        .agg(
+            F.sum("__n").alias("n_events"),
+            F.sum("__s").cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_inner_buckets"),
+        )
+    )
+    return w2.select(
+        *group_by,
+        F.col("__w2.start").alias("window_start"),
+        F.col("__w2.end").alias("window_end"),
+        "n_events",
+        "n_inner_buckets",
+        "sum_value",
+    )
+
+
 def stream_dedup(
     df: DataFrame,
     keys: Sequence[str],

@@ -256,3 +256,34 @@ def test_dedup_within_window_reappearance(spark):
             df.withColumn("__wstart", F.lit(1)),
             keys=["k"], ts_col="ts",
         )
+
+
+def test_exact_substring_pairs_crafted(spark):
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.dedup import exact_substring_pairs
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="ABCDEfgh"),          # normalized: abcdefgh
+        Row(doc_id=1, text="  zzabcdezz "),      # shares 'abcde' with 0
+        Row(doc_id=2, text="totally different"),
+        Row(doc_id=3, text="tiny"),              # shorter than the window
+    ])
+    out = exact_substring_pairs(docs, window=5).collect()
+    assert [(r["id_a"], r["id_b"], r["n_shared"]) for r in out] == [(0, 1, 1)]
+
+
+def test_exact_substring_doc_freq_cap_drops_boilerplate(spark):
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.dedup import exact_substring_pairs
+
+    # 'boilerplate' lives in 3 docs; with the cap at 2 the hot window is
+    # dropped from the index and no pairs survive
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{i} boilerplate {i}") for i in range(3)]
+    )
+    capped = exact_substring_pairs(docs, window=11, max_doc_freq=2)
+    assert capped.count() == 0
+    uncapped = exact_substring_pairs(docs, window=11, max_doc_freq=10)
+    assert uncapped.count() == 3  # all three pairs share 'boilerplate'

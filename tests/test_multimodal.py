@@ -175,3 +175,37 @@ def test_corrupt_wav_zero_block_align_degrades(spark):
     df = spark.createDataFrame([(1, bad)], "asset_id long, payload binary")
     got = M.parse_container_headers(df).collect()[0]
     assert got.container == "unknown" and got.n_samples is None
+
+
+def test_gif_jpeg_header_walk_real_bytes(spark):
+    # GIF: frame count requires walking data sub-blocks; JPEG: dims sit
+    # behind a variable number of APP segments, so a fixed-offset reader
+    # cannot produce these fields
+    g = M.build_gif(7, 5, n_frames=3)
+    j = M.build_jpeg(640, 480, n_app_segments=3)
+    df = spark.createDataFrame(
+        [Row(asset_id=1, payload=g), Row(asset_id=2, payload=j)],
+        schema="asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in M.parse_container_headers(df).collect()}
+    assert out[1]["container"] == "gif"
+    assert (out[1]["width"], out[1]["height"], out[1]["n_samples"]) == (7, 5, 3)
+    assert out[2]["container"] == "jpeg"
+    assert (out[2]["width"], out[2]["height"], out[2]["bpp"]) == (640, 480, 24)
+
+
+def test_gif_extension_blocks_skipped_and_corrupt_degrades(spark):
+    # splice a graphic-control extension between header and first frame:
+    # the block walker must skip it and still count frames
+    g = M.build_gif(9, 9, n_frames=2)
+    spliced = g[:13] + b"\x21\xf9\x04ABCD\x00" + g[13:]
+    corrupt = g[:10]  # truncated mid-header
+    df = spark.createDataFrame(
+        [Row(asset_id=1, payload=spliced), Row(asset_id=2, payload=corrupt),
+         Row(asset_id=3, payload=b"\xff\xd8no marker structure")],
+        schema="asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in M.parse_container_headers(df).collect()}
+    assert out[1]["container"] == "gif" and out[1]["n_samples"] == 2
+    assert out[2]["container"] == "unknown"
+    assert out[3]["container"] == "unknown"

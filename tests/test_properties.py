@@ -378,3 +378,55 @@ def test_binned_range_join_matches_nested_loop(spark, pts, ivs, bin_width):
         for r in range_join(pdf, idf, "x", "lo", "hi").collect()
     )
     assert got == want
+
+
+def test_rebalance_equalize_matches_formula_and_is_partition_invariant(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import split_bucket
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    rows = [Row(k=i, g="big") for i in range(200)] + [
+        Row(k=1000 + i, g="small") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    out = sp.rebalance_hash_sample(df, "g", "k", None, seed=7)
+    got = {r["k"] for r in out.collect()}
+    # replay the contract: thr_g = floor(10000 * min_n / n_g)
+    thr = {"big": 10_000 * 20 // 200, "small": 10_000 * 20 // 20}
+    expected = {
+        r["k"]
+        for r in df.withColumn("b", split_bucket(F.col("k"), 7)).collect()
+        if r["b"] < thr[r["g"]]
+    }
+    assert got == expected
+    # selection is a pure function of the key: repartitioning changes nothing
+    got_rep = {
+        r["k"]
+        for r in sp.rebalance_hash_sample(
+            df.repartition(13), "g", "k", None, seed=7
+        ).collect()
+    }
+    assert got_rep == got
+
+
+def test_rebalance_explicit_shares_keeps_binding_group_whole(spark):
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    rows = [Row(k=i, g="a") for i in range(100)] + [
+        Row(k=1000 + i, g="b") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    # equal target shares: feasibility binds on 'b' (10/0.5 < 100/0.5),
+    # so every 'b' row survives and 'a' is thinned toward 10 rows
+    out = sp.rebalance_hash_sample(
+        df, "g", "k", target_shares={"a": 0.5, "b": 0.5}, seed=7
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], set()).add(r["k"])
+    assert by_g["b"] == {1000 + i for i in range(10)}
+    assert 0 < len(by_g.get("a", set())) < 100

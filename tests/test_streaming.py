@@ -492,3 +492,37 @@ def test_interval_join_rejects_unsupported_how(spark, stream_dir):
             s1, s2, on=["user_id"], left_ts="l_ts", right_ts="r_ts",
             how="full_outer",
         )
+
+
+def test_chained_rollup_two_stateful_ops_below_horizon(spark, stream_dir):
+    """Hour->day chained stateful aggregation (SPARK-40925): the drained
+    append-mode replay equals the batch hour->day rollup for every day
+    window closed below the final watermark horizon."""
+    path, pdf = stream_dir
+    stream = st.read_stream_parquet(spark, path, EVENTS_SCHEMA)
+    rolled = st.chained_windowed_rollup(
+        stream, "ts", "1 hour", "1 day", "value",
+        watermark="1 hour", group_by=["user_id"],
+    )
+    _, sink = st.run_to_memory(rolled, output_mode="append")
+    bound = pdf["ts"].max().floor("us") - pd.Timedelta(minutes=61)
+    got = {
+        (r.user_id, r.window_start): (r.n_events, r.n_inner_buckets)
+        for r in spark.table(sink).collect()
+        if r.window_end <= bound.to_pydatetime()
+    }
+    batch = (
+        _static_df(spark, pdf)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("h"))
+        .agg(F.count("value").alias("n"))
+        .groupBy("user_id", F.window(F.col("h.start"), "1 day").alias("d"))
+        .agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_hours"))
+        .select("user_id", F.col("d.start").alias("ws"),
+                F.col("d.end").alias("we"), "n_events", "n_hours")
+    )
+    want = {
+        (r.user_id, r.ws): (r.n_events, r.n_hours)
+        for r in batch.collect()
+        if r.we <= bound.to_pydatetime()
+    }
+    assert want and got == want

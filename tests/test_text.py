@@ -213,3 +213,19 @@ def test_unigram_logprob_hand_computed(spark):
         1: (3, 2 * lp(2 / 5) + lp(2 / 5)),
         2: (2, lp(2 / 5) + lp(1 / 5)),
     }
+
+
+def test_repetition_stats_crafted(spark):
+    docs = _docs(spark, ["a b a b a b", "x y z", "q", ""])
+    out = {r["doc_id"]: r for r in T.repetition_stats(docs, n=2).collect()}
+    # "a b a b a b": bigrams = 3x"a b" + 2x"b a" -> 5 total, top 3, all dup
+    r0 = out[0]
+    assert (r0["n_grams"], r0["top_gram_count"], r0["dup_gram_count"]) == (5, 3, 5)
+    assert r0["top_gram_frac"] == 3 / 5 and r0["dup_gram_frac"] == 1.0
+    # "x y z": two distinct bigrams, no repetition
+    r1 = out[1]
+    assert (r1["n_grams"], r1["dup_gram_count"]) == (2, 0)
+    assert r1["top_gram_frac"] == 0.5 and r1["dup_gram_frac"] == 0.0
+    # sub-n docs keep their spine row with 0 grams and NULL fractions
+    for i in (2, 3):
+        assert out[i]["n_grams"] == 0 and out[i]["top_gram_frac"] is None

@@ -125,3 +125,30 @@ def test_cumulative_distinct_hand_computed(spark):
     assert sorted(out.columns) == sorted([*df.columns, "n_distinct_so_far"])
     got = {r.eid: r.n_distinct_so_far for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1, 6: 1}
+
+
+def test_sequence_pattern_match_crafted(spark):
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        sequence_pattern_match,
+    )
+
+    rows = []
+    for uid, seq in {
+        1: ["view", "error", "click", "error", "view"],
+        2: ["error", "purchase", "error", "purchase"],
+        3: ["view", "click", "purchase"],
+    }.items():
+        for i, et in enumerate(seq):
+            rows.append(Row(user_id=uid, ts=float(i), event_id=uid * 100 + i,
+                            event_type=et))
+    ev = spark.createDataFrame(rows)
+    out = {r["user_id"]: r for r in sequence_pattern_match(
+        ev, keys=["user_id"], ts_col="ts", step_col="event_type",
+        pattern="error>(click|purchase)", tiebreak=["event_id"],
+    ).collect()}
+    assert out[1]["n_matches"] == 1 and out[1]["matched"]
+    assert out[2]["n_matches"] == 2
+    assert out[3]["n_matches"] == 0 and not out[3]["matched"]
+    assert out[3]["event_chain"] == "view>click>purchase"

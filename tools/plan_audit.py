@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     "text_unigram_logprob",   # token-total 1-row agg x vocab table
     "a24_association_rules",  # basket-count 1-row agg x rules
     "stream_interval_left_join",  # watermark-horizon 1-row agg x drain
+    "stream_chained_rollup",      # same horizon 1-row agg x drain
+    "samp_rebalance_sources",     # min-group-count 1-row agg x thresholds
 }
 
 MAX_EXCHANGES = 9
@@ -102,6 +104,8 @@ EXCHANGE_BUDGET = {
     "text_tfidf_topterms": 10,     # r05: corpus-count fold, same +1
     "a24_association_rules": 12,   # pairs + 2 item-support joins + rules
                                    # union + basket-count broadcast
+    "dedup_exact_substring": 11,   # window index -> df filter -> pair
+                                   # self-join (posting referenced 3x)
 }
 
 
