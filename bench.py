@@ -51,6 +51,10 @@ HEADLINE = [
     "simsearch_ann_join",
     "text_unigram_logprob",
     "mm_container_headers",
+    # r05 second batch: exact-substring dedup (char-window inverted
+    # index), chained two-stateful-op streaming rollup
+    "dedup_exact_substring",
+    "stream_chained_rollup",
 ]
 
 STOCK_ROWS = 671_024  # the reference dataset's exact row count

@@ -436,3 +436,77 @@ def rolling_active_counts(
     return out.select(
         "day", F.col("__cum").cast("long").alias("active_count")
     ).orderBy("day")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch build (Cormode & Muthukrishnan 2005): a
+    ``depth`` x ``width`` counter matrix as a (row, bucket, cnt)
+    DataFrame — ``depth * width`` rows TOTAL regardless of corpus size,
+    which is the whole point: the sketch of a 100 TB stream broadcasts,
+    and two sketches MERGE by cell-wise addition (counters are sums, so
+    the per-partition partials Spark computes map-side ARE partial
+    sketches). Buckets come from the first 8 md5 hex digits of
+    (key ':' row) — integer arithmetic end-to-end, so a SQL engine
+    replays the sketch bit-identically (no RNG, no float).
+
+    One explode (factor ``depth``) + one grouped count; shuffle width is
+    bounded by depth*width distinct cells, not by |keys|."""
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    cell = df.select(
+        F.explode(rows).alias("row"),
+        F.col(key_col).cast("string").alias("__k"),
+    ).select(
+        "row",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("__k"), F.col("row"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return cell.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-query a Count-Min sketch: estimate(key) = MIN over rows of
+    the key's counter cell — never an undercount; overcounts come only
+    from hash collisions (bounded by N/width per row w.h.p.). The
+    counters table is depth*width rows, so the probe join broadcasts."""
+    probes = keys.select(
+        "*", F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(key_col).cast("string"), F.col("row")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % width,
+    )
+    others = [c for c in keys.columns if c != key_col]
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy(key_col, *others)
+        .agg(F.min("cnt").alias(out_col))
+    )

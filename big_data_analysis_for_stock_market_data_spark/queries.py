@@ -7722,6 +7722,222 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_variant_nested",
+    # construct → parse_json → variant_get round-trip: the oracle computes
+    # the expected extractions directly from the source columns, so
+    # equality proves VARIANT path navigation and typed extraction are
+    # lossless (ints, doubles, strings, array indexing, try-cast null)
+    oracle="""
+    SELECT event_id,
+           user_id AS u,
+           value * 2 AS v2,
+           event_type AS et,
+           CAST(NULL AS BIGINT) AS bad
+    FROM events
+    """,
+)
+def fn_variant_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4, SPARK-45827): a nested JSON
+    document built in-plan is parsed to VARIANT and navigated back out
+    with typed path extraction — object fields, nested objects, array
+    indexing, and try_variant_get's wrong-type-to-null contract. The
+    whole pipeline is one codegen'd projection (no Python, no UDF); at
+    100 TB this is the scan-time shredding path for semi-structured
+    columns."""
+    ev = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.col("event_type").alias("et"),
+            ).alias("who"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+        )
+    )
+    v = ev.select("event_id", F.parse_json(doc).alias("__v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("__v", "$.who.uid", "long").alias("u"),
+        F.try_variant_get("__v", "$.vals[1]", "double").alias("v2"),
+        F.try_variant_get("__v", "$.who.et", "string").alias("et"),
+        # wrong-type extraction nulls out instead of failing the scan
+        F.try_variant_get("__v", "$.who.et", "long").alias("bad"),
+    )
+
+
+@register(
+    "fn_python_udtf_chunks",
+    # the UDTF's fixed-grid contract replayed as substr arithmetic
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           substr(text, 1 + i * 120, 120) AS chunk
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, (strlen(text) + 119) // 120)) AS i)
+    WHERE strlen(text) > 0
+    """,
+)
+def fn_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL (Spark 4 UDTF API): the
+    user-extensible explode — ``eval`` yields one row per 120-char chunk,
+    Arrow-batched (ArrowEvalPythonUDTF, not row-serialized
+    BatchEvalPython). The JVM expression twin is text.chunk_text
+    (text_chunk_overlap entry); this entry certifies the UDTF execution
+    path itself (functions/udtf.ChunkerUDTF)."""
+    from big_data_analysis_for_stock_market_data_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk
+        FROM __udtf_docs d, LATERAL chunker(d.text, 120) c
+        """
+    )
+
+
+@register(
+    "s_python_datasource",
+    # the source's determinism contract (id-arithmetic payloads) is what
+    # makes an EXTERNAL-CONNECTOR scan oracle-checkable: DuckDB replays
+    # the generator as arithmetic over range(n)
+    oracle="""
+    WITH g AS (
+      SELECT i AS tick_id,
+             's' || (i % 7) AS symbol,
+             1000000000 + i * 1000003 AS px_nano,
+             (i * 37) % 9973 AS volume
+      FROM range(1000) t(i)
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(px_nano) AS BIGINT) AS sum_px_nano,
+           CAST(MAX(volume) AS BIGINT) AS max_volume
+    FROM g GROUP BY symbol ORDER BY symbol
+    """,
+)
+def s_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API): a connector
+    implemented entirely in Python — driver plans ``partitions()``, each
+    partition's ``read()`` generates rows ON AN EXECUTOR (8 parallel
+    tasks here; a real connector to a tick feed / KV store / internal
+    API splits a 100 TB source the same way). The scan feeds a normal
+    grouped aggregate (sources/pyds.SyntheticTicksDataSource)."""
+    from big_data_analysis_for_stock_market_data_spark.sources import pyds
+
+    pyds.register(spark)
+    ticks = (
+        spark.read.format("synthetic_ticks")
+        .option("n_rows", 1000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return (
+        ticks.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("px_nano").alias("sum_px_nano"),
+            F.max("volume").alias("max_volume"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "a25_countmin_heavy_hitters",
+    # the sketch is integer arithmetic end-to-end (md5 buckets, counter
+    # sums, MIN point query), so estimate AND exact hash identically —
+    # an approximate structure with an exact oracle
+    oracle="""
+    WITH j AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cell AS (
+      SELECT j.row,
+             CAST(('0x' || substr(md5(l_partkey::VARCHAR || ':'
+                                      || j.row::VARCHAR), 1, 8))
+                  AS BIGINT) % 1024 AS bucket
+      FROM lineitem, j
+    ),
+    counters AS (
+      SELECT row, bucket, COUNT(*) AS cnt FROM cell GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT l_partkey, COUNT(*) AS exact_cnt FROM lineitem
+      GROUP BY 1 ORDER BY exact_cnt DESC, l_partkey LIMIT 20
+    ),
+    probe AS (
+      SELECT t.l_partkey, t.exact_cnt, j.row,
+             CAST(('0x' || substr(md5(t.l_partkey::VARCHAR || ':'
+                                      || j.row::VARCHAR), 1, 8))
+                  AS BIGINT) % 1024 AS bucket
+      FROM top t, j
+    )
+    SELECT p.l_partkey,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate
+    FROM probe p
+    JOIN counters c ON c.row = p.row AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    ORDER BY exact_cnt DESC, p.l_partkey
+    """,
+)
+def a25_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: a 4x1024 counter matrix summarizes
+    l_partkey frequencies (4096 rows TOTAL at any corpus size — the
+    sketch of a 100 TB stream broadcasts, and partial sketches merge by
+    cell-wise addition, which Spark's map-side partial counts already
+    are). The top-20 exact keys are point-queried back through the
+    sketch; CMS guarantees estimate >= exact with collision-bounded
+    overcount (operators/aggregates.count_min_sketch/cms_estimate)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import aggregates as agg
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    counters = agg.count_min_sketch(li, "l_partkey")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey"))
+        .limit(20)
+    )
+    return (
+        agg.cms_estimate(counters, top, "l_partkey")
+        .select("l_partkey", "exact_cnt", "cms_estimate")
+        .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey"))
+    )
+
+
+@register("agg_hll_union")  # datasketches HLL: no SQL twin, rows-only
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Spark's Apache-DataSketches
+    surface): per-nation HLL of the customer keyspace, the nation
+    sketches UNIONED into a corpus sketch (hll_union_agg — merge is the
+    capability that matters at 100 TB: per-partition sketches combine
+    without a re-scan), estimates emitted next to the exact distinct
+    counts. test_aggregates pins union-vs-direct consistency and the
+    HLL error envelope; no SQL oracle by nature (sketch binary layout is
+    library-specific)."""
+    cust = load(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg(F.col("c_custkey")).alias("__sk"),
+        F.count_distinct(F.col("c_custkey")).alias("exact_distinct"),
+    )
+    nations = per_nation.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "exact_distinct",
+        F.hll_sketch_estimate(F.col("__sk")).alias("approx_distinct"),
+    )
+    overall = per_nation.agg(
+        F.hll_union_agg(F.col("__sk")).alias("__u"),
+        F.sum("exact_distinct").alias("exact_distinct"),
+    ).select(
+        F.lit(-1).cast("long").alias("c_nationkey"),
+        F.col("exact_distinct"),
+        F.hll_sketch_estimate(F.col("__u")).alias("approx_distinct"),
+    )
+    return nations.unionByName(overall).orderBy("c_nationkey")
+
+
+@register(
     "s_csv_malformed_audit",
     # the corrupt-line set is deterministic (doc_id % 7 = 3 writes an
     # unparseable first field), so PERMISSIVE-mode classification is
@@ -8074,7 +8290,9 @@ def mm_gif_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session, none driver-verdicted yet. These outrank stale re-checks next
 # round: text_repetition_stats, dedup_exact_substring,
 # samp_rebalance_sources, seq_pattern_recovery, mm_gif_jpeg_headers,
-# stream_chained_rollup, s_csv_malformed_audit.
+# stream_chained_rollup, s_csv_malformed_audit, s_python_datasource,
+# a25_countmin_heavy_hitters, fn_variant_nested, fn_python_udtf_chunks;
+# agg_hll_union is rows-only.
 #
 # r06 window backlog (green driver verdicts exist for all of these, but
 # they are r02-stale and should rotate through): w3_lead_label,

@@ -24,6 +24,9 @@ ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs exchange rows via Arrow (ArrowEvalPythonUDTF), never
+    # the row-serialized BatchEvalPython path the plan audit bans.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Parquet vectorized reader + filter pushdown are default-on; pin them so a
@@ -38,6 +41,12 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # casts reject and that would fork every downstream expression.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Spark's historical default writes TimestampType as INT96 — a
+    # deprecated physical type with no logical-type annotation that
+    # footer-sniffing readers (streaming unit detection, external engines)
+    # can't interpret. The engine always writes TIMESTAMP_MICROS, matching
+    # its single-timestamp-type semantics end to end.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
 }

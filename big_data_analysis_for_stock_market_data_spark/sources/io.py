@@ -42,20 +42,29 @@ def _nanos_to_timestamp(name: str):
 
 def _footer_nano_columns(path: str) -> set[str]:
     """Column names stored as parquet TIMESTAMP(NANOS), read driver-side
-    from the file footer (pyarrow). Best-effort: schemes pyarrow cannot
+    from the file footer (pyarrow). Uses the PHYSICAL parquet schema, not
+    the arrow view: legacy INT96 timestamps surface in arrow as
+    ``timestamp[ns]`` too, but Spark reads INT96 natively as
+    TimestampType — only true INT64 + Timestamp(nanoseconds) columns need
+    the long-read-and-convert path. Best-effort: schemes pyarrow cannot
     open (``s3a://`` etc. without fsspec) yield an empty set — callers on
     such stores should pass an explicit ``schema`` instead."""
     try:
         import pyarrow.dataset as pads
-        import pyarrow.types as patypes
+        import pyarrow.parquet as pq
 
         local = path[len("file://"):] if path.startswith("file://") else path
-        arrow_schema = pads.dataset(local, format="parquet").schema
-        return {
-            f.name
-            for f in arrow_schema
-            if patypes.is_timestamp(f.type) and f.type.unit == "ns"
-        }
+        frag = next(iter(pads.dataset(local, format="parquet").get_fragments()))
+        sch = pq.ParquetFile(frag.path).schema
+        nanos = set()
+        for i in range(len(sch.names)):
+            col = sch.column(i)
+            if (
+                col.physical_type == "INT64"
+                and "nanoseconds" in str(col.logical_type)
+            ):
+                nanos.add(col.path)
+        return nanos
     except Exception:
         return set()
 

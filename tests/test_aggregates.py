@@ -394,3 +394,45 @@ def test_rolling_active_counts_step_function(spark):
         assert got == brute, (day_str, got, brute)
     assert steps["2024-01-01"] == 1 and steps["2024-01-03"] == 2
     assert steps["2024-01-05"] == 1 and steps["2024-01-06"] == 0
+
+
+def test_count_min_sketch_never_undercounts_and_merges(spark):
+    rows = [Row(k=i % 7) for i in range(140)] + [Row(k=99)]
+    df = spark.createDataFrame(rows)
+    counters = A.count_min_sketch(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in A.cms_estimate(counters, keys, "k", depth=4, width=64).collect()
+    }
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # CMS point queries never undercount
+    assert all(est[k] >= exact[k] for k in exact)
+    # with 8 keys in a 4x64 sketch there are no collisions: estimates exact
+    assert est == exact
+    # MERGE property: sketch(A) + sketch(B) cell-wise == sketch(A union B)
+    a, b = df.filter(F.col("k") < 3), df.filter(F.col("k") >= 3)
+    merged = (
+        A.count_min_sketch(a, "k", depth=4, width=64)
+        .unionByName(A.count_min_sketch(b, "k", depth=4, width=64))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = counters
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_union_consistent_with_direct_sketch(spark):
+    df = spark.createDataFrame([Row(g=i % 4, v=i) for i in range(2000)])
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")
+    ).first()["e"]
+    unioned = (
+        df.groupBy("g").agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    # merging per-group sketches must equal sketching the whole set
+    assert unioned == direct
+    # HLL error envelope at default lgK: well within 5% of 2000
+    assert abs(direct - 2000) / 2000 < 0.05

@@ -42,3 +42,45 @@ def test_with_date_parts(spark):
     assert (row.year, row.month, row.day, row.hour) == (2024, 3, 10, 15)
     assert row.dayofweek == 1  # 2024-03-10 is a Sunday; Spark: Sunday=1
     assert str(row.date_only) == "2024-03-10"
+
+
+def test_variant_typed_extraction_and_try_null(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 5}, "xs": [10, 20]}'), (2, "not json"), (3, None)],
+        "id long, js string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.try_variant_get(F.try_parse_json("js"), "$.a.b", "long").alias("ab"),
+            F.try_variant_get(F.try_parse_json("js"), "$.xs[1]", "long").alias("x1"),
+            F.try_variant_get(F.try_parse_json("js"), "$.a", "long").alias("bad"),
+        ).collect()
+    }
+    assert (out[1]["ab"], out[1]["x1"]) == (5, 20)
+    assert out[1]["bad"] is None          # wrong-type extraction -> null
+    assert out[2]["ab"] is None           # malformed JSON -> null (try_)
+    assert out[3]["ab"] is None
+
+
+def test_python_udtf_chunker_grid_and_degenerate_inputs(spark):
+    from big_data_analysis_for_stock_market_data_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, None)], "doc_id long, txt string"
+    )
+    df.createOrReplaceTempView("udtf_t")
+    rows = spark.sql(
+        "SELECT doc_id, chunk_id, chunk FROM udtf_t, LATERAL chunker(txt, 4)"
+    ).collect()
+    got = sorted((r.doc_id, r.chunk_id, r.chunk) for r in rows)
+    # empty and null texts emit no rows; tail chunk is ragged
+    assert got == [(1, 0, "abcd"), (1, 1, "efgh"), (1, 2, "ij")]
+    # the plan must use the Arrow UDTF evaluator, not BatchEvalPython
+    plan = (
+        spark.sql("SELECT * FROM udtf_t, LATERAL chunker(txt, 4)")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPythonUDTF" in plan

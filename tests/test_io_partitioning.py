@@ -199,3 +199,28 @@ def test_zorder_write_tightens_file_stats_on_both_dims(spark, tmp_path):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, li.collect()))
     assert a == b
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """Custom Python DataSource (Spark 4 API): content is a pure function
+    of row id — changing the partition count changes task boundaries but
+    never the data — and the scan parallelism equals n_parts."""
+    from big_data_analysis_for_stock_market_data_spark.sources import pyds
+
+    pyds.register(spark)
+
+    def read(n_parts):
+        return (
+            spark.read.format("synthetic_ticks")
+            .option("n_rows", 100)
+            .option("n_parts", n_parts)
+            .load()
+        )
+
+    a = sorted(map(tuple, read(4).collect()))
+    b = sorted(map(tuple, read(7).collect()))
+    assert a == b and len(a) == 100
+    assert read(4).rdd.getNumPartitions() == 4
+    # spot-check the determinism contract used by the SQL oracle
+    i = 42
+    assert a[i] == (i, f"s{i % 7}", 1_000_000_000 + i * 1_000_003, (i * 37) % 9973)

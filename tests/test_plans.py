@@ -237,3 +237,29 @@ def test_closed_form_indicator_surface_shuffles(spark):
     # 11-column indicator surface must not re-shuffle per indicator
     df = q(spark, "stock_closed_form_indicators")
     assert P.count_shuffles(df) <= 3
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """DPP: joining a partition-columned fact against a FILTERED dim must
+    inject a runtime pruning subquery into the fact scan — at 100 TB this
+    is the difference between scanning 3 partitions and scanning 3000.
+    Catalyst only plans DPP when the fact side is partitioned storage, so
+    the test materializes one."""
+    import pyspark.sql.functions as F
+
+    fact_dir = str(tmp_path / "fact")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    li.write.mode("overwrite").partitionBy("l_suppkey").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        spark.read.parquet(f"{SF}/supplier.parquet")
+        .filter(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey"), F.col("s_name"))
+    )
+    joined = fact.join(
+        dim, fact["l_suppkey"] == dim["s_suppkey"]
+    ).groupBy("s_name").agg(F.sum("l_quantity").alias("qty"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

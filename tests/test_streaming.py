@@ -526,3 +526,36 @@ def test_chained_rollup_two_stateful_ops_below_horizon(spark, stream_dir):
         if r.we <= bound.to_pydatetime()
     }
     assert want and got == want
+
+
+def test_stream_reads_legacy_int96_timestamps_intact(spark, tmp_path):
+    """Legacy INT96 parquet timestamps (Spark's historical default output
+    type) must stream-read natively as TimestampType: the footer sniffer
+    classifies only physical INT64+Timestamp(nanos) columns for the
+    long-read path — arrow reports INT96 as timestamp[ns] too, and
+    treating it as nanos breaks the scan with a type mismatch."""
+    src = tmp_path / "int96"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": pd.to_datetime(["2024-03-01 10:00:00", "2024-03-02 11:30:00"]),
+            "value": [1.5, 2.5],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=EVENTS_SCHEMA)
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        df.write.mode("overwrite").parquet(str(src))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    stream = st.read_stream_parquet(spark, str(src), EVENTS_SCHEMA)
+    _, sink = st.run_to_memory(stream, output_mode="append")
+    got = sorted(
+        (r.user_id, r.ts.isoformat()) for r in spark.table(sink).collect()
+    )
+    assert got == [
+        (1, "2024-03-01T10:00:00"),
+        (2, "2024-03-02T11:30:00"),
+    ]

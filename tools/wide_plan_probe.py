@@ -44,6 +44,12 @@ ENTRIES = (
     "dedup_ngram_jaccard",
     "a11_funnel_conversion",
     "q21_sole_late_supplier",
+    # r05 additions: the char-window inverted index is the entry with
+    # quadratic RISK (pair blow-up without the doc-freq cap); the chained
+    # rollup is the entry with multi-operator STATE risk (two stateful
+    # aggs in one streaming query at 10x the user keyspace)
+    "dedup_exact_substring",
+    "stream_chained_rollup",
 )
 #: 10x data on fixed cores is linear at ratio <= 10; headroom for shuffle
 #: constants before we call it superlinear.
@@ -117,9 +123,17 @@ def main() -> None:
     flagged = []
     for name in ENTRIES:
         fn = q[name]
-        run_entry(fn, spark, SF_DIR, n_runs=1)  # warm-up (codegen)
-        t1 = run_entry(fn, spark, SF_DIR)
-        t10 = run_entry(fn, spark, scaled_dir)
+        # one failing entry must not lose the whole artifact: record the
+        # error and keep probing
+        try:
+            run_entry(fn, spark, SF_DIR, n_runs=1)  # warm-up (codegen)
+            t1 = run_entry(fn, spark, SF_DIR)
+            t10 = run_entry(fn, spark, scaled_dir)
+        except Exception as e:  # noqa: BLE001
+            points[name] = {"error": f"{type(e).__name__}: {e}"[:500]}
+            flagged.append(name)
+            print(f"  {name}: ERROR {type(e).__name__}")
+            continue
         ratio = round(t10 / t1, 2) if t1 > 0 else None
         points[name] = {"sec_1x": t1, "sec_10x": t10, "ratio": ratio}
         if ratio and ratio > SUPERLINEAR_FLAG:
