@@ -649,6 +649,8 @@ def exact_substring_pairs(
     doc-freq filter → self-join keyed on the window string → pair count.
     All shuffles are keyed by the window value; no global sort, no
     driver-side state."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2 chars, got {window}")
     norm = F.trim(F.lower(F.col(col)))
     wins = F.when(
         F.length(norm) >= window,

@@ -789,7 +789,11 @@ def sequence_pattern_match(
     chain = F.concat_ws(
         sep, F.transform(F.col("__seq"), lambda x: x[step_col])
     )
-    n_matches = F.size(F.expr(f"regexp_extract_all(__chain, '{pattern}', 0)"))
+    # pattern as a lit() Column, not an interpolated SQL string: quotes
+    # and metacharacters in caller patterns must never become SQL syntax
+    n_matches = F.size(
+        F.regexp_extract_all(F.col("__chain"), F.lit(pattern), F.lit(0))
+    )
     return (
         packed.withColumn("__chain", chain)
         .select(

@@ -7722,6 +7722,52 @@ def s_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_rocksdb_session",
+    # identical oracle to stream_session_30m: the state store PROVIDER
+    # stores state, it never changes semantics — this entry certifies the
+    # disk-backed provider end-to-end (merging session state lives in
+    # RocksDB, not executor heap)
+    oracle="""
+    WITH x AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id, sess_id
+    """,
+)
+def stream_rocksdb_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation under the RocksDB state store provider
+    (disk-backed state + changelog checkpointing — the configuration that
+    survives streaming state larger than executor memory; the default
+    heap-backed provider is the 100 TB scale-killer). Session-merge is
+    the heaviest state pattern the engine runs, so it is the one
+    certified on RocksDB (streaming/ops.rocksdb_state)."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    with st.rocksdb_state(spark):
+        agg = st.session_agg(
+            _events_stream(spark, sf_dir), "ts", "30 minutes",
+            {"n_events": ("count", "value")},
+            watermark="1 day", group_by=["user_id"],
+        )
+        _, sink = st.run_to_memory(agg, output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
     "fn_variant_nested",
     # construct → parse_json → variant_get round-trip: the oracle computes
     # the expected extractions directly from the source columns, so
@@ -8272,6 +8318,204 @@ def mm_gif_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "s_bucketed_join",
+    # content fidelity of the bucketed layout: the join result must equal
+    # the plain join on the original tables; the SHUFFLE-FREE property is
+    # asserted structurally in test_io_partitioning (no Exchange below the
+    # SortMergeJoin on either side)
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def s_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both fact and dim are written
+    bucketBy(8, custkey) + sortBy (sources/io.write_parquet bucket_by
+    path), so the equi-join reads bucket i against bucket i with NO
+    exchange on either side — at 100 TB this converts every repeated join
+    on the key into a shuffle the cluster never pays. The entry certifies
+    the full write -> catalog -> bucketed-scan -> join pipeline against
+    the plain-join oracle on the original tables."""
+    import tempfile
+
+    from big_data_analysis_for_stock_market_data_spark.sources.io import write_parquet
+
+    base = tempfile.mkdtemp(prefix="engine_bucketed_")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                  "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for tbl in ("eng_bkt_orders", "eng_bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_parquet(orders, f"{base}/orders", bucket_by=(8, ["o_custkey"]),
+                  table_name="eng_bkt_orders")
+    write_parquet(cust, f"{base}/customer", bucket_by=(8, ["c_custkey"]),
+                  table_name="eng_bkt_customer")
+    o = spark.table("eng_bkt_orders")
+    c = spark.table("eng_bkt_customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "s_observed_write_audit",
+    # the Observation values are produced BY the write tasks (single
+    # pass); the oracle recomputes the same audit from the base table —
+    # equality proves the piggybacked metrics saw every written row
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    """,
+)
+def s_observed_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass write audit (sources/io.observed_write): df.observe +
+    Observation attach row/sum/min/max counters to the write action
+    itself — no second scan over the table. At 100 TB "write then re-read
+    to audit" doubles the IO; observation metrics are free and
+    exactly-once under task retries. The returned row is the audit the
+    write produced; the oracle recomputes it from the source table."""
+    import tempfile
+
+    from big_data_analysis_for_stock_market_data_spark.sources.io import observed_write
+
+    docs = load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="engine_obs_write_")
+    got = observed_write(
+        docs, out,
+        {
+            "n_docs": F.count(F.lit(1)),
+            "sum_chars": F.sum("n_chars").cast("long"),
+            "min_doc_id": F.min("doc_id").cast("long"),
+            "max_doc_id": F.max("doc_id").cast("long"),
+        },
+    )
+    return spark.createDataFrame(
+        [(int(got["n_docs"]), int(got["sum_chars"]),
+          int(got["min_doc_id"]), int(got["max_doc_id"]))],
+        "n_docs bigint, sum_chars bigint, min_doc_id bigint, max_doc_id bigint",
+    )
+
+
+@register(
+    "fn_map_suite",
+    # every output is a scalar the oracle derives directly from the base
+    # columns — the map column itself never crosses the comparison, only
+    # what the map operators computed from it
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_up,
+           CAST(2 AS INT) AS n_keys,
+           CAST(CASE WHEN p_size > 25 THEN 1 ELSE 0 END
+                + CASE WHEN p_retailprice > 1500 THEN 1 ELSE 0 END AS INT)
+             AS n_big,
+           CAST(p_size + CAST(FLOOR(p_retailprice) AS BIGINT) AS BIGINT)
+             AS zipped_total
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType operator family — create_map, transform_values (value
+    rewrite under the same keys), map_filter (entry predicate),
+    map_zip_with (key-aligned merge), element_at, map_keys — all JVM
+    higher-order functions inside whole-stage codegen, the idiomatic
+    replacement for exploding a map to rows and re-grouping (which costs
+    a shuffle per operator at scale)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    strm = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    summ = F.create_map(
+        F.lit("size"), F.col("p_size").cast("long"),
+        F.lit("retail"), F.floor(F.col("p_retailprice")).cast("long"),
+    )
+    thresholds = F.create_map(
+        F.lit("size"), F.lit(25).cast("long"),
+        F.lit("retail"), F.lit(1500).cast("long"),
+    )
+    upper_m = F.transform_values(strm, lambda _, v: F.upper(v))
+    big = F.map_filter(
+        F.map_zip_with(summ, thresholds, lambda _, v, t: v > t),
+        lambda _, v: v,
+    )
+    zipped = F.map_zip_with(summ, summ, lambda _, a, b: a + b)
+    return (
+        p.select(
+            "p_partkey",
+            F.element_at(upper_m, "brand").alias("brand_up"),
+            F.size(F.map_keys(strm)).alias("n_keys"),
+            F.size(big).alias("n_big"),
+            F.aggregate(
+                F.map_values(zipped), F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("zipped_total"),
+        )
+        .withColumn("zipped_total", (F.col("zipped_total") / 2).cast("long"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_xml_suite",
+    # roundtrip contract: whatever to_xml serialized, from_xml + xpath
+    # must read back — so the oracle is the original columns; a parse
+    # failure surfaces as nulls and breaks the hash
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS xml_brand,
+           CAST(p_size AS BIGINT) AS xml_size,
+           CAST(p_size AS BIGINT) AS xpath_size
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML functions — to_xml(struct) -> from_xml(schema) roundtrip plus
+    an independent xpath_long extraction over the serialized string. XML
+    feeds (vendor exports, sitemaps, legacy ETL) are a real ingest
+    surface; both parsers run JVM-side, no Python in the loop."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    xml = F.to_xml(
+        F.struct(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+    )
+    schema = StructType([
+        StructField("brand", StringType()),
+        StructField("size", LongType()),
+    ])
+    parsed = F.from_xml(F.col("__xml"), schema)
+    return (
+        p.withColumn("__xml", xml)
+        .select(
+            "p_partkey",
+            parsed["brand"].alias("xml_brand"),
+            parsed["size"].alias("xml_size"),
+            F.xpath_long(F.col("__xml"), F.lit("/ROW/size")).alias("xpath_size"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -8291,8 +8535,9 @@ def mm_gif_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round: text_repetition_stats, dedup_exact_substring,
 # samp_rebalance_sources, seq_pattern_recovery, mm_gif_jpeg_headers,
 # stream_chained_rollup, s_csv_malformed_audit, s_python_datasource,
-# a25_countmin_heavy_hitters, fn_variant_nested, fn_python_udtf_chunks;
-# agg_hll_union is rows-only.
+# a25_countmin_heavy_hitters, fn_variant_nested, fn_python_udtf_chunks,
+# stream_rocksdb_session, s_bucketed_join, s_observed_write_audit,
+# fn_map_suite, fn_xml_suite; agg_hll_union is rows-only.
 #
 # r06 window backlog (green driver verdicts exist for all of these, but
 # they are r02-stale and should rotate through): w3_lead_label,

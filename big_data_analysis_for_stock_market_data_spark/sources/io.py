@@ -333,3 +333,32 @@ def zorder_write(
         .drop("__z", *bucket_names)
     )
     out.write.mode(mode).parquet(path)
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: "dict[str, object]",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> dict:
+    """Write parquet while collecting audit metrics IN THE SAME PASS
+    (``df.observe`` + ``Observation``): row counts, null counts, value
+    sums arrive as a side effect of the write — no second scan. At 100 TB
+    the difference between "write, then re-scan to audit" and this is a
+    full extra pass over the table; Spark's observation metrics piggyback
+    on the tasks the write already runs.
+
+    ``metrics`` maps name -> aggregate Column (e.g. ``F.count(F.lit(1))``,
+    ``F.sum(...)``). Returns the observed values as a dict. Metrics are
+    exactly-once per action — retried/speculative tasks do not
+    double-count (Spark's AccumulatorV2 guarantee for observations)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_audit")
+    audited = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    w = audited.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return obs.get

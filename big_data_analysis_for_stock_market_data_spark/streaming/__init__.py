@@ -15,7 +15,9 @@ parquet the batch oracle reads.
 """
 
 from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
+    ROCKSDB_STATE_CONFIGS,
     chained_windowed_rollup,
+    rocksdb_state,
     read_stream_parquet,
     run_to_memory,
     run_to_parquet,
@@ -30,7 +32,9 @@ from big_data_analysis_for_stock_market_data_spark.streaming.ops import (
 )
 
 __all__ = [
+    "ROCKSDB_STATE_CONFIGS",
     "chained_windowed_rollup",
+    "rocksdb_state",
     "read_stream_parquet",
     "run_to_memory",
     "run_to_parquet",

@@ -141,6 +141,50 @@ def session_agg(
     )
 
 
+#: Spark's default state store holds every key's state in executor heap
+#: (HDFSBackedStateStoreProvider) — fine for bounded keyspaces, fatal when
+#: streaming state outgrows memory (billions of keys at 100 TB ingest).
+#: RocksDB spills state to local disk with changelog checkpointing so a
+#: state store upload ships deltas, not full snapshots.
+ROCKSDB_STATE_CONFIGS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
+
+
+class rocksdb_state:
+    """Context manager scoping the RocksDB state store provider to one
+    streaming query start: state-store choice is read at query START, so
+    setting it around ``run_to_memory``/``start()`` is sufficient, and
+    restoring the previous confs keeps other queries on their provider.
+    Output is provider-independent (the provider stores state; it never
+    changes semantics) — test_streaming pins RocksDB == default output."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in ROCKSDB_STATE_CONFIGS.items():
+            try:
+                self._saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False
+
+
 def chained_windowed_rollup(
     df: DataFrame,
     ts_col: str,

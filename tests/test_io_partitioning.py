@@ -224,3 +224,69 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     # spot-check the determinism contract used by the SQL oracle
     i = 42
     assert a[i] == (i, f"s{i % 7}", 1_000_000_000 + i * 1_000_003, (i * 37) % 9973)
+
+
+def test_observed_write_audits_in_one_pass(spark, tmp_path):
+    """observed_write: the write action itself yields audit metrics —
+    values must equal an independent recomputation, and the written
+    files must round-trip."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.sources.io import observed_write
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i) if i % 3 else None) for i in range(30)]
+    )
+    out = str(tmp_path / "audited")
+    got = observed_write(
+        df, out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "sum_k": F.sum("k"),
+        },
+    )
+    assert got == {"n_rows": 30, "n_null_v": 10, "sum_k": sum(range(30))}
+    assert spark.read.parquet(out).count() == 30
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides written bucketBy(4, k) + sortBy(k): the equi-join on k
+    must read bucket i against bucket i with NO Exchange anywhere in the
+    joined plan — the co-located-join contract that makes repeated fact/
+    dim joins shuffle-free at 100 TB."""
+    left = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    for tbl in ("t_bkt_left", "t_bkt_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_parquet(left, str(tmp_path / "l"), bucket_by=(4, ["k"]),
+                  table_name="t_bkt_left")
+    write_parquet(right, str(tmp_path / "r"), bucket_by=(4, ["k"]),
+                  table_name="t_bkt_right")
+    l, r = spark.table("t_bkt_left"), spark.table("t_bkt_right")
+    # at test scale the planner would rather broadcast the 300-row side —
+    # disable broadcast to expose the large-x-large shape the bucketed
+    # layout exists for (at 100 TB neither side is broadcastable)
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        joined = l.join(r, "k")
+        plan = P.explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 300
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
