@@ -55,6 +55,10 @@ HEADLINE = [
     # index), chained two-stateful-op streaming rollup
     "dedup_exact_substring",
     "stream_chained_rollup",
+    # r05 third batch: volume/path stock statistics (OBV + VWAP windows,
+    # tick->candle compaction)
+    "ind_obv_vwap",
+    "w_weekly_ohlc",
 ]
 
 STOCK_ROWS = 671_024  # the reference dataset's exact row count

@@ -111,3 +111,55 @@ def exact_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         / (2.0 * (F.col("n_pos") * F.col("n_neg")).cast("double"))
     )
     return tot.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — one row out:
+    (n_a, n_b, ks_stat). ``group_col`` is a boolean Column (or name)
+    splitting rows into sample A (true) and sample B (false).
+
+    D = max_t |F_A(t) − F_B(t)| and the max is attained at an observed
+    value, so rows first COLLAPSE to per-distinct-value counts (one hash
+    aggregate — the shuffle carries one row per distinct value, not per
+    observation), both ECDFs run as the engine's two-phase parallel
+    prefix scan over that distinct table (``windows.prefix_sum`` — never
+    a single-task global window), and the max-abs-diff plus the two
+    totals fold in one final aggregate. Every count is integral; the two
+    divisions and subtraction are scalar IEEE doubles — engine-portable
+    bit-for-bit."""
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        prefix_sum_multi,
+    )
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    per_val = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(g.cast("long")).alias("__ca"),
+        F.sum((~g).cast("long")).alias("__cb"),
+    )
+    c = prefix_sum_multi(
+        per_val, ["__ca", "__cb"], order_by="__v",
+        out_cols=["__cuma", "__cumb"],
+    )
+    totals = per_val.agg(
+        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    )
+    # totals fold back in as a broadcast 1-row cross join — no driver
+    # scalar, same pattern as fixed_width_histogram / a18's plan-folding
+    d = (
+        F.abs(
+            F.col("__cuma").cast("double") / F.col("n_a").cast("double")
+            - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(F.col("n_a")).alias("n_a"),
+            F.max(F.col("n_b")).alias("n_b"),
+            F.max(d).alias("ks_stat"),
+        )
+    )

@@ -510,3 +510,88 @@ def cms_estimate(
         .groupBy(key_col, *others)
         .agg(F.min("cnt").alias(out_col))
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 5),
+) -> DataFrame:
+    """Per-key autocorrelation at the given lags, one grouped pass.
+
+    r_k = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) over the
+    (x_t, x_{t-k}) pairs where both sides exist. Every Σ is an exact
+    DECIMAL sum (inputs carry ≤2 decimals, products ≤4), so the statistic
+    is bit-identical across engines and partitionings; the final
+    combination is scalar double arithmetic. One ordered window (the lag
+    columns share a single (key, order) shuffle) + one hash aggregate —
+    no per-lag passes, no driver scalars."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    d = df
+    for k in lags:
+        d = d.withColumn(f"__lag{k}", F.lag(value_col, k).over(w))
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(28,8)")).cast("double")
+
+    aggs = []
+    for k in lags:
+        valid = F.col(f"__lag{k}").isNotNull() & F.col(value_col).isNotNull()
+        x = F.when(valid, F.col(value_col))
+        y = F.when(valid, F.col(f"__lag{k}"))
+        aggs += [
+            F.count(x).alias(f"__n{k}"),
+            dsum(x).alias(f"__sx{k}"),
+            dsum(y).alias(f"__sy{k}"),
+            dsum(x * y).alias(f"__sxy{k}"),
+            dsum(x * x).alias(f"__sxx{k}"),
+            dsum(y * y).alias(f"__syy{k}"),
+        ]
+    g = d.groupBy(key_col).agg(*aggs)
+    out_cols = [F.col(key_col)]
+    for k in lags:
+        n = F.col(f"__n{k}").cast("double")
+        sx, sy = F.col(f"__sx{k}"), F.col(f"__sy{k}")
+        sxy, sxx, syy = F.col(f"__sxy{k}"), F.col(f"__sxx{k}"), F.col(f"__syy{k}")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        out_cols.append(F.try_divide(num, F.nullif(den, F.lit(0.0))).alias(f"acf{k}"))
+    return g.select(*out_cols)
+
+
+def sharpe_of_diffs(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key mean/std ratio of the first differences (the
+    difference-based Sharpe form: exact on ≤2-decimal inputs, unlike
+    ratio returns whose doubles don't survive a decimal cast portably).
+    mean = Σd/n; std = sqrt((n·Σd² − (Σd)²)/(n·(n−1))) with exact decimal
+    Σd, Σd². One ordered window + one hash aggregate."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    d = df.withColumn("__d", F.col(value_col) - F.lag(value_col).over(w))
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(28,8)")).cast("double")
+
+    g = d.groupBy(key_col).agg(
+        F.count("__d").alias("__n"),
+        dsum(F.col("__d")).alias("__sd"),
+        dsum(F.col("__d") * F.col("__d")).alias("__sdd"),
+    )
+    n = F.col("__n").cast("double")
+    sd, sdd = F.col("__sd"), F.col("__sdd")
+    mean = sd / n
+    var = (n * sdd - sd * sd) / (n * (n - F.lit(1.0)))
+    std = F.sqrt(var)
+    return g.select(
+        F.col(key_col),
+        F.col("__n").alias("n_diffs"),
+        mean.alias("mean_diff"),
+        std.alias("std_diff"),
+        F.try_divide(mean, F.nullif(std, F.lit(0.0))).alias("sharpe"),
+    )

@@ -829,3 +829,96 @@ def enrich_ohlcv(
         cci_ns=(5, 10, 15),
     )
     return d
+
+
+# ---------------------------------------------------------------------------
+# Volume / path statistics (closed-form window expressions, JVM codegen).
+# The reference's indicator CSV carried OBV/volume features it never
+# recomputed (G_2_data_exploration.ipynb cell 9 column list); these are the
+# native forms.
+# ---------------------------------------------------------------------------
+
+def obv(df: DataFrame, partition_by="symbol", order_by="date",
+        close="close", volume="volume", out: str = "obv") -> DataFrame:
+    """On-Balance Volume: running sum of sign(close_t - close_{t-1}) *
+    volume_t per partition. The first row of each partition contributes 0
+    (no prior close). Integer volumes make the prefix sum EXACT and
+    order-independent across engines; the scan is one ordered window over
+    the partition key — no extra shuffle when composed with the other
+    indicators."""
+    w = _ordered(partition_by, order_by)
+    prev = F.lag(close).over(w)
+    signed = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col(close) > prev, F.col(volume))
+        .when(F.col(close) < prev, -F.col(volume))
+        .otherwise(F.lit(0))
+    )
+    run = Window.partitionBy(*_as_seq(partition_by)).orderBy(order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(out, F.sum(signed.cast("long")).over(run))
+
+
+def vwap_grouped(df: DataFrame, group_cols: Sequence[str],
+                 price="close", volume="volume",
+                 out: str = "vwap") -> DataFrame:
+    """Volume-weighted average price per group (e.g. per symbol-day) as a
+    WINDOW aggregate, so every row keeps its group's VWAP without a
+    join-back. Exact-decimal price*volume products keep the sum
+    order-independent; one cast to double at the end."""
+    w = Window.partitionBy(*group_cols)
+    pv = F.col(price).cast("decimal(18,6)") * F.col(volume).cast("decimal(12,0)")
+    return df.withColumn(
+        out,
+        F.try_divide(
+            F.sum(pv).over(w).cast("double"),
+            F.nullif(F.sum(F.col(volume).cast("long")).over(w), F.lit(0)).cast(
+                "double"
+            ),
+        ),
+    )
+
+
+def drawdown(df: DataFrame, partition_by="symbol", order_by="date",
+             col="close", peak_out: str = "peak",
+             dd_out: str = "drawdown") -> DataFrame:
+    """Running peak and drawdown fraction ((value - peak) / peak) per
+    partition. MAX over an unbounded-preceding frame is exact in floating
+    point (no summation), so the result is engine-portable as-is."""
+    run = Window.partitionBy(*_as_seq(partition_by)).orderBy(order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    peak = F.max(col).over(run)
+    return (
+        df.withColumn(peak_out, peak)
+        .withColumn(dd_out, F.try_divide(F.col(col) - F.col(peak_out),
+                                         F.nullif(F.col(peak_out), F.lit(0.0))))
+    )
+
+
+def resample_ohlc(df: DataFrame, partition_by="symbol", order_by="date",
+                  bucket: Column | None = None, bucket_name: str = "bucket",
+                  price="close", volume="volume") -> DataFrame:
+    """Downsample a price series to OHLC candles per (partition, bucket):
+    open/close = first/last price by event order (min_by/max_by on the
+    order column — no sort, one hash aggregate), high/low = extrema,
+    volume = exact integer sum, n_rows = bar count. ``bucket`` defaults to
+    the week start of the order column. One shuffle on (partition, bucket);
+    partial aggregation is map-side so the shuffle carries one row per
+    candle, not per tick — the property that makes this the scale path for
+    tick → bar compaction at 100 TB."""
+    b = bucket if bucket is not None else F.date_trunc("week", F.col(order_by))
+    keys = [*_as_seq(partition_by), b.alias(bucket_name)]
+    return df.groupBy(*keys).agg(
+        F.min_by(price, order_by).alias("open"),
+        F.max(price).alias("high"),
+        F.min(price).alias("low"),
+        F.max_by(price, order_by).alias("close"),
+        F.sum(F.col(volume).cast("long")).alias("volume"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _as_seq(partition_by) -> Sequence[str]:
+    return [partition_by] if isinstance(partition_by, str) else list(partition_by)

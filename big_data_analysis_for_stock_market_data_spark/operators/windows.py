@@ -209,6 +209,65 @@ def prefix_sum(
     return d.withColumn(out, total).drop("__bkt", "__local", "__off")
 
 
+def prefix_sum_multi(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    order_by: str,
+    out_cols: Sequence[str] | None = None,
+    num_buckets: int | None = None,
+    exact_decimal: bool = True,
+) -> DataFrame:
+    """Global-order inclusive prefix sums of SEVERAL columns in ONE
+    two-phase parallel scan: one quantile bucket assignment, one
+    bucket-local window pass carrying all the running sums, one
+    |buckets|-row totals aggregate, one offsets broadcast. Calling
+    ``prefix_sum`` k times costs k full scans + k broadcasts; this is the
+    fused form (the KS ECDF pair, multi-metric cumulative dashboards).
+    Same exactness contract as ``prefix_sum``."""
+    cols = list(value_cols)
+    outs = list(out_cols) if out_cols else [f"cumsum_{c}" for c in cols]
+    if len(outs) != len(cols):
+        raise ValueError("out_cols must match value_cols")
+    n = int(
+        num_buckets or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def val(c):
+        return F.col(c).cast("decimal(28,8)") if exact_decimal else F.col(c)
+
+    d = df.withColumn("__bkt", _quantile_buckets(df, order_by, n))
+    local_w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for i, c in enumerate(cols):
+        d = d.withColumn(f"__local{i}", F.sum(val(c)).over(local_w))
+    totals = d.groupBy("__bkt").agg(
+        *[F.sum(val(c)).alias(f"__tot{i}") for i, c in enumerate(cols)]
+    )
+    off_w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bkt",
+        *[F.sum(f"__tot{i}").over(off_w).alias(f"__off{i}")
+          for i in range(len(cols))],
+    )
+    d = d.join(F.broadcast(offsets), on=["__bkt"], how="left")
+    helpers = ["__bkt"]
+    for i, out in enumerate(outs):
+        if exact_decimal:
+            local = F.col(f"__local{i}").cast("decimal(28,8)")
+            off = F.coalesce(F.col(f"__off{i}").cast("decimal(28,8)"), F.lit(0))
+            d = d.withColumn(out, (local + off).cast("double"))
+        else:
+            d = d.withColumn(
+                out,
+                F.col(f"__local{i}") + F.coalesce(F.col(f"__off{i}"), F.lit(0)),
+            )
+        helpers += [f"__local{i}", f"__off{i}"]
+    return d.drop(*helpers)
+
+
 def rolling_apply_parallel(
     df: DataFrame,
     fn,

@@ -8516,6 +8516,257 @@ def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# r05 additions: volume/path stock statistics (OBV, VWAP, drawdown, OHLC
+# resampling), per-key autocorrelation, difference-based Sharpe, and an
+# exact two-sample KS statistic. The reference's indicator CSV carried
+# volume features it consumed opaquely (G_2_data_exploration.ipynb cell 9);
+# these are the native closed-form computations, on the events fixture in
+# its degenerate single-series form (price=value, volume=props.k).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ind_obv_vwap",
+    # OBV: integer signed-volume prefix sum (exact, order-free);
+    # VWAP: exact-decimal price*volume products per (user, day) window
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(props->>'$.k' AS BIGINT) AS vol,
+             lag(value) OVER w AS prev_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id, ts,
+           SUM(CASE WHEN prev_v IS NULL THEN 0
+                    WHEN value > prev_v THEN vol
+                    WHEN value < prev_v THEN -vol ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(vol AS DECIMAL(12,0)))
+                OVER d AS DOUBLE)
+             / CAST(NULLIF(SUM(vol) OVER d, 0) AS DOUBLE) AS vwap
+    FROM b
+    WINDOW d AS (PARTITION BY user_id, date_trunc('day', ts))
+    """,
+)
+def ind_obv_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume (running signed-volume sum) + per-day VWAP via
+    the indicator library (operators/indicators.obv / vwap_grouped) —
+    both closed-form window expressions sharing the user_id shuffle."""
+    from big_data_analysis_for_stock_market_data_spark import functions as fns
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "vol", fns.json_long(F.col("props"), "$.k")
+    )
+    d = ind.obv(ev, partition_by="user_id", order_by="ts",
+                close="value", volume="vol")
+    d = d.withColumn("__day", F.date_trunc("day", F.col("ts")))
+    d = ind.vwap_grouped(d, ["user_id", "__day"], price="value", volume="vol")
+    return d.select("event_id", "user_id", "ts", "obv", "vwap")
+
+
+@register(
+    "ind_drawdown_peak",
+    # running MAX is exact in floating point (no summation), so the plain
+    # window form is engine-portable without decimal staging
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           MAX(value) OVER r AS peak,
+           CASE WHEN MAX(value) OVER r = 0 THEN NULL
+                ELSE (value - MAX(value) OVER r) / MAX(value) OVER r
+           END AS drawdown
+    FROM events
+    WINDOW r AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ind_drawdown_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak + drawdown fraction per user
+    (operators/indicators.drawdown) — the portfolio-risk primitive the
+    reference's notebook plotted by hand; one ordered window, JVM
+    codegen."""
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    ev = load(spark, sf_dir, "events")
+    d = ind.drawdown(ev, partition_by="user_id", order_by="ts", col="value")
+    return d.select("event_id", "user_id", "ts", "value", "peak", "drawdown")
+
+
+@register(
+    "w_weekly_ohlc",
+    # tick -> candle compaction: arg_min/arg_max by event order (no sort),
+    # exact integer volume sum; one row per candle crosses the shuffle
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(props->>'$.k' AS BIGINT) AS vol
+      FROM events
+    )
+    SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+           arg_min(value, ts) AS open, MAX(value) AS high,
+           MIN(value) AS low, arg_max(value, ts) AS close,
+           SUM(vol) AS volume, COUNT(*) AS n_rows
+    FROM b
+    GROUP BY user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)
+    """,
+)
+def w_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC candle resampling (operators/indicators.resample_ohlc):
+    min_by/max_by carry open/close through a single hash aggregate with
+    map-side partials — the 100 TB tick->bar compaction path (the shuffle
+    carries candles, not ticks)."""
+    from big_data_analysis_for_stock_market_data_spark import functions as fns
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "vol", fns.json_long(F.col("props"), "$.k")
+    )
+    return ind.resample_ohlc(
+        ev, partition_by="user_id", order_by="ts",
+        bucket=F.date_trunc("week", F.col("ts")), bucket_name="bucket",
+        price="value", volume="vol",
+    )
+
+
+@register(
+    "a26_acf_lags",
+    # every sum exact DECIMAL(28,8) (inputs <=2 decimals, products <=4 —
+    # the double product is within 1 ulp of the exact 4-decimal value, so
+    # the scale-8 cast rounds identically in any engine); the final
+    # combination is scalar IEEE arithmetic
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value,
+             lag(value, 1) OVER win AS l1,
+             lag(value, 5) OVER win AS l5
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id,
+        COUNT(CASE WHEN l1 IS NOT NULL AND value IS NOT NULL THEN 1 END) AS n1,
+        CAST(SUM(CAST(CASE WHEN l1 IS NOT NULL THEN value END AS DECIMAL(28,8))) AS DOUBLE) AS sx1,
+        CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN l1 END AS DECIMAL(28,8))) AS DOUBLE) AS sy1,
+        CAST(SUM(CAST(value * l1 AS DECIMAL(28,8))) AS DOUBLE) AS sxy1,
+        CAST(SUM(CAST(CASE WHEN l1 IS NOT NULL THEN value * value END AS DECIMAL(28,8))) AS DOUBLE) AS sxx1,
+        CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN l1 * l1 END AS DECIMAL(28,8))) AS DOUBLE) AS syy1,
+        COUNT(CASE WHEN l5 IS NOT NULL AND value IS NOT NULL THEN 1 END) AS n5,
+        CAST(SUM(CAST(CASE WHEN l5 IS NOT NULL THEN value END AS DECIMAL(28,8))) AS DOUBLE) AS sx5,
+        CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN l5 END AS DECIMAL(28,8))) AS DOUBLE) AS sy5,
+        CAST(SUM(CAST(value * l5 AS DECIMAL(28,8))) AS DOUBLE) AS sxy5,
+        CAST(SUM(CAST(CASE WHEN l5 IS NOT NULL THEN value * value END AS DECIMAL(28,8))) AS DOUBLE) AS sxx5,
+        CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN l5 * l5 END AS DECIMAL(28,8))) AS DOUBLE) AS syy5
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id,
+      CASE WHEN sqrt((CAST(n1 AS DOUBLE) * sxx1 - sx1 * sx1)
+                     * (CAST(n1 AS DOUBLE) * syy1 - sy1 * sy1)) = 0 THEN NULL
+           ELSE (CAST(n1 AS DOUBLE) * sxy1 - sx1 * sy1)
+                / sqrt((CAST(n1 AS DOUBLE) * sxx1 - sx1 * sx1)
+                       * (CAST(n1 AS DOUBLE) * syy1 - sy1 * sy1)) END AS acf1,
+      CASE WHEN sqrt((CAST(n5 AS DOUBLE) * sxx5 - sx5 * sx5)
+                     * (CAST(n5 AS DOUBLE) * syy5 - sy5 * sy5)) = 0 THEN NULL
+           ELSE (CAST(n5 AS DOUBLE) * sxy5 - sx5 * sy5)
+                / sqrt((CAST(n5 AS DOUBLE) * sxx5 - sx5 * sx5)
+                       * (CAST(n5 AS DOUBLE) * syy5 - sy5 * sy5)) END AS acf5
+    FROM g
+    """,
+)
+def a26_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation at lags 1 and 5
+    (operators/aggregates.acf_lags): ONE ordered window for both lag
+    columns, ONE hash aggregate for all twelve exact-decimal sums — the
+    stationarity screen a forecasting pipeline runs per series."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.acf_lags(ev, "user_id", "ts", "value", lags=(1, 5))
+
+
+@register(
+    "a27_sharpe_diff",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value - lag(value) OVER win AS d
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id,
+        COUNT(d) AS n_diffs,
+        CAST(SUM(CAST(d AS DECIMAL(28,8))) AS DOUBLE) AS sd,
+        CAST(SUM(CAST(d * d AS DECIMAL(28,8))) AS DOUBLE) AS sdd
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id, n_diffs,
+      sd / CAST(n_diffs AS DOUBLE) AS mean_diff,
+      sqrt(greatest((CAST(n_diffs AS DOUBLE) * sdd - sd * sd)
+            / (CAST(n_diffs AS DOUBLE) * (CAST(n_diffs AS DOUBLE) - 1.0)),
+            0.0)) AS std_diff,
+      CASE WHEN sqrt(greatest((CAST(n_diffs AS DOUBLE) * sdd - sd * sd)
+            / (CAST(n_diffs AS DOUBLE) * (CAST(n_diffs AS DOUBLE) - 1.0)),
+            0.0)) = 0 THEN NULL
+        ELSE (sd / CAST(n_diffs AS DOUBLE))
+             / sqrt(greatest((CAST(n_diffs AS DOUBLE) * sdd - sd * sd)
+                / (CAST(n_diffs AS DOUBLE) * (CAST(n_diffs AS DOUBLE) - 1.0)),
+                0.0)) END AS sharpe
+    FROM g
+    """,
+)
+def a27_sharpe_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-based Sharpe per user
+    (operators/aggregates.sharpe_of_diffs): mean/std of first differences
+    from exact integer-moment sums — the portable risk-adjusted-return
+    screen (ratio returns don't survive a decimal cast portably; diffs
+    of <=2-decimal inputs do)."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.sharpe_of_diffs(ev, "user_id", "ts", "value")
+
+
+@register(
+    "ml_ks_2sample",
+    # ECDFs over the DISTINCT-value table (one hash aggregate collapses
+    # observations), cumulative counts via the two-phase parallel prefix
+    # scan, totals folded back as a broadcast 1-row cross join
+    oracle="""
+    WITH s AS (
+      SELECT value, event_type = 'click' AS ga FROM events
+      WHERE event_type IN ('click', 'view')
+    ), pv AS (
+      SELECT value AS v,
+             SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN ga THEN 0 ELSE 1 END) AS cb
+      FROM s GROUP BY value
+    ), c AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cumb
+      FROM pv
+    ), t AS (
+      SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM pv
+    )
+    SELECT MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b,
+           MAX(ABS(CAST(cuma AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                   - CAST(cumb AS DOUBLE) / CAST(t.n_b AS DOUBLE))) AS ks_stat
+    FROM c CROSS JOIN t
+    """,
+)
+def ml_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the click and
+    view value distributions (ml/metrics.ks_two_sample) — drift detection
+    between data slices; scales as a distinct-value aggregate + parallel
+    prefix scan, never a per-observation global sort."""
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import ks_two_sample
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return ks_two_sample(ev, "value", F.col("event_type") == "click")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -8537,7 +8788,10 @@ def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_chained_rollup, s_csv_malformed_audit, s_python_datasource,
 # a25_countmin_heavy_hitters, fn_variant_nested, fn_python_udtf_chunks,
 # stream_rocksdb_session, s_bucketed_join, s_observed_write_audit,
-# fn_map_suite, fn_xml_suite; agg_hll_union is rows-only.
+# fn_map_suite, fn_xml_suite; agg_hll_union is rows-only. Also queued for
+# r06: the volume/path stock statistics added late in r05 (ind_obv_vwap,
+# ind_drawdown_peak, w_weekly_ohlc, a26_acf_lags, a27_sharpe_diff,
+# ml_ks_2sample — all green in the local sf0.01 AND sf0.1 oracle replay).
 #
 # r06 window backlog (green driver verdicts exist for all of these, but
 # they are r02-stale and should rotate through): w3_lead_label,

@@ -436,3 +436,51 @@ def test_hll_union_consistent_with_direct_sketch(spark):
     assert unioned == direct
     # HLL error envelope at default lgK: well within 5% of 2000
     assert abs(direct - 2000) / 2000 < 0.05
+
+
+def test_acf_lags_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import acf_lags
+
+    rng = np.random.default_rng(7)
+    x = np.round(np.cumsum(rng.normal(0, 1, 200)) + 50, 2)
+    pdf = pd.DataFrame({"k": 1, "t": np.arange(200), "v": x})
+    out = acf_lags(spark.createDataFrame(pdf), "k", "t", "v", lags=(1, 5))
+    row = out.collect()[0]
+    for lag, got in ((1, row.acf1), (5, row.acf5)):
+        a, b = x[lag:], x[:-lag]
+        exp = np.corrcoef(a, b)[0, 1]
+        assert abs(got - exp) < 1e-9
+
+
+def test_sharpe_of_diffs_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        sharpe_of_diffs,
+    )
+
+    rng = np.random.default_rng(11)
+    x = np.round(rng.normal(100, 5, 150), 2)
+    pdf = pd.DataFrame({"k": "a", "t": np.arange(150), "v": x})
+    row = sharpe_of_diffs(spark.createDataFrame(pdf), "k", "t", "v").collect()[0]
+    d = np.diff(x)
+    assert row.n_diffs == len(d)
+    assert abs(row.mean_diff - d.mean()) < 1e-9
+    assert abs(row.std_diff - d.std(ddof=1)) < 1e-9
+    assert abs(row.sharpe - d.mean() / d.std(ddof=1)) < 1e-9
+
+
+def test_sharpe_of_diffs_constant_series_null(spark):
+    import pandas as pd
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        sharpe_of_diffs,
+    )
+
+    pdf = pd.DataFrame({"k": "a", "t": range(5), "v": [3.0] * 5})
+    row = sharpe_of_diffs(spark.createDataFrame(pdf), "k", "t", "v").collect()[0]
+    assert row.std_diff == 0.0 and row.sharpe is None

@@ -6,6 +6,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from big_data_analysis_for_stock_market_data_spark.operators import indicators as I
 
 
@@ -271,3 +273,97 @@ def test_parabolic_sar_trails_and_reverses(spark):
     for i in range(7, 9):          # downtrend: sar above price, declining
         assert got[i] > xs[i]
         assert got[i] <= got[i - 1]
+
+
+def test_obv_matches_pandas(ohlcv):
+    pdf, df = ohlcv
+    out = I.obv(df, partition_by="symbol", order_by="date")
+    for sym in ("AAA", "BBB"):
+        got = _series(out, sym, "obv")
+        p = pdf[pdf.symbol == sym].sort_values("date")
+        sign = np.sign(p.close.diff().fillna(0).to_numpy())
+        exp = np.cumsum(sign * p.volume.to_numpy())
+        assert np.allclose(got, exp)
+
+
+def test_vwap_grouped_daily(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["A"] * 4,
+            "date": pd.to_datetime(
+                ["2024-01-01 09:00", "2024-01-01 10:00",
+                 "2024-01-02 09:00", "2024-01-02 10:00"]
+            ),
+            "close": [10.0, 20.0, 30.0, 40.0],
+            "volume": [1, 3, 2, 0],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "day", F.date_trunc("day", F.col("date"))
+    )
+    out = I.vwap_grouped(df, ["symbol", "day"]).orderBy("date").collect()
+    # day 1: (10*1 + 20*3) / 4 = 17.5 ; day 2: (30*2 + 40*0) / 2 = 30
+    assert [round(r.vwap, 6) for r in out] == [17.5, 17.5, 30.0, 30.0]
+
+
+def test_vwap_zero_volume_group_is_null(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"symbol": ["A"], "g": [1], "close": [10.0], "volume": [0]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = I.vwap_grouped(df, ["symbol", "g"]).collect()
+    assert out[0].vwap is None
+
+
+def test_drawdown_running_peak(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["A"] * 5,
+            "date": pd.date_range("2024-01-01", periods=5),
+            "close": [10.0, 12.0, 9.0, 12.0, 6.0],
+        }
+    )
+    out = (
+        I.drawdown(spark.createDataFrame(pdf), partition_by="symbol",
+                   order_by="date", col="close")
+        .orderBy("date")
+        .collect()
+    )
+    assert [r.peak for r in out] == [10.0, 12.0, 12.0, 12.0, 12.0]
+    assert [round(r.drawdown, 6) for r in out] == [
+        0.0, 0.0, -0.25, 0.0, -0.5
+    ]
+
+
+def test_resample_ohlc_weekly(spark):
+    import pandas as pd
+
+    # two ISO weeks: Mon Jan 1 2024 .. Sun Jan 7, then Mon Jan 8
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["A"] * 4,
+            "date": pd.to_datetime(
+                ["2024-01-01", "2024-01-03", "2024-01-07", "2024-01-08"]
+            ),
+            "close": [10.0, 15.0, 8.0, 99.0],
+            "volume": [1, 2, 3, 4],
+        }
+    )
+    out = (
+        I.resample_ohlc(spark.createDataFrame(pdf), partition_by="symbol",
+                        order_by="date")
+        .orderBy("bucket")
+        .collect()
+    )
+    assert len(out) == 2
+    w1, w2 = out
+    assert (w1.open, w1.high, w1.low, w1.close, w1.volume, w1.n_rows) == (
+        10.0, 15.0, 8.0, 8.0, 6, 3
+    )
+    assert (w2.open, w2.close, w2.volume, w2.n_rows) == (99.0, 99.0, 4, 1)

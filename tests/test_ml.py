@@ -244,3 +244,46 @@ def test_string_index_deterministic_ordering_and_nulls(spark):
         for r in string_index(df.repartition(5), "cat").collect()
     }
     assert got2 == got
+
+
+def test_ks_two_sample_matches_scipy_formula(spark):
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import ks_two_sample
+
+    rng = np.random.default_rng(3)
+    a = np.round(rng.normal(0, 1, 300), 2)
+    b = np.round(rng.normal(0.5, 1, 200), 2)
+    pdf = pd.DataFrame(
+        {"v": np.concatenate([a, b]),
+         "grp": ["a"] * len(a) + ["b"] * len(b)}
+    )
+    row = ks_two_sample(
+        spark.createDataFrame(pdf), "v", F.col("grp") == "a"
+    ).collect()[0]
+    # reference ECDF max-diff over the pooled support
+    support = np.unique(pdf.v.to_numpy())
+    fa = np.searchsorted(np.sort(a), support, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), support, side="right") / len(b)
+    exp = np.abs(fa - fb).max()
+    assert (row.n_a, row.n_b) == (300, 200)
+    assert abs(row.ks_stat - exp) < 1e-12
+
+
+def test_ks_identical_samples_zero(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import ks_two_sample
+
+    pdf = pd.DataFrame(
+        {"v": [1.0, 1.0, 2.0, 2.0] * 5, "grp": ["a", "b"] * 10}
+    )
+    row = ks_two_sample(
+        spark.createDataFrame(pdf), "v", F.col("grp") == "a"
+    ).collect()[0]
+    assert row.ks_stat == 0.0

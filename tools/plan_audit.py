@@ -56,6 +56,7 @@ NESTED_LOOP_OK = {
     "stream_interval_left_join",  # watermark-horizon 1-row agg x drain
     "stream_chained_rollup",      # same horizon 1-row agg x drain
     "samp_rebalance_sources",     # min-group-count 1-row agg x thresholds
+    "ml_ks_2sample",              # ECDF-totals 1-row agg x distinct values
 }
 
 MAX_EXCHANGES = 9
@@ -106,6 +107,10 @@ EXCHANGE_BUDGET = {
                                    # union + basket-count broadcast
     "dedup_exact_substring": 11,   # window index -> df filter -> pair
                                    # self-join (posting referenced 3x)
+    "ml_ks_2sample": 10,           # distinct-value agg appears under both
+                                   # the ECDF scan and the totals branch —
+                                   # a ReusedExchange at runtime; the
+                                   # textual count double-counts it
 }
 
 
