@@ -101,3 +101,44 @@ def pagerank_nano(
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "u",
+    dst: str = "v",
+    node_col: str = "node",
+) -> DataFrame:
+    """Level-synchronous BFS: minimum hop distance from any seed node,
+    bounded at ``max_hops`` (fixed, part of the spec — same convention as
+    ``pagerank_nano``'s iteration count). Returns (node, hops) for every
+    node reachable within the bound; seeds report 0.
+
+    Each level is one key-equi join (frontier ⋈ edges on the source),
+    one distinct, and one left-anti join against the visited set — all
+    shuffling on the node key, so at scale the loop co-partitions;
+    ``localCheckpoint`` per level keeps the lineage flat. The visited set
+    carries FIRST-discovery level, which for level-synchronous expansion
+    IS the minimum distance — no min-aggregate needed. No driver
+    scalars: the level loop is a fixed unroll, not a convergence test."""
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for level in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

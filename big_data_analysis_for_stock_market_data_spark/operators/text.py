@@ -528,3 +528,71 @@ def repetition_stats(
                F.col("dup_gram_count").cast("double") / n_grams)
         .alias("dup_gram_frac"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+    round_to: int = 9,
+) -> DataFrame:
+    """Interpolated bigram-LM document score — the fluency signal one
+    step up from ``unigram_logprob``: train bigram MLE on the corpus
+    itself, back off to the unigram distribution,
+    p(b|a) = lam * c(a,b)/c(a,·) + (1-lam) * c(b)/N, and score each doc
+    by the sum of log10 p over its adjacent token pairs.
+
+    Engine-exact like the unigram form: each PAIR's log10 p is quantized
+    once to integer nano-units, the per-doc figure is an INTEGER sum.
+    Plan: one posexplode, one (doc, pos) window for the pair stream, two
+    grouped counts (bigram, unigram) + a left-context rollup of the
+    bigram table, token total folded in as a broadcast 1-row aggregate,
+    one pair-keyed join back, one per-doc sum, one spine-preserving left
+    join (docs with < 2 tokens keep a row: 0 bigrams, NULL score). Every
+    shuffle key is a token or doc id — no global order, no driver
+    scalars."""
+    scale = float(10 ** round_to)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(col))).alias("pos", "term"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.withColumn("a", F.lag("term").over(w))
+        .filter(F.col("a").isNotNull())
+        .select(id_col, "a", F.col("term").alias("b"))
+    )
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    lefts = big.groupBy("a").agg(F.sum("cab").alias("ca"))
+    uni = toks.groupBy(F.col("term").alias("b")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("nt"))
+    p = (
+        F.lit(lam) * (F.col("cab").cast("double") / F.col("ca").cast("double"))
+        + F.lit(1.0 - lam)
+        * (F.col("cb").cast("double") / F.col("nt").cast("double"))
+    )
+    scored = (
+        big.join(lefts, "a")
+        .join(uni, "b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "a", "b",
+            F.round(F.log10(p) * scale, 0).cast("long").alias("logp_nano"),
+        )
+    )
+    perdoc = (
+        pairs.join(scored, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_nano").alias("sum_logp_nano"),
+        )
+    )
+    return df.select(id_col).join(perdoc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "sum_logp_nano",
+    )

@@ -8767,6 +8767,133 @@ def ml_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(ev, "value", F.col("event_type") == "click")
 
 
+
+
+@register(
+    "g3_bfs_hops",
+    # bounded level-synchronous BFS; the recursive CTE replays paths up
+    # to the hop bound and MIN-groups — first-discovery level in the
+    # engine == minimum distance, both all-integer
+    oracle="""
+    WITH RECURSIVE parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    eo AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo
+    ),
+    seeds AS (
+      SELECT DISTINCT u AS node FROM edges WHERE u % 97 = 0
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT e.v, w.d + 1
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, MIN(d) AS hops FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<=3) from seed parts over the undirected
+    co-purchase graph (operators/graph.bfs_hops) — level-synchronous BFS
+    where each level is a frontier equi join + anti join on the node key
+    (co-partitioned at scale, flat lineage via per-level checkpoints).
+    The oracle's recursive CTE enumerates bounded paths and MIN-groups;
+    the engine's first-discovery level equals that minimum."""
+    from big_data_analysis_for_stock_market_data_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("v"))
+    eo = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    edges = eo.unionByName(
+        eo.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seeds = edges.select(F.col("u").alias("node")).filter(
+        F.col("node") % 97 == 0
+    ).distinct()
+    return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
+
+
+@register(
+    "text_bigram_logprob",
+    # interpolated bigram LM (lambda=0.8 bigram MLE + 0.2 unigram):
+    # per-pair log10 p quantized ONCE to integer nano-units, per-doc
+    # INTEGER sum — order-free; literals CAST AS DOUBLE (bare decimals
+    # are DECIMAL in DuckDB); division/addition order mirrored exactly
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({{toks}}) AS term,
+             generate_subscripts({{toks}}, 1) AS pos
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, a, term AS b FROM (
+        SELECT doc_id, term, pos,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+        FROM toks
+      ) WHERE a IS NOT NULL
+    ),
+    big AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b),
+    lefts AS (SELECT a, SUM(cab) AS ca FROM big GROUP BY a),
+    uni AS (SELECT term AS b, COUNT(*) AS cb FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS nt FROM toks),
+    scored AS (
+      SELECT big.a, big.b,
+             CAST(round(log10(
+               CAST(0.8 AS DOUBLE)
+                 * (CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))
+               + CAST(0.2 AS DOUBLE)
+                 * (CAST(cb AS DOUBLE) / CAST(nt AS DOUBLE))
+             ) * 1e9) AS BIGINT) AS logp_nano
+      FROM big
+      JOIN lefts ON lefts.a = big.a
+      JOIN uni ON uni.b = big.b
+      CROSS JOIN n
+    ),
+    perdoc AS (
+      SELECT p.doc_id, COUNT(*) AS n_bigrams,
+             SUM(s.logp_nano) AS sum_logp_nano
+      FROM pairs p JOIN scored s ON s.a = p.a AND s.b = p.b
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id, COALESCE(perdoc.n_bigrams, 0) AS n_bigrams,
+           perdoc.sum_logp_nano
+    FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+    """.replace("{toks}", _DUCK_TOKS),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM document score (operators/text.
+    bigram_logprob) — the fluency/quality signal one step up from the
+    unigram filter: corpus-trained bigram MLE backed off to unigram
+    (lambda = 0.8), per-pair log10 p quantized to integer nano-units so
+    the per-doc sum is order-free and engine-exact. Spine-preserving:
+    docs with < 2 tokens keep a row (0 bigrams, NULL score)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_logprob(docs, col="text", id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -8791,7 +8918,8 @@ def ml_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fn_map_suite, fn_xml_suite; agg_hll_union is rows-only. Also queued for
 # r06: the volume/path stock statistics added late in r05 (ind_obv_vwap,
 # ind_drawdown_peak, w_weekly_ohlc, a26_acf_lags, a27_sharpe_diff,
-# ml_ks_2sample — all green in the local sf0.01 AND sf0.1 oracle replay).
+# ml_ks_2sample, g3_bfs_hops, text_bigram_logprob — all green in the
+# local sf0.01 AND sf0.1 oracle replay).
 #
 # r06 window backlog (green driver verdicts exist for all of these, but
 # they are r02-stale and should rotate through): w3_lead_label,

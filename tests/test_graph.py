@@ -52,3 +52,35 @@ def test_pagerank_nano_mass_approximately_conserved(spark):
 
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank_nano(df, damping_pct=0)
+
+
+def test_bfs_hops_min_distance(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop, not 3
+    eo = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    edges = spark.createDataFrame(
+        eo + [(v, u) for u, v in eo], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_hops_bound_and_multi_seed(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators.graph import bfs_hops
+
+    # chain 10-11-12-13-14; seeds at both ends, bound 1
+    eo = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    edges = spark.createDataFrame(
+        eo + [(v, u) for u, v in eo], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(10,), (14,)], "node long")
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(edges, seeds, max_hops=1).collect()
+    }
+    assert got == {10: 0, 14: 0, 11: 1, 13: 1}

@@ -229,3 +229,28 @@ def test_repetition_stats_crafted(spark):
     # sub-n docs keep their spine row with 0 grams and NULL fractions
     for i in (2, 3):
         assert out[i]["n_grams"] == 0 and out[i]["top_gram_frac"] is None
+
+
+def test_bigram_logprob_tiny_corpus(spark):
+    import math
+
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # corpus pairs: doc1 -> (a,b) (b,a) (a,b); doc2 -> (a,b)
+    # c(a,b)=3, c(b,a)=1; c(a,.)=3, c(b,.)=1; unigrams: a=3,b=3,x=1, N=7
+    def nano(cab, ca, cb):
+        p = 0.8 * (cab / ca) + 0.2 * (cb / 7.0)
+        return round(math.log10(p) * 1e9)
+
+    ab, ba = nano(3, 3, 3), nano(1, 1, 3)
+    assert rows[1].n_bigrams == 3 and rows[1].sum_logp_nano == 2 * ab + ba
+    assert rows[2].n_bigrams == 1 and rows[2].sum_logp_nano == ab
+    # single-token doc keeps its spine row with no pairs
+    assert rows[3].n_bigrams == 0 and rows[3].sum_logp_nano is None

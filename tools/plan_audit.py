@@ -111,6 +111,11 @@ EXCHANGE_BUDGET = {
                                    # the ECDF scan and the totals branch —
                                    # a ReusedExchange at runtime; the
                                    # textual count double-counts it
+    "text_bigram_logprob": 14,     # the pair stream feeds both the count
+                                   # model and the score join-back; its
+                                   # identical window-shuffle subplan is
+                                   # reused at runtime (textual x2), plus
+                                   # bigram/unigram/left-context counts
 }
 
 
