@@ -163,3 +163,67 @@ def ks_two_sample(
             F.max(d).alias("ks_stat"),
         )
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift/gain table with GROUP-ATOMIC buckets: rows collapse to
+    distinct-score groups (one hash aggregate), groups order by score
+    DESCENDING through the engine's two-phase parallel prefix scan, and a
+    group's bucket is decided by the count of strictly-higher-scoring
+    rows — floor(k·cum_before/N). Tied scores land wholly in one bucket
+    (bucket sizes flex around ties; the portable alternative to ntile's
+    order-dependent tie splitting), so the result is deterministic on any
+    engine and partitioning. Output per bucket: rows, positives,
+    cumulative rows/positives, cumulative gain and lift (each a single
+    IEEE expression over exact integers).
+
+    ``label_col`` is a boolean/0-1 Column or name."""
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        prefix_sum_multi,
+    )
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(lab.cast("long")).alias("__npos"),
+    )
+    g = g.withColumn("__negs", -F.col("__s"))
+    c = prefix_sum_multi(
+        g, ["__cnt", "__npos"], order_by="__negs",
+        out_cols=["__cum", "__cumpos"],
+    )
+    totals = g.agg(
+        F.sum("__cnt").alias("__n"), F.sum("__npos").alias("__p")
+    )
+    c = c.crossJoin(F.broadcast(totals))
+    cum = F.col("__cum").cast("long")
+    cumpos = F.col("__cumpos").cast("long")
+    bucket = F.floor(
+        F.lit(n_buckets) * (cum - F.col("__cnt")) / F.col("__n")
+    ).cast("int") + 1
+    b = c.select(
+        bucket.alias("bucket"),
+        F.col("__cnt"), F.col("__npos"), cum.alias("__cumr"),
+        cumpos.alias("__cumr_pos"), F.col("__n"), F.col("__p"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.sum("__npos").alias("n_pos"),
+        F.max("__cumr").alias("cum_rows"),
+        F.max("__cumr_pos").alias("cum_pos"),
+        F.max("__n").alias("__n"),
+        F.max("__p").alias("__p"),
+    )
+    gain = F.col("cum_pos").cast("double") / F.col("__p").cast("double")
+    lift = (
+        F.col("cum_pos").cast("double") / F.col("cum_rows").cast("double")
+    ) / (F.col("__p").cast("double") / F.col("__n").cast("double"))
+    return agg.select(
+        "bucket", "n_rows", "n_pos", "cum_rows", "cum_pos",
+        gain.alias("cum_gain"), lift.alias("cum_lift"),
+    ).orderBy("bucket")

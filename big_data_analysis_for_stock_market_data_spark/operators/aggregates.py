@@ -595,3 +595,39 @@ def sharpe_of_diffs(
         std.alias("std_diff"),
         F.try_divide(mean, F.nullif(std, F.lit(0.0))).alias("sharpe"),
     )
+
+
+def group_entropy(
+    df: DataFrame,
+    key_col: str,
+    class_col: str,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Shannon entropy (bits) of the class distribution per key — the
+    class-balance / label-noise screen a training-data audit runs per
+    slice. Per-class terms −p·log2(p) are computed from identical
+    integer (count, total) pairs and quantized ONCE to integer
+    nano-units, so the per-key sum is order-free and engine-exact.
+    Plan: one (key, class) grouped count, one key-window total, one
+    grouped integer sum — shuffles on (key, class) then (key)."""
+    p = out_prefix
+    counts = df.groupBy(key_col, class_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(key_col)
+    share = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term_nano = F.round(-share * F.log2(share) * 1e9, 0).cast("long")
+    return (
+        counts.withColumn("__n", F.sum("__c").over(w))
+        .select(
+            key_col,
+            F.col("__n").alias("__nn"),
+            term_nano.alias("__t"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.max("__nn").alias(f"{p}n_rows"),
+            F.count(F.lit(1)).alias(f"{p}n_classes"),
+            F.sum("__t").alias(f"{p}entropy_nano"),
+        )
+    )

@@ -8894,6 +8894,89 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs, col="text", id_col="doc_id")
 
 
+
+
+@register(
+    "a28_entropy_by_group",
+    # per-class terms -p*log2(p) from identical integer (count, total)
+    # pairs, quantized once to integer nano-units -> order-free per-key sum
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, c,
+             SUM(c) OVER (PARTITION BY user_id) AS n
+      FROM c
+    )
+    SELECT user_id, MAX(n) AS n_rows, COUNT(*) AS n_classes,
+           SUM(CAST(round(
+             -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9
+           ) AS BIGINT)) AS entropy_nano
+    FROM t GROUP BY user_id
+    """,
+)
+def a28_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution
+    (operators/aggregates.group_entropy) — the class-balance / slice-skew
+    screen of a training-data audit, in portable integer nano-units. Two
+    grouped aggregates + one key window; shuffle keys (user, type) then
+    (user)."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.group_entropy(ev, "user_id", "event_type")
+
+
+@register(
+    "ml_lift_table",
+    # group-atomic deciles: a distinct-score group's bucket is decided by
+    # the count of strictly-higher-scoring rows (ties stay together —
+    # ntile's order-dependent tie splitting is not portable); cumulative
+    # counts via the fused two-phase prefix scan; totals broadcast-folded
+    oracle="""
+    WITH s AS (
+      SELECT value AS sc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    g AS (SELECT sc, COUNT(*) AS cnt, SUM(pos) AS npos FROM s GROUP BY sc),
+    c AS (
+      SELECT sc, cnt, npos,
+             SUM(cnt) OVER (ORDER BY sc DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(npos) OVER (ORDER BY sc DESC
+                             ROWS UNBOUNDED PRECEDING) AS cumpos
+      FROM g
+    ),
+    t AS (SELECT SUM(cnt) AS n, SUM(npos) AS p FROM g),
+    b AS (
+      SELECT CAST(floor(10 * (cum - cnt) / n) AS INT) + 1 AS bucket,
+             cnt, npos, cum, cumpos, n, p
+      FROM c CROSS JOIN t
+    )
+    SELECT bucket, SUM(cnt) AS n_rows, SUM(npos) AS n_pos,
+           MAX(cum) AS cum_rows, MAX(cumpos) AS cum_pos,
+           CAST(MAX(cumpos) AS DOUBLE) / CAST(MAX(p) AS DOUBLE) AS cum_gain,
+           (CAST(MAX(cumpos) AS DOUBLE) / CAST(MAX(cum) AS DOUBLE))
+             / (CAST(MAX(p) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)) AS cum_lift
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gain table for the purchase propensity of the value
+    score (ml/metrics.lift_table) — the campaign-targeting evaluation
+    companion to exact AUC and the KS drift statistic. Group-atomic
+    deciles over the distinct-score table keep the result deterministic
+    on any engine and partitioning; never a per-row global sort."""
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import lift_table
+
+    ev = load(spark, sf_dir, "events")
+    return lift_table(
+        ev, "value", F.col("event_type") == "purchase", n_buckets=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -8918,8 +9001,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fn_map_suite, fn_xml_suite; agg_hll_union is rows-only. Also queued for
 # r06: the volume/path stock statistics added late in r05 (ind_obv_vwap,
 # ind_drawdown_peak, w_weekly_ohlc, a26_acf_lags, a27_sharpe_diff,
-# ml_ks_2sample, g3_bfs_hops, text_bigram_logprob — all green in the
-# local sf0.01 AND sf0.1 oracle replay).
+# ml_ks_2sample, g3_bfs_hops, text_bigram_logprob, a28_entropy_by_group,
+# ml_lift_table — all green in the local sf0.01 AND sf0.1 oracle replay).
 #
 # r06 window backlog (green driver verdicts exist for all of these, but
 # they are r02-stale and should rotate through): w3_lead_label,

@@ -484,3 +484,27 @@ def test_sharpe_of_diffs_constant_series_null(spark):
     pdf = pd.DataFrame({"k": "a", "t": range(5), "v": [3.0] * 5})
     row = sharpe_of_diffs(spark.createDataFrame(pdf), "k", "t", "v").collect()[0]
     assert row.std_diff == 0.0 and row.sharpe is None
+
+
+def test_group_entropy_known_values(spark):
+    import math
+
+    import pandas as pd
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        group_entropy,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["u"] * 4 + ["v"] * 3,
+            "cls": ["a", "a", "b", "b", "x", "x", "x"],
+        }
+    )
+    rows = {r.k: r for r in group_entropy(spark.createDataFrame(pdf), "k", "cls").collect()}
+    # uniform over 2 classes -> exactly 1 bit -> two terms of 0.5e9
+    assert rows["u"].n_rows == 4 and rows["u"].n_classes == 2
+    assert rows["u"].entropy_nano == 10**9
+    # single class -> zero entropy
+    assert rows["v"].n_rows == 3 and rows["v"].n_classes == 1
+    assert rows["v"].entropy_nano == 0

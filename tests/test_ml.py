@@ -287,3 +287,43 @@ def test_ks_identical_samples_zero(spark):
         spark.createDataFrame(pdf), "v", F.col("grp") == "a"
     ).collect()[0]
     assert row.ks_stat == 0.0
+
+
+def test_lift_table_group_atomic_buckets(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import lift_table
+
+    # 20 rows, scores 20..1 (distinct), top half all positive
+    pdf = pd.DataFrame(
+        {"s": list(range(20, 0, -1)), "y": [1] * 10 + [0] * 10}
+    )
+    out = lift_table(
+        spark.createDataFrame(pdf), "s", F.col("y") == 1, n_buckets=10
+    ).collect()
+    assert [r.bucket for r in out] == list(range(1, 11))
+    assert all(r.n_rows == 2 for r in out)
+    # top decile: 2 of 2 positive; base rate 0.5 -> lift 2.0, gain 0.2
+    top = out[0]
+    assert top.n_pos == 2 and abs(top.cum_lift - 2.0) < 1e-12
+    assert abs(top.cum_gain - 0.2) < 1e-12
+    # final bucket: cumulative everything -> lift exactly 1
+    assert abs(out[-1].cum_lift - 1.0) < 1e-12 and out[-1].cum_pos == 10
+
+
+def test_lift_table_ties_stay_together(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import lift_table
+
+    # 10 rows all the same score -> ONE group-atomic bucket (bucket 1)
+    pdf = pd.DataFrame({"s": [5.0] * 10, "y": [1, 0] * 5})
+    out = lift_table(
+        spark.createDataFrame(pdf), "s", F.col("y") == 1, n_buckets=10
+    ).collect()
+    assert len(out) == 1
+    assert out[0].bucket == 1 and out[0].n_rows == 10 and out[0].n_pos == 5

@@ -57,6 +57,8 @@ NESTED_LOOP_OK = {
     "stream_chained_rollup",      # same horizon 1-row agg x drain
     "samp_rebalance_sources",     # min-group-count 1-row agg x thresholds
     "ml_ks_2sample",              # ECDF-totals 1-row agg x distinct values
+    "text_bigram_logprob",        # token-total 1-row agg x scored bigrams
+    "ml_lift_table",              # row/positive-totals 1-row agg x groups
 }
 
 MAX_EXCHANGES = 9
