@@ -149,10 +149,19 @@ def ks_two_sample(
     )
     # totals fold back in as a broadcast 1-row cross join — no driver
     # scalar, same pattern as fixed_width_histogram / a18's plan-folding
+    # try_divide + nullif: an empty sample leaves the statistic null
+    # rather than tripping ANSI divide-by-zero in codegen; identical to
+    # plain division whenever both samples are non-empty
     d = (
         F.abs(
-            F.col("__cuma").cast("double") / F.col("n_a").cast("double")
-            - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
+            F.try_divide(
+                F.col("__cuma").cast("double"),
+                F.nullif(F.col("n_a"), F.lit(0)).cast("double"),
+            )
+            - F.try_divide(
+                F.col("__cumb").cast("double"),
+                F.nullif(F.col("n_b"), F.lit(0)).cast("double"),
+            )
         )
     )
     return (
@@ -219,10 +228,23 @@ def lift_table(
         F.max("__n").alias("__n"),
         F.max("__p").alias("__p"),
     )
-    gain = F.col("cum_pos").cast("double") / F.col("__p").cast("double")
-    lift = (
-        F.col("cum_pos").cast("double") / F.col("cum_rows").cast("double")
-    ) / (F.col("__p").cast("double") / F.col("__n").cast("double"))
+    # try_divide + nullif: zero positives (or an empty input) yields null
+    # gain/lift instead of an ANSI divide-by-zero; same values otherwise
+    base_rate = F.try_divide(
+        F.col("__p").cast("double"),
+        F.nullif(F.col("__n"), F.lit(0)).cast("double"),
+    )
+    gain = F.try_divide(
+        F.col("cum_pos").cast("double"),
+        F.nullif(F.col("__p"), F.lit(0)).cast("double"),
+    )
+    lift = F.try_divide(
+        F.try_divide(
+            F.col("cum_pos").cast("double"),
+            F.nullif(F.col("cum_rows"), F.lit(0)).cast("double"),
+        ),
+        F.nullif(base_rate, F.lit(0.0)),
+    )
     return agg.select(
         "bucket", "n_rows", "n_pos", "cum_rows", "cum_pos",
         gain.alias("cum_gain"), lift.alias("cum_lift"),

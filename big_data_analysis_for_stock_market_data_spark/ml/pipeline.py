@@ -94,6 +94,29 @@ class FitResult:
     metrics: dict[str, float] = field(default_factory=dict)
 
 
+def strip_training_summaries(model):
+    """Return ``model`` with training summaries dropped from every stage
+    (``stage.copy()`` sheds the summary; parameters and trees survive).
+
+    A training summary pins the SparkSession inside the model, and the
+    session is poisoned for closure serialization as soon as ANY
+    ``Observation`` has run (Spark 4.1: ``SparkSession.observationManager``
+    is lazily initialized and NOT transient — once the single-pass write
+    audit touches it, a later ``model.transform``/evaluator call that
+    serializes the summary-carrying model dies with
+    ``NotSerializableException: ObservationManager``). The engine never
+    reads training summaries (metrics come from ml/metrics on held-out
+    predictions), so dropping them is pure de-risking plus a memory win
+    (the summary retains a cached predictions frame)."""
+    if isinstance(model, PipelineModel):
+        stages = [
+            s.copy() if getattr(s, "hasSummary", False) else s
+            for s in model.stages
+        ]
+        return PipelineModel(stages)
+    return model.copy() if getattr(model, "hasSummary", False) else model
+
+
 def _fit(
     df: DataFrame,
     estimator,
@@ -113,7 +136,7 @@ def _fit(
         train, test = projected.randomSplit(
             [train_fraction, 1.0 - train_fraction], seed=seed
         )
-        model = pipeline.fit(train)
+        model = strip_training_summaries(pipeline.fit(train))
         # drop featurization intermediates (Spark's lenient multi-drop, P3)
         predictions = model.transform(test).drop("__assembled", "__scaled")
         metrics = (
@@ -383,7 +406,7 @@ def train_rf_grouped(
         train, test = projected.randomSplit(
             [train_fraction, 1.0 - train_fraction], seed=seed
         )
-        model = pipeline.fit(train)
+        model = strip_training_summaries(pipeline.fit(train))
         drop = [c for c in model.transform(test).columns if c.startswith("__")]
         predictions = model.transform(test).drop(*drop)
         metrics = (

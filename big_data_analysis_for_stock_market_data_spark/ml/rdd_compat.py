@@ -156,7 +156,11 @@ def train_classifier(
             f"data has {model.numClasses} classes, caller declared "
             f"{numClasses}"
         )
-    return CompatRandomForestModel(model)
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        strip_training_summaries,
+    )
+
+    return CompatRandomForestModel(strip_training_summaries(model))
 
 
 def _pairs_frame(labels_and_predictions) -> DataFrame:

@@ -585,9 +585,14 @@ def sharpe_of_diffs(
     )
     n = F.col("__n").cast("double")
     sd, sdd = F.col("__sd"), F.col("__sdd")
-    mean = sd / n
-    var = (n * sdd - sd * sd) / (n * (n - F.lit(1.0)))
-    std = F.sqrt(var)
+    mean = F.try_divide(sd, F.nullif(n, F.lit(0.0)))
+    # try_divide + nullif: a key with < 2 diffs has no sample variance
+    # (n·(n−1) = 0) — null, not an ANSI divide-by-zero error; the
+    # greatest() clamp absorbs last-ulp cancellation (matches the oracle)
+    var = F.try_divide(
+        n * sdd - sd * sd, F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
+    )
+    std = F.when(var.isNotNull(), F.sqrt(F.greatest(var, F.lit(0.0))))
     return g.select(
         F.col(key_col),
         F.col("__n").alias("n_diffs"),

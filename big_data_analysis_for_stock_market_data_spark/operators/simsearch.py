@@ -294,7 +294,14 @@ def ivf_index(
     )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="__features",
                 predictionCol="__cluster")
-    model = km.fit(with_vec)
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        strip_training_summaries,
+    )
+
+    # shed the KMeans training summary before transform: it pins the
+    # SparkSession in the closure, which is non-serializable once any
+    # Observation has run (see ml/pipeline.strip_training_summaries)
+    model = strip_training_summaries(km.fit(with_vec))
     assigned = model.transform(with_vec).drop("__features")
     centroids = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

@@ -508,3 +508,18 @@ def test_group_entropy_known_values(spark):
     # single class -> zero entropy
     assert rows["v"].n_rows == 3 and rows["v"].n_classes == 1
     assert rows["v"].entropy_nano == 0
+
+
+def test_sharpe_of_diffs_two_row_key_no_ansi_error(spark):
+    import pandas as pd
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        sharpe_of_diffs,
+    )
+
+    # exactly one diff per key: no sample variance -> nulls, not a
+    # divide-by-zero error under ANSI mode
+    pdf = pd.DataFrame({"k": ["a", "a"], "t": [1, 2], "v": [1.0, 2.0]})
+    row = sharpe_of_diffs(spark.createDataFrame(pdf), "k", "t", "v").collect()[0]
+    assert row.n_diffs == 1 and row.mean_diff == 1.0
+    assert row.std_diff is None and row.sharpe is None

@@ -327,3 +327,55 @@ def test_lift_table_ties_stay_together(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].bucket == 1 and out[0].n_rows == 10 and out[0].n_pos == 5
+
+
+def test_ks_one_sided_sample_is_null_not_error(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import ks_two_sample
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0], "grp": ["a", "a", "a"]})
+    row = ks_two_sample(
+        spark.createDataFrame(pdf), "v", F.col("grp") == "a"
+    ).collect()[0]
+    assert (row.n_a, row.n_b) == (3, 0) and row.ks_stat is None
+
+
+def test_lift_table_zero_positives_null_not_error(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.metrics import lift_table
+
+    pdf = pd.DataFrame({"s": [3.0, 2.0, 1.0], "y": [0, 0, 0]})
+    out = lift_table(
+        spark.createDataFrame(pdf), "s", F.col("y") == 1, n_buckets=3
+    ).collect()
+    assert all(r.n_pos == 0 and r.cum_gain is None and r.cum_lift is None
+               for r in out)
+
+
+def test_rf_train_after_observation_regression(spark, labeled_df, tmp_path):
+    """Spark 4.1: SparkSession.observationManager is lazily initialized and
+    NOT transient, so once ANY Observation runs, serializing a closure that
+    carries the session fails (NotSerializableException). RF training
+    summaries carry the session; strip_training_summaries must keep the
+    train->evaluate path working after the single-pass write audit ran."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.sources.io import observed_write
+
+    res = observed_write(
+        labeled_df, str(tmp_path / "obs_parquet"),
+        metrics={"n": F.count(F.lit(1))},
+    )
+    assert res["n"] == labeled_df.count()
+    fit = ml.train_random_forest(labeled_df, FEATURES, num_trees=3, max_depth=3)
+    assert 0.0 <= fit.metrics["areaUnderROC"] <= 1.0
+    # the fitted stages must not carry a session-pinning summary
+    assert not any(
+        getattr(s, "hasSummary", False) for s in fit.model.stages
+    )

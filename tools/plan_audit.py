@@ -118,6 +118,10 @@ EXCHANGE_BUDGET = {
                                    # identical window-shuffle subplan is
                                    # reused at runtime (textual x2), plus
                                    # bigram/unigram/left-context counts
+    "ml_lift_table": 11,           # distinct-score agg under both the
+                                   # prefix scan and the totals branch
+                                   # (ReusedExchange at runtime), + the
+                                   # bucket re-aggregate
 }
 
 

@@ -50,6 +50,12 @@ ENTRIES = (
     # aggs in one streaming query at 10x the user keyspace)
     "dedup_exact_substring",
     "stream_chained_rollup",
+    # r05 third batch: the bigram LM is the newest high-exchange entry —
+    # pair stream linear in tokens, but the bigram vocabulary (and its
+    # left-context rollup) is the part worth measuring at 10x; replica
+    # token renaming makes cross-replica bigrams distinct, so the vocab
+    # scales the way a genuinely bigger corpus scales
+    "text_bigram_logprob",
 )
 #: 10x data on fixed cores is linear at ratio <= 10; headroom for shuffle
 #: constants before we call it superlinear.
