@@ -679,3 +679,169 @@ def exact_substring_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("id_a", "id_b")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space semantic deduplication (the SemDeDup shape,
+    Abbas et al. 2023): cluster the corpus with a k-means coarse
+    quantizer, compare pairs ONLY within a cluster, and prune every
+    vector that has a lower-id in-cluster neighbor with cosine ≥
+    ``threshold``. Complements ``simsearch.cosine_near_dup_pairs`` (LSH
+    buckets, recall bounded by the band curve): k-means cells give the
+    paper's semantic partitioning, and the within-cell comparison is
+    exhaustive, so recall inside a cell is exact.
+
+    The survivor rule is ORDER-FREE by construction — "pruned iff some
+    lower-id near neighbor exists" needs no sequential greedy scan, so
+    any partitioning/engine replays it identically. (The greedy
+    keep-against-survivors variant is inherently sequential and is the
+    documented non-goal.)
+
+    Scale: the quantizer is ``simsearch.deterministic_kmeans`` (broadcast
+    centroids, one corpus pass per iteration); pair cost is
+    Σ|cell|² — n_clusters must grow ∝ corpus/target_cell_size, exactly
+    the IVF sizing rule. Cosine is rounded to ``round_to`` before the
+    threshold test so the accept set is identical on every engine.
+
+    Returns (id, cluster, dup_of, cos_to_dup, is_kept): ``dup_of`` is the
+    LOWEST-id near neighbor for pruned rows (null for kept).
+    """
+    from big_data_analysis_for_stock_market_data_spark.operators.simsearch import (
+        _sq_dist,
+        cosine,
+        deterministic_kmeans,
+    )
+
+    cents = deterministic_kmeans(
+        df, n_clusters, n_iters, id_col, vec_col, seed
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        _sq_dist(F.col(vec_col), F.col("centroid")).asc(),
+        F.col("cluster").asc(),
+    )
+    assigned = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_b", "id_a", "cos_sim")
+    )
+    dup_of = pairs.groupBy("id_b").agg(
+        F.min("id_a").alias("dup_of"),
+        F.min_by("cos_sim", "id_a").alias("cos_to_dup"),
+    )
+    return (
+        assigned.join(
+            dup_of, assigned[id_col] == dup_of["id_b"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("dup_of"),
+            F.col("cos_to_dup"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    para_words: int = 10,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level deduplication with document
+    reassembly — the sub-document dedup step of the MassiveText / CCNet
+    pipelines: repeated boilerplate paragraphs are removed everywhere but
+    their first occurrence while the surrounding unique prose survives
+    (document-level dedup would keep or kill whole docs only).
+
+    Paragraph = each consecutive run of ``para_words`` whitespace tokens
+    (the fixtures carry no newline structure; a real corpus would split
+    on blank lines — same plan, different splitter). First occurrence =
+    the corpus-minimum (doc_id, para_idx) per distinct paragraph text,
+    an order-free survivor rule.
+
+    Plan: one explode to (doc, idx, para), one keep-first window keyed by
+    the paragraph value (the dedup shuffle — keyed by content, exactly
+    like exact_dedup), one groupBy(doc) to reassemble. Docs losing every
+    paragraph keep a spine row with an empty rebuilt text.
+
+    Returns (id, n_paras, n_kept, dedup_text).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != ""
+    )
+    n_paras = F.ceil(F.size(toks) / F.lit(para_words)).cast("int")
+    # guard: sequence(0, -1) would DESCEND, so empty docs get an empty
+    # paragraph array instead
+    para_arr = F.when(
+        F.col("__np") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__np") - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("__t"), i * para_words + 1, para_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    paras = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks.alias("__t"), n_paras.alias("__np"))
+        .select(
+            id_col, "__np",
+            F.posexplode(para_arr).alias("para_idx", "ptext"),
+        )
+    )
+    w = Window.partitionBy("ptext").orderBy(
+        F.col(id_col).asc(), F.col("para_idx").asc()
+    )
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "ptext"))),
+                lambda s: s.getField("ptext"),
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    spine = df.select(F.col(id_col), n_paras.alias("n_paras"))
+    return (
+        spine.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -3331,9 +3331,10 @@ _IVF_DIST = (
 )
 
 
-def _ivf_oracle_sql(
-    n_clusters=8, n_iters=2, n_probe=3, k=5, dim=64, scoring="cosine"
-) -> str:
+def _det_kmeans_ctes(n_clusters=8, n_iters=2, dim=64) -> list[str]:
+    """The unrolled deterministic-Lloyd CTE chain ending at
+    ``final_assign`` — shared by the IVF/IVF-PQ oracles and the
+    semantic-dedup oracle (same quantizer, same replay)."""
     dist_ec = _IVF_DIST.format(v="e.embedding", c="c.centroid")
     ctes = [
         f"""cent0 AS (
@@ -3382,6 +3383,14 @@ def _ivf_oracle_sql(
         FROM embeddings e CROSS JOIN {final} c
       ) WHERE rn = 1
     )""")
+    return ctes
+
+
+def _ivf_oracle_sql(
+    n_clusters=8, n_iters=2, n_probe=3, k=5, dim=64, scoring="cosine"
+) -> str:
+    ctes = _det_kmeans_ctes(n_clusters, n_iters, dim)
+    final = f"cent{n_iters}"
     dist_qc = _IVF_DIST.format(v="q.embedding", c="c.centroid")
     ctes.append(f"""probes AS (
       SELECT qid, qvec, cluster FROM (
@@ -8977,6 +8986,107 @@ def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle_sql(
+    threshold=0.95, n_clusters=8, n_iters=2, dim=64
+) -> str:
+    """SemDeDup replay: the shared deterministic-Lloyd CTE chain, then
+    exhaustive within-cluster cosine pairs and the order-free
+    lowest-id-near-neighbor prune rule."""
+    ctes = _det_kmeans_ctes(n_clusters, n_iters, dim)
+    cos = (
+        f"ROUND({_duck_dot('a.embedding', 'b.embedding')}"
+        f" / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6)"
+    )
+    ctes.append(f"""pairs AS (
+      SELECT * FROM (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a, {cos} AS cos_sim
+        FROM final_assign a JOIN final_assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      ) WHERE cos_sim >= {threshold}
+    )""")
+    ctes.append("""dups AS (
+      SELECT id_b AS vec_id, MIN(id_a) AS dup_of,
+             MIN_BY(cos_sim, id_a) AS cos_to_dup
+      FROM pairs GROUP BY id_b
+    )""")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT f.vec_id, f.cluster, d.dup_of, d.cos_to_dup,
+           (d.dup_of IS NULL) AS is_kept
+    FROM final_assign f LEFT JOIN dups d ON d.vec_id = f.vec_id
+    """
+
+
+@register("dedup_semantic_ivf", oracle=_semantic_dedup_oracle_sql(threshold=0.4))
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space semantic dedup (the SemDeDup shape): deterministic
+    k-means cells, exhaustive within-cell cosine, prune every vector with
+    a lower-id near neighbor (dedup.semantic_dedup). The full iterative
+    quantizer + prune decision is hash-verified against the unrolled SQL
+    replay — same evidence standard as simsearch_ivf_det_topk. Threshold
+    0.4 per the fixture's near-orthogonal geometry (see dedup_cosine_near);
+    19 of the corpus's 59 over-threshold pairs co-cluster at k=8 — the
+    in-cell-exhaustive / cross-cell-missed recall trade the SemDeDup
+    formulation explicitly accepts (tighter cells raise recall)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_clusters=8, n_iters=2)
+
+
+@register(
+    "dedup_paragraphs_rebuild",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    spine AS (
+      SELECT doc_id, CAST(ceil(len(t) / 10.0) AS INT) AS n_paras, t
+      FROM toks
+    ),
+    paras AS (
+      SELECT doc_id, u.para_idx, u.ptext FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, CAST(n_paras AS BIGINT)),
+                 i -> struct_pack(para_idx := i,
+                        ptext := array_to_string(
+                          t[(i*10+1):(i*10+10)], ' ')))) AS u
+        FROM spine
+      )
+    ),
+    kept AS (
+      SELECT doc_id, para_idx, ptext FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY ptext ORDER BY doc_id, para_idx) AS rn
+        FROM paras
+      ) WHERE rn = 1
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(ptext, ' ' ORDER BY para_idx) AS dedup_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.dedup_text, '') AS dedup_text
+    FROM spine s LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+    """,
+)
+def dedup_paragraphs_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup with document reassembly
+    (dedup.paragraph_dedup) — the MassiveText/CCNet sub-document dedup:
+    repeated paragraphs survive only at their corpus-first (doc, idx)
+    occurrence; each document is rebuilt from its surviving paragraphs in
+    order (spine-preserving: fully-deduped docs keep a row)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.dedup import paragraph_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, para_words=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -9002,7 +9112,9 @@ def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r06: the volume/path stock statistics added late in r05 (ind_obv_vwap,
 # ind_drawdown_peak, w_weekly_ohlc, a26_acf_lags, a27_sharpe_diff,
 # ml_ks_2sample, g3_bfs_hops, text_bigram_logprob, a28_entropy_by_group,
-# ml_lift_table — all green in the local sf0.01 AND sf0.1 oracle replay).
+# ml_lift_table — all green in the local sf0.01 AND sf0.1 oracle replay),
+# and the late-r05 dedup pair dedup_semantic_ivf (SemDeDup) +
+# dedup_paragraphs_rebuild (paragraph-level dedup with reassembly).
 #
 # r06 window backlog (green driver verdicts exist for all of these, but
 # they are r02-stale and should rotate through): w3_lead_label,

@@ -287,3 +287,52 @@ def test_exact_substring_doc_freq_cap_drops_boilerplate(spark):
     assert capped.count() == 0
     uncapped = exact_substring_pairs(docs, window=11, max_doc_freq=10)
     assert uncapped.count() == 3  # all three pairs share 'boilerplate'
+
+
+def test_paragraph_dedup_removes_repeats_keeps_first(spark):
+    # 10-word paragraphs; doc 1 para0 == doc 2 para0; doc 2 para1 unique
+    p = " ".join(f"w{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=p), Row(doc_id=2, text=p + " " + uniq)]
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(df).collect()}
+    assert out[1]["n_paras"] == 1 and out[1]["n_kept"] == 1
+    assert out[1]["dedup_text"] == p
+    # doc 2 loses the repeated opening paragraph, keeps the unique one
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == uniq
+
+
+def test_paragraph_dedup_within_doc_and_spine(spark):
+    p = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=7, text=p + " " + p),  # self-repeat inside one doc
+            Row(doc_id=8, text="   "),        # whitespace-only doc
+        ]
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(df).collect()}
+    assert out[7]["n_paras"] == 2 and out[7]["n_kept"] == 1
+    assert out[7]["dedup_text"] == p
+    assert out[8]["n_paras"] == 0 and out[8]["n_kept"] == 0
+    assert out[8]["dedup_text"] == ""
+
+
+def test_semantic_dedup_prunes_lower_id_neighbor(spark):
+    # two near-identical vectors + two far ones; 1 cluster makes the
+    # in-cell comparison exhaustive, so the pair MUST be found
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0, 0.0]),   # ~cos 0.9999 to 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["vec_id"]: r for r in
+           D.semantic_dedup(df, threshold=0.95, n_clusters=1, n_iters=1)
+           .collect()}
+    assert out[1]["is_kept"] and out[1]["dup_of"] is None
+    assert not out[2]["is_kept"] and out[2]["dup_of"] == 1
+    assert out[2]["cos_to_dup"] >= 0.95
+    assert out[3]["is_kept"] and out[4]["is_kept"]
