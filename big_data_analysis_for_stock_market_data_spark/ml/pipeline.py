@@ -497,3 +497,137 @@ def string_index(
     )
     joined = df.join(F.broadcast(mapping), on=col, how="left")
     return joined.withColumn(out, F.coalesce(F.col(out), F.lit(-1)))
+
+
+def train_lda_topics(
+    docs: DataFrame,
+    k: int = 5,
+    max_iter: int = 10,
+    vocab_size: int = 256,
+    top_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Seeded LDA topic model with a DETERMINISTIC vectorizer: the
+    vocabulary is ranked (count DESC, term ASC) — CountVectorizer's
+    frequency ties break on partition order, which silently reshuffles
+    feature indices between runs (same hazard ml/pipeline.string_index
+    fixes for StringIndexer) — and each document's term-frequency vector
+    is assembled JVM-side (map_from_entries → bounded dense array →
+    ``array_to_vector``; no Python UDF). LDA(online, seeded) then runs
+    distributed variational EM, one corpus pass per iteration.
+
+    Returns the topic description table (topic, term_rank, term, weight)
+    for the ``top_terms`` heaviest terms per topic. Rows-only by nature
+    (float EM has no SQL twin); shape AND run-to-run determinism are
+    pinned in test_ml.
+
+    Scale: the vocab ranking is one count-shuffle + a |vocab|-row window
+    (vocab_size bounded); the TF assembly is one explode + one grouped
+    collect keyed by document — the same shuffles any distributed
+    vectorizer pays."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("__tokens"),
+    )
+    terms = toks.select(
+        id_col, F.explode("__tokens").alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__n"))
+    w_vocab = Window.orderBy(F.desc("__n"), F.asc("term"))
+    vocab_df = (
+        counts.withColumn("term_idx", F.row_number().over(w_vocab) - 1)
+        .filter(F.col("term_idx") < vocab_size)
+        .select("term_idx", "term")
+    )
+    n_vocab = min(vocab_size, vocab_df.count())
+    per_doc = (
+        terms.join(F.broadcast(vocab_df), "term")
+        .groupBy(id_col, "term_idx")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term_idx", "__tf"))
+            ).alias("__m")
+        )
+    )
+    tf = per_doc.select(
+        array_to_vector(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_vocab - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)
+                ),
+            )
+        ).alias("__tf_vec")
+    )
+    lda = LDA(
+        k=k, maxIter=max_iter, seed=seed, featuresCol="__tf_vec",
+        optimizer="online",
+    )
+    lda_model = strip_training_summaries(lda.fit(tf))
+    topics = lda_model.describeTopics(top_terms)
+    exploded = topics.select(
+        "topic",
+        F.posexplode(
+            F.arrays_zip("termIndices", "termWeights")
+        ).alias("term_rank", "z"),
+    ).select(
+        "topic",
+        "term_rank",
+        F.col("z.termIndices").alias("term_idx"),
+        F.col("z.termWeights").alias("weight"),
+    )
+    return (
+        exploded.join(F.broadcast(vocab_df), "term_idx")
+        .select("topic", "term_rank", "term", "weight")
+        .orderBy("topic", "term_rank")
+    )
+
+
+def train_als_recommend(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    rank: int = 4,
+    max_iter: int = 5,
+    reg: float = 0.1,
+    k: int = 3,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Seeded implicit-preference ALS + top-k item recommendations per
+    user — the collaborative-filtering workhorse (distributed alternating
+    least squares; each half-step solves per-entity normal equations from
+    a co-partitioned ratings block — Spark ML's blocked ALS). Returns
+    (user, rec_rank, item, score) rows. Rows-only by nature (iterative
+    float factorization); shape pinned in test_ml."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    als = ALS(
+        rank=rank, maxIter=max_iter, regParam=reg, seed=seed,
+        userCol=user_col, itemCol=item_col, ratingCol=rating_col,
+        implicitPrefs=True, coldStartStrategy="drop",
+        nonnegative=True,
+    )
+    model = strip_training_summaries(als.fit(ratings))
+    recs = model.recommendForAllUsers(k)
+    return recs.select(
+        F.col(user_col),
+        F.posexplode("recommendations").alias("rec_rank", "rec"),
+    ).select(
+        user_col,
+        "rec_rank",
+        F.col(f"rec.{item_col}").alias("item"),
+        F.col("rec.rating").alias("score"),
+    ).orderBy(user_col, "rec_rank")

@@ -9087,6 +9087,133 @@ def dedup_paragraphs_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs, para_words=10)
 
 
+@register(
+    "s_binaryfile_scan",
+    # same synthesized-container arithmetic as mm_container_headers,
+    # restricted to the written id range — what this entry adds is the
+    # SOURCE: blobs go to one-file-per-asset on disk from the executors
+    # and come back through Spark's binaryFile format, so a green hash
+    # proves bytes survived the write -> file -> binaryFile-scan loop
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, strlen(text) AS len FROM documents WHERE doc_id < 120
+    ),
+    png AS (
+      SELECT doc_id,
+             1 + doc_id % 128 AS w, 1 + doc_id % 96 AS h,
+             1 + (len % 512) AS data_bytes
+      FROM s WHERE doc_id % 4 = 0
+    ),
+    wav AS (
+      SELECT doc_id,
+             8000 + (doc_id % 5) * 2000 AS rate,
+             CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS ch,
+             ((len + 3) // 4) * 4 AS data_bytes
+      FROM s WHERE doc_id % 2 = 1
+    ),
+    bmp AS (
+      SELECT doc_id,
+             1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h
+      FROM s WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0
+    )
+    SELECT doc_id, 'wav' AS container,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(data_bytes // (ch * 2) AS BIGINT) AS n_samples,
+           CAST(round((data_bytes // (ch * 2)) * 1000000.0 / rate)
+                AS BIGINT) AS duration_micros,
+           CAST(NULL AS BIGINT) AS width,
+           CAST(NULL AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS bpp,
+           CAST(data_bytes AS BIGINT) AS data_bytes
+    FROM wav
+    UNION ALL
+    SELECT doc_id, 'bmp', NULL, NULL, NULL, NULL, NULL,
+           CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(24 AS BIGINT),
+           CAST(((w * 3 + 3) // 4) * 4 * h AS BIGINT)
+    FROM bmp
+    UNION ALL
+    SELECT doc_id, 'png', NULL, NULL, NULL, NULL, NULL,
+           CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(24 AS BIGINT),
+           CAST(data_bytes AS BIGINT)
+    FROM png
+    ORDER BY doc_id
+    """,
+)
+def s_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` SOURCE end-to-end: synthesized media containers
+    are written one-file-per-asset from the executors
+    (sources/io.write_binary_files), scanned back via
+    ``spark.read.format("binaryFile")`` with a pathGlobFilter, ids
+    recovered from the file path, and the real chunk-walking parser
+    (multimodal.parse_container_headers) runs on the scanned ``content``
+    column — the full loop a multimodal lakehouse ingest performs."""
+    import tempfile
+
+    from big_data_analysis_for_stock_market_data_spark.operators import multimodal as mm
+    from big_data_analysis_for_stock_market_data_spark.sources.io import (
+        read_binary_files,
+        write_binary_files,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_binfiles_")
+    synth = mm.synthesize_containers(docs, id_col="doc_id")
+    write_binary_files(synth, out_dir, id_col="doc_id")
+    scanned = read_binary_files(spark, out_dir).select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return mm.parse_container_headers(scanned, id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+@register("ml_lda_topics")
+def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed topic modeling (ml/pipeline.train_lda_topics): seeded
+    online-EM LDA over the documents corpus via Tokenizer →
+    CountVectorizer → LDA; returns the per-topic top-term table with the
+    vocabulary resolved back to words. Rows-only by contract (iterative
+    variational inference has no SQL twin); determinism + shape pinned
+    in test_ml."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import train_lda_topics
+
+    docs = load(spark, sf_dir, "documents")
+    return train_lda_topics(docs, k=5, max_iter=10, top_terms=5)
+
+
+@register("ml_als_recommend")
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked alternating least squares (ml/pipeline.train_als_recommend)
+    on the customer x part purchase matrix (orders ⋈ lineitem, rating =
+    summed quantity), implicit preferences, top-3 recommendations per
+    user. Rows-only by contract (iterative float factorization); shape
+    pinned in test_ml."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import train_als_recommend
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    ratings = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    return train_als_recommend(ratings, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.

@@ -362,3 +362,43 @@ def observed_write(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return obs.get
+
+
+def write_binary_files(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    suffix: str = ".bin",
+) -> None:
+    """One file per row, written FROM THE EXECUTORS (foreachPartition) —
+    the standard one-object-per-asset layout multimodal corpora ship as,
+    and the shape ``spark.read.format("binaryFile")`` expects back. Each
+    task writes only its own partition's blobs; nothing visits the
+    driver. In the sandbox ``out_dir`` is a local path shared by the
+    single JVM; on a cluster it is an object-store/DFS URI (same code —
+    open() becomes the FS client of the deployment)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows) -> None:
+        for r in rows:
+            p = os.path.join(out_dir, f"{r[id_col]}{suffix}")
+            with open(p, "wb") as f:
+                f.write(bytes(r[payload_col]))
+
+    df.select(id_col, payload_col).foreachPartition(write_part)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.bin",
+) -> DataFrame:
+    """Spark's ``binaryFile`` source: (path, modificationTime, length,
+    content) per file, with directory parallelism and pathGlobFilter
+    pushdown — the scan side of the multimodal blob pipeline."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

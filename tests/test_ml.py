@@ -379,3 +379,43 @@ def test_rf_train_after_observation_regression(spark, labeled_df, tmp_path):
     assert not any(
         getattr(s, "hasSummary", False) for s in fit.model.stages
     )
+
+
+def test_lda_topics_shape_and_determinism(spark):
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import train_lda_topics
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 7} w{i % 3} delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    t1 = train_lda_topics(docs, k=3, max_iter=5, top_terms=4).collect()
+    assert len(t1) == 12  # 3 topics x 4 terms
+    assert {r["topic"] for r in t1} == {0, 1, 2}
+    assert all(r["weight"] > 0 for r in t1)
+    # same seed, same data -> identical topic table
+    t2 = train_lda_topics(docs, k=3, max_iter=5, top_terms=4).collect()
+    assert [(r["topic"], r["term_rank"], r["term"]) for r in t1] == [
+        (r["topic"], r["term_rank"], r["term"]) for r in t2
+    ]
+
+
+def test_als_recommend_shape(spark):
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import train_als_recommend
+
+    # 6 users x 5 items with a planted preference block
+    rows = []
+    for u in range(6):
+        for i in range(5):
+            if (u < 3) == (i < 3):  # block structure
+                rows.append((u, i, 5.0))
+            elif i == 4:
+                rows.append((u, i, 1.0))
+    ratings = spark.createDataFrame(rows, "user int, item int, rating float")
+    recs = train_als_recommend(ratings, k=2, max_iter=5).collect()
+    by_user = {}
+    for r in recs:
+        by_user.setdefault(r["user"], []).append(r)
+    assert set(by_user) == set(range(6))
+    for u, rs in by_user.items():
+        assert [r["rec_rank"] for r in rs] == [0, 1]
+        assert all(r["score"] >= 0 for r in rs)

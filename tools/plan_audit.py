@@ -87,6 +87,10 @@ DRIVER_ACTION_OK = {
     "ml_cv_rf_grid",
     "ml_rdd_compat_rf",
     "ml_rf_confusion",
+    # r05 additions: LDA trains (plus a bounded vocab-size .count());
+    # ALS trains
+    "ml_lda_topics",
+    "ml_als_recommend",
 }
 DRIVER_ACTION_OK_PREFIXES = ("stream_", "stock_fe", "stock_rf")
 
@@ -99,6 +103,7 @@ EXCHANGE_BUDGET = {
     "dedup_minhash_md5": 12,
     "simsearch_ivf_det_topk": 40,  # unrolled Lloyd iterations (deliberate)
     "simsearch_ivfpq_det_topk": 40,  # same Lloyd unroll + PQ encode
+    "dedup_semantic_ivf": 40,      # same Lloyd unroll + in-cell pair join
     "q21_sole_late_supplier": 12,  # 4-way join + semi + anti branches
     "a11_funnel_conversion": 13,   # per step: event shuffle + agg + join
     "w_rolling_active_users": 11,  # islands + deltas + 2-phase prefix sum
