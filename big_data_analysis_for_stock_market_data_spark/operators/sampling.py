@@ -238,3 +238,63 @@ def rebalance_hash_sample(
         .filter(bkt < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tau: float = 0.5,
+    seed: int = DEFAULT_SEED,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: group g's target share ∝
+    n_g^tau — the multilingual/domain rebalancing rule of multilingual
+    LM recipes (tau=1 keeps natural proportions, tau→0 approaches the
+    equal-share mix of ``rebalance_hash_sample``), realized at the
+    LARGEST feasible total (the binding group is kept whole, every other
+    group thinned toward its share).
+
+    Engine-exact by construction: weights quantize once to integer
+    micro-units (``round(n^tau * 1e6)`` — for the default tau=0.5 the
+    power is ``sqrt``, correctly rounded per IEEE 754 on every engine),
+    and because n^tau is monotone in n the binding group is simply the
+    smallest (tau<1) or largest (tau>1) group — no float ratio compare.
+    The keep threshold ``floor(buckets·w_g·n_m / (w_m·n_g))`` is then
+    pure BIGINT arithmetic, and membership is the md5 split_bucket
+    formula: stable under repartitioning, replayable by any engine.
+    (At >1e9-row groups the BIGINT products need DECIMAL(38,0) — widen
+    the casts, the formula is unchanged.)
+
+    Plan: one small grouped count, one 1-row binding-group aggregate
+    broadcast back, one broadcast threshold join; the fact table is
+    scanned once, never shuffled."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    n = F.col("__n")
+    w_raw = F.sqrt(n) if tau == 0.5 else F.pow(n, F.lit(float(tau)))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.select(
+        group_col, "__n",
+        F.round(w_raw * 1_000_000.0).cast("long").alias("__w"),
+    )
+    pick = F.min_by if tau < 1 else F.max_by
+    binding = weighted.agg(
+        pick(F.struct(F.col("__n").alias("nm"), F.col("__w").alias("wm")),
+             F.col("__n")).alias("__b")
+    ).select(F.col("__b.nm").alias("__nm"), F.col("__b.wm").alias("__wm"))
+    thr = (
+        weighted.crossJoin(F.broadcast(binding))
+        .select(
+            group_col,
+            F.expr(
+                f"CAST({buckets} AS BIGINT) * __w * __nm DIV (__wm * __n)"
+            ).alias("__thr"),
+        )
+    )
+    bkt = split_bucket(F.col(key_col), seed, buckets)
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(bkt < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -9214,6 +9214,48 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_als_recommend(ratings, k=3)
 
 
+@register(
+    "samp_temperature_mix",
+    # tau=0.5 temperature mix: weights quantize to round(sqrt(n)*1e6)
+    # (sqrt is IEEE-correctly-rounded on both engines), the binding group
+    # is the smallest by monotonicity, and the keep threshold
+    # floor(10000*w_g*n_m/(w_m*n_g)) is pure BIGINT arithmetic — no
+    # float boundary anywhere past the one quantization
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n,
+             CAST(round(sqrt(n) * 1000000.0) AS BIGINT) AS wq
+      FROM c
+    ),
+    m AS (SELECT n AS nm, wq AS wm FROM w ORDER BY n, lang LIMIT 1),
+    thr AS (
+      SELECT lang,
+             (10000 * wq * m.nm) // (m.wm * n) AS thr
+      FROM w, m
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN thr ON thr.lang = d.lang
+    WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))
+               AS BIGINT) % 10000 < thr.thr
+    ORDER BY d.doc_id
+    """,
+)
+def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled LANGUAGE mixing at tau=0.5
+    (operators/sampling.temperature_mix): per-language keep rates follow
+    n^0.5 shares — the multilingual-LM rebalancing rule between natural
+    proportions (tau=1) and equal shares (tau→0) — with the binding
+    (smallest: fr) language kept whole while dominant en is thinned
+    toward its tempered share. Membership is the md5 split_bucket
+    formula; the whole mix is replayable from (key, seed, counts)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents")
+    out = sp.temperature_mix(docs, "lang", "doc_id", tau=0.5, seed=42)
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.

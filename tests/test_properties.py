@@ -430,3 +430,36 @@ def test_rebalance_explicit_shares_keeps_binding_group_whole(spark):
         by_g.setdefault(r["g"], set()).add(r["k"])
     assert by_g["b"] == {1000 + i for i in range(10)}
     assert 0 < len(by_g.get("a", set())) < 100
+
+
+def test_temperature_mix_formula_and_binding_group(spark):
+    import math
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import split_bucket
+    from big_data_analysis_for_stock_market_data_spark.operators import sampling as sp
+
+    rows = [Row(k=i, g="big") for i in range(400)] + [
+        Row(k=1000 + i, g="small") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows)
+    out = sp.temperature_mix(df, "g", "k", tau=0.5, seed=7)
+    got = {r["k"] for r in out.collect()}
+    # replay: w = round(sqrt(n)*1e6); thr_g = 10000*w_g*n_m // (w_m*n_g)
+    w = {g: round(math.sqrt(n) * 1e6) for g, n in (("big", 400), ("small", 25))}
+    thr = {
+        g: 10_000 * w[g] * 25 // (w["small"] * n)
+        for g, n in (("big", 400), ("small", 25))
+    }
+    assert thr["small"] == 10_000  # binding group kept whole
+    assert 0 < thr["big"] < 10_000  # dominant group genuinely thinned
+    expected = {
+        r["k"]
+        for r in df.withColumn("b", split_bucket(F.col("k"), 7)).collect()
+        if r["b"] < thr[r["g"]]
+    }
+    assert got == expected
+    # tau=1 keeps natural proportions: nothing is dropped
+    assert sp.temperature_mix(df, "g", "k", tau=1.0, seed=7).count() == 425
