@@ -922,3 +922,41 @@ def resample_ohlc(df: DataFrame, partition_by="symbol", order_by="date",
 
 def _as_seq(partition_by) -> Sequence[str]:
     return [partition_by] if isinstance(partition_by, str) else list(partition_by)
+
+
+def rolling_median_band(
+    df: DataFrame,
+    price: str = "value",
+    partition_by: str | Sequence[str] = "user_id",
+    order_by: str = "ts",
+    n: int = 15,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Rolling-median filter with a robust quantile band (p25/p75) over an
+    ``n``-row trailing frame — the outlier-robust alternative to
+    SMA/Bollinger (one bad tick shifts a mean by x/n but usually leaves
+    the median untouched). Exact linear-interpolation percentiles
+    (``percentile``/``quantile_cont`` — index p·(n−1), the definition
+    every engine shares), quantized to integer micro-units so the
+    interpolated float is hash-portable.
+
+    One partition-keyed window shuffle shared by all three statistics;
+    the frame sort is the same one the closed-form indicator family
+    already pays (indicators.py design note)."""
+    fr = (
+        Window.partitionBy(*_as_seq(partition_by))
+        .orderBy(order_by)
+        .rowsBetween(-(n - 1), 0)
+    )
+
+    def q(p: float, alias: str) -> Column:
+        return (
+            F.round(F.percentile(F.col(price), F.lit(p)).over(fr) * quantize)
+            .cast("long")
+            .alias(alias)
+        )
+
+    return df.select(
+        *_as_seq(partition_by), order_by, price,
+        q(0.5, "med_micros"), q(0.25, "p25_micros"), q(0.75, "p75_micros"),
+    )

@@ -9256,6 +9256,207 @@ def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang").orderBy("doc_id")
 
 
+@register(
+    "ind_rolling_median",
+    # exact interpolated percentiles over the shared 15-row frame,
+    # quantized to integer micros (the true values are exact multiples of
+    # 2.5e-3 — double noise is orders of magnitude below the rounding
+    # step, so the integer is engine-exact)
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CAST(round(median(value) OVER fr * 1000000.0) AS BIGINT)
+             AS med_micros,
+           CAST(round(quantile_cont(value, 0.25) OVER fr * 1000000.0)
+                AS BIGINT) AS p25_micros,
+           CAST(round(quantile_cont(value, 0.75) OVER fr * 1000000.0)
+                AS BIGINT) AS p75_micros
+    FROM events
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ind_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-median filter + robust p25/p75 band
+    (operators/indicators.rolling_median_band) — the outlier-robust
+    smoother the mean-based indicator family lacks; one shared
+    symbol-partitioned window shuffle for all three statistics."""
+    from big_data_analysis_for_stock_market_data_spark.operators.indicators import (
+        rolling_median_band,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_median_band(ev, n=15)
+    return ev.select("event_id", "user_id", "ts", "value").join(
+        out.select("user_id", "ts", "med_micros", "p25_micros", "p75_micros"),
+        ["user_id", "ts"],
+    )
+
+
+@register(
+    "fn_bitmap_suite",
+    # bitmap distinct is EXACT (a positional bitmap, not a sketch): the
+    # oracle is plain COUNT(DISTINCT); the Spark side additionally
+    # proves MERGEABILITY by building per-(priority,status) bitmaps and
+    # OR-merging them up to priority level
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def fn_bitmap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-aggregate distinct counting (bitmap_bit_position →
+    bitmap_construct_agg → bitmap_or_agg → bitmap_count): EXACT distinct
+    via positional bitmaps, built per sub-group and OR-MERGED up a level
+    — the mergeable-exact-distinct layout (per-partition/day bitmaps
+    rolled into totals without rescanning) that sits between plain
+    COUNT(DISTINCT) (one monolithic shuffle) and HLL (approximate)."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__bm_orders")
+    return spark.sql("""
+        WITH leaf AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+          FROM __bm_orders
+          GROUP BY o_orderpriority, o_orderstatus
+        )
+        SELECT o_orderpriority,
+               CAST(bitmap_count(bitmap_or_agg(bm)) AS BIGINT)
+                 AS n_distinct_cust
+        FROM leaf
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+@register(
+    "fn_sql_udf",
+    # the SQL-UDF body is pure expression logic, so the oracle inlines it
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >= 30000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           round(o_totalprice * (1.0 - 0.04), 2) AS discounted
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL user-defined functions (CREATE TEMPORARY FUNCTION ... RETURN
+    expr): user extensibility WITHOUT leaving the JVM — the function body
+    inlines into the Catalyst plan (codegen'd, pushdown-transparent),
+    unlike a Python UDF which walls off the optimizer. Two scalar UDFs
+    (banding + discount arithmetic) registered and applied in one
+    projection."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__udf_orders")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION size_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 150000 THEN 'large'
+                    WHEN p >= 30000 THEN 'mid'
+                    ELSE 'small' END
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION apply_discount(
+            p DOUBLE, rate DOUBLE)
+        RETURNS DOUBLE
+        RETURN round(p * (1.0 - rate), 2)
+    """)
+    return spark.sql("""
+        SELECT o_orderkey,
+               size_band(o_totalprice) AS size_band,
+               apply_discount(o_totalprice, 0.04) AS discounted
+        FROM __udf_orders
+        ORDER BY o_orderkey
+    """)
+
+
+@register(
+    "fn_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_totalprice < 50000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql named-argument binding) + the
+    IDENTIFIER clause for safe dynamic table references — the
+    injection-proof form of dynamic SQL (values bind as literals in the
+    parse tree, identifiers go through the resolver, neither through
+    string concatenation)."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice < :cap
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "__param_orders", "cap": 50000.0},
+    )
+
+
+@register(
+    "ps_pandas_api",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (pyspark.pandas): a pandas-shaped groupby
+    aggregation that compiles to the SAME distributed Catalyst plan as
+    the DataFrame form — the migration surface for pandas codebases. The
+    exact-decimal sum is injected as a pre-scaled integer column (pandas
+    semantics have no decimal cast), then the result converts back via
+    to_spark()."""
+    import pyspark.pandas as ps
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        # exact-decimal trick under pandas semantics: sum integer
+        # hundredths, descale once
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("__cents"),
+    )
+    pdf = orders.pandas_api()
+    agg = pdf.groupby("o_orderstatus").agg(
+        n_orders=("o_totalprice", "count"),
+        cents=("__cents", "sum"),
+        max_price=("o_totalprice", "max"),
+    )
+    out = agg.reset_index().to_spark()
+    return out.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("cents") / 100.0).alias("sum_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    ).orderBy("o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -9282,8 +9483,10 @@ def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ind_drawdown_peak, w_weekly_ohlc, a26_acf_lags, a27_sharpe_diff,
 # ml_ks_2sample, g3_bfs_hops, text_bigram_logprob, a28_entropy_by_group,
 # ml_lift_table — all green in the local sf0.01 AND sf0.1 oracle replay),
-# and the late-r05 dedup pair dedup_semantic_ivf (SemDeDup) +
-# dedup_paragraphs_rebuild (paragraph-level dedup with reassembly).
+# and the late-r05 additions: dedup_semantic_ivf (SemDeDup) +
+# dedup_paragraphs_rebuild (paragraph-level dedup with reassembly) +
+# s_binaryfile_scan (binaryFile source loop) + samp_temperature_mix
+# (tau=0.5 language mix); ml_lda_topics + ml_als_recommend are rows-only.
 #
 # r06 window backlog (green driver verdicts exist for all of these, but
 # they are r02-stale and should rotate through): w3_lead_label,

@@ -39,6 +39,10 @@ NESTED_LOOP_OK = {
     "simsearch_pq_topk",
     "simsearch_ivfpq_det_topk",
     "dedup_cosine_near",
+    "dedup_semantic_ivf",  # broadcast-centroid assignment, IVF pattern
+    # recommendForAllUsers crosses the blocked user/item FACTOR matrices
+    # (rank-4 rows) — the blocked-outer-product top-k is the algorithm
+    "ml_als_recommend",
     # scalar-subquery crosses: BroadcastNestedLoopJoin against a 1-row
     # aggregate is the correct global-threshold plan (TPC-H Q11/Q22 shape)
     "q11_important_parts",
@@ -56,6 +60,7 @@ NESTED_LOOP_OK = {
     "stream_interval_left_join",  # watermark-horizon 1-row agg x drain
     "stream_chained_rollup",      # same horizon 1-row agg x drain
     "samp_rebalance_sources",     # min-group-count 1-row agg x thresholds
+    "samp_temperature_mix",       # binding-group 1-row agg x thresholds
     "ml_ks_2sample",              # ECDF-totals 1-row agg x distinct values
     "text_bigram_logprob",        # token-total 1-row agg x scored bigrams
     "ml_lift_table",              # row/positive-totals 1-row agg x groups
@@ -103,7 +108,8 @@ EXCHANGE_BUDGET = {
     "dedup_minhash_md5": 12,
     "simsearch_ivf_det_topk": 40,  # unrolled Lloyd iterations (deliberate)
     "simsearch_ivfpq_det_topk": 40,  # same Lloyd unroll + PQ encode
-    "dedup_semantic_ivf": 40,      # same Lloyd unroll + in-cell pair join
+    "dedup_semantic_ivf": 56,      # Lloyd unroll + in-cell pair self-join
+                                   # + dup-of agg + spine join-back
     "q21_sole_late_supplier": 12,  # 4-way join + semi + anti branches
     "a11_funnel_conversion": 13,   # per step: event shuffle + agg + join
     "w_rolling_active_users": 11,  # islands + deltas + 2-phase prefix sum
