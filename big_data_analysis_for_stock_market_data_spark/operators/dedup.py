@@ -690,6 +690,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     round_to: int = 6,
+    max_cell_size: int | None = 2000,
 ) -> DataFrame:
     """Embedding-space semantic deduplication (the SemDeDup shape,
     Abbas et al. 2023): cluster the corpus with a k-means coarse
@@ -711,6 +712,18 @@ def semantic_dedup(
     Σ|cell|² — n_clusters must grow ∝ corpus/target_cell_size, exactly
     the IVF sizing rule. Cosine is rounded to ``round_to`` before the
     threshold test so the accept set is identical on every engine.
+
+    Degenerate-cell guard: a cell larger than ``max_cell_size`` (a mass
+    of boilerplate / zero vectors collapsing into one centroid) would
+    re-quadratize the within-cell comparison no matter how n_clusters was
+    sized. Such cells are deterministically sub-split by id hash into
+    chunks of ≤ ``max_cell_size`` and pairs are compared within a chunk
+    only, bounding per-cell pair cost at |cell|·max_cell_size (linear in
+    the cell). Recall trade (same as the LSH ``max_bucket_size`` cap):
+    cross-chunk pairs inside a degenerate cell are not compared — members
+    of such a cell are near-identical to thousands of others, and
+    exact/normalized dedup is the right tool for that mass. Healthy cells
+    (the sizing rule's target) are unaffected. ``None`` disables.
 
     Returns (id, cluster, dup_of, cos_to_dup, is_kept): ``dup_of`` is the
     LOWEST-id near neighbor for pruned rows (null for kept).
@@ -735,16 +748,31 @@ def semantic_dedup(
         .filter(F.col("__rn") == 1)
         .select(id_col, vec_col, "cluster")
     )
+    if max_cell_size is not None:
+        # Sub-split oversized cells: chunk id = hash(id) mod
+        # ceil(|cell|/cap). Healthy cells get n_chunks=1 (chunk 0 for
+        # every member — the pair join key degenerates to the cluster,
+        # zero behavior change); only degenerate cells fan out. One
+        # count aggregate per cell, broadcast back onto members.
+        sizes = assigned.groupBy("cluster").agg(
+            F.ceil(F.count(F.lit(1)) / max_cell_size).alias("__n_chunks")
+        )
+        assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__n_chunks")),
+        )
+    else:
+        assigned = assigned.withColumn("__chunk", F.lit(0))
     a = assigned.select(
-        F.col("cluster"), F.col(id_col).alias("id_a"),
+        F.col("cluster"), F.col("__chunk"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
     )
     b = assigned.select(
-        F.col("cluster"), F.col(id_col).alias("id_b"),
+        F.col("cluster"), F.col("__chunk"), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
     )
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "__chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to)

@@ -360,11 +360,14 @@ def vocab_coverage(
         .select("__tok", F.lit(True).alias("__in_vocab"))
     )
     scored = posting.join(F.broadcast(vocab), "__tok", "left")
+    # Integer-only output: (oov_tokens, total_tokens) is arithmetic-proof
+    # across engines and fetch paths; callers derive the rate themselves.
+    # (A double ratio column survives fetchall but not every Arrow/pandas
+    # export identically — keep verified surfaces integer-pure.)
     oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
     out = scored.groupBy(*by).agg(
         F.count(F.lit(1)).alias("total_tokens"),
-        oov.alias("oov_tokens"),
-        (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        oov.cast("long").alias("oov_tokens"),
     )
     return out.orderBy(*by) if by else out
 

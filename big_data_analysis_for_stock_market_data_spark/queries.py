@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from big_data_analysis_for_stock_market_data_spark.operators import aggregates as agg_ops
 from big_data_analysis_for_stock_market_data_spark.operators import joins as join_ops
@@ -2063,9 +2064,8 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.lang,
            COUNT(*) AS total_tokens,
-           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
-           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*) AS oov_rate
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens
     FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
     GROUP BY t.lang
     ORDER BY t.lang
@@ -2144,8 +2144,8 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(CAST(round(log10(f.cnt / n.n_total) * 1000000000.0)
-                    AS BIGINT)) AS sum_logp_nano
+           CAST(SUM(CAST(round(log10(f.cnt / n.n_total) * 1000000000.0)
+                    AS BIGINT)) AS BIGINT) AS sum_logp_nano
     FROM toks t
     JOIN freq f ON f.term = t.term
     CROSS JOIN n
@@ -4841,8 +4841,8 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id AS key, CAST(ts AS TIMESTAMP) AS ts, value,
            COUNT(*) OVER w AS n_so_far,
-           SUM(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
-             AS sum_micros,
+           CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
+                AS BIGINT) AS sum_micros,
            MAX(value) OVER w AS max_so_far
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -6098,7 +6098,7 @@ def j5_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binned plan must equal the plain theta join row-for-row
     oracle="""
     SELECT e.event_id, s.s_suppkey, e.value,
-           s.s_suppkey * 5.0 AS band_lo
+           CAST(s.s_suppkey * 5.0 AS DOUBLE) AS band_lo
     FROM events e
     JOIN supplier s
       ON e.value >= s.s_suppkey * 5.0
@@ -6736,12 +6736,17 @@ def _pagerank_oracle_sql(n_iters: int = 3, damping_pct: int = 85) -> str:
     )"""
     ]
     for t in range(n_iters):
+        # CAST each iteration's pr back to BIGINT: DuckDB's SUM(BIGINT)
+        # yields HUGEINT, which survives fetchall() exactly but exports as
+        # float64 through pandas/Arrow — a harness fetching that way would
+        # hash "x.0" against Spark's integer "x" (the r05 driver-red class).
         ctes.append(f"""pr{t + 1} AS (
       SELECT no.node,
-             {base} + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS pr
+             CAST({base} + ({damping_pct} * COALESCE(s.s, 0)) // 100
+                  AS BIGINT) AS pr
       FROM nodes no CROSS JOIN n
       LEFT JOIN (
-        SELECT e.v AS node, SUM(p.pr // d.outdeg) AS s
+        SELECT e.v AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS s
         FROM edges e
         JOIN deg d ON d.u = e.u
         JOIN pr{t} p ON p.node = e.u
@@ -6750,7 +6755,8 @@ def _pagerank_oracle_sql(n_iters: int = 3, damping_pct: int = 85) -> str:
     )""")
     return (
         "WITH " + ",\n    ".join(ctes)
-        + f"\n    SELECT node, pr AS pr_nano FROM pr{n_iters} ORDER BY node"
+        + f"\n    SELECT node, CAST(pr AS BIGINT) AS pr_nano"
+        + f" FROM pr{n_iters} ORDER BY node"
     )
 
 
@@ -7052,9 +7058,9 @@ def w_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (ts, event_id) total order
     oracle="""
     SELECT event_id, user_id, event_type,
-           SUM(is_first) OVER (
+           CAST(SUM(is_first) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS UNBOUNDED PRECEDING) AS n_distinct_so_far
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_so_far
     FROM (
       SELECT event_id, user_id, event_type, ts,
              CASE WHEN row_number() OVER (
@@ -8550,11 +8556,12 @@ def fn_xml_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     )
     SELECT event_id, user_id, ts,
-           SUM(CASE WHEN prev_v IS NULL THEN 0
+           CAST(SUM(CASE WHEN prev_v IS NULL THEN 0
                     WHEN value > prev_v THEN vol
                     WHEN value < prev_v THEN -vol ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv,
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS obv,
            CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(vol AS DECIMAL(12,0)))
                 OVER d AS DOUBLE)
              / CAST(NULLIF(SUM(vol) OVER d, 0) AS DOUBLE) AS vwap
@@ -8619,7 +8626,7 @@ def ind_drawdown_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
            arg_min(value, ts) AS open, MAX(value) AS high,
            MIN(value) AS low, arg_max(value, ts) AS close,
-           SUM(vol) AS volume, COUNT(*) AS n_rows
+           CAST(SUM(vol) AS BIGINT) AS volume, COUNT(*) AS n_rows
     FROM b
     GROUP BY user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)
     """,
@@ -8757,7 +8764,8 @@ def a27_sharpe_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (
       SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM pv
     )
-    SELECT MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b,
+    SELECT CAST(MAX(t.n_a) AS BIGINT) AS n_a,
+           CAST(MAX(t.n_b) AS BIGINT) AS n_b,
            MAX(ABS(CAST(cuma AS DOUBLE) / CAST(t.n_a AS DOUBLE)
                    - CAST(cumb AS DOUBLE) / CAST(t.n_b AS DOUBLE))) AS ks_stat
     FROM c CROSS JOIN t
@@ -8879,7 +8887,7 @@ def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     perdoc AS (
       SELECT p.doc_id, COUNT(*) AS n_bigrams,
-             SUM(s.logp_nano) AS sum_logp_nano
+             CAST(SUM(s.logp_nano) AS BIGINT) AS sum_logp_nano
       FROM pairs p JOIN scored s ON s.a = p.a AND s.b = p.b
       GROUP BY p.doc_id
     )
@@ -8919,11 +8927,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(c) OVER (PARTITION BY user_id) AS n
       FROM c
     )
-    SELECT user_id, MAX(n) AS n_rows, COUNT(*) AS n_classes,
-           SUM(CAST(round(
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_rows, COUNT(*) AS n_classes,
+           CAST(SUM(CAST(round(
              -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9
-           ) AS BIGINT)) AS entropy_nano
+           ) AS BIGINT)) AS BIGINT) AS entropy_nano
     FROM t GROUP BY user_id
     """,
 )
@@ -8964,8 +8972,11 @@ def a28_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
              cnt, npos, cum, cumpos, n, p
       FROM c CROSS JOIN t
     )
-    SELECT bucket, SUM(cnt) AS n_rows, SUM(npos) AS n_pos,
-           MAX(cum) AS cum_rows, MAX(cumpos) AS cum_pos,
+    SELECT bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(npos) AS BIGINT) AS n_pos,
+           CAST(MAX(cum) AS BIGINT) AS cum_rows,
+           CAST(MAX(cumpos) AS BIGINT) AS cum_pos,
            CAST(MAX(cumpos) AS DOUBLE) / CAST(MAX(p) AS DOUBLE) AS cum_gain,
            (CAST(MAX(cumpos) AS DOUBLE) / CAST(MAX(cum) AS DOUBLE))
              / (CAST(MAX(p) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)) AS cum_lift
@@ -9315,17 +9326,32 @@ def fn_bitmap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) (one monolithic shuffle) and HLL (approximate)."""
     orders = load(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__bm_orders")
+    # Keys shift by +1 because bitmap_bit_position(x) = (x-1) % 32768:
+    # key 0 maps to position -1, which bitmap_construct_agg silently
+    # DROPS (every group containing key 0 undercounted by one — the r05
+    # audit bug). Leaves also group by bitmap_bucket_number so two keys
+    # 32768 apart land in different bitmaps instead of colliding on the
+    # same bit; the rollup then OR-merges per (priority, bucket) and SUMS
+    # bitmap_count across buckets — the honest mergeable-exact-distinct
+    # layout at any key range.
     return spark.sql("""
         WITH leaf AS (
           SELECT o_orderpriority, o_orderstatus,
-                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+                 bitmap_bucket_number(o_custkey + 1) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey + 1))
+                   AS bm
           FROM __bm_orders
-          GROUP BY o_orderpriority, o_orderstatus
+          GROUP BY o_orderpriority, o_orderstatus,
+                   bitmap_bucket_number(o_custkey + 1)
+        ),
+        merged AS (
+          SELECT o_orderpriority, bkt, bitmap_or_agg(bm) AS bm
+          FROM leaf
+          GROUP BY o_orderpriority, bkt
         )
         SELECT o_orderpriority,
-               CAST(bitmap_count(bitmap_or_agg(bm)) AS BIGINT)
-                 AS n_distinct_cust
-        FROM leaf
+               CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust
+        FROM merged
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
@@ -9458,6 +9484,178 @@ def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Engine-fingerprint canaries (VERDICT r05 task 1). Five r05 entries were
+# driver-red yet green under every local replay; the reproduced mechanism is
+# DuckDB's integer-aggregate widening (SUM(BIGINT) -> HUGEINT), which is
+# exact through fetchall() — the local checker's path — but degrades to
+# float64 through a pandas/Arrow export, hashing "x.0" against Spark's "x".
+# Each canary isolates ONE divergence class with a constant expected output,
+# so the r06 scoreboard localizes any residual driver-vs-local gap instead
+# of sampling it. They are deliberately tiny (spark.range(1); VALUES
+# oracles) and sit at the head of the driver window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "diag_fp_hugeint",
+    # s_uncast is HUGEINT on the DuckDB side BY DESIGN: red here == the
+    # harness fetches oracle results through a path that widens/floats
+    # int128 (pandas .df() gives float64, Arrow gives decimal128) — the
+    # exact mechanism behind the five r05 reds. s_cast is the fixed form.
+    oracle="""
+    SELECT SUM(i) AS s_uncast, CAST(SUM(i) AS BIGINT) AS s_cast
+    FROM (VALUES (3), (4)) t(i)
+    """,
+)
+def diag_fp_hugeint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-path probe: does an uncast DuckDB integer SUM (HUGEINT)
+    survive the harness's oracle fetch as the integer 7, or degrade to
+    7.0? Spark side is the plain long constant either way."""
+    return spark.range(1).select(
+        F.lit(7).cast("long").alias("s_uncast"),
+        F.lit(7).cast("long").alias("s_cast"),
+    )
+
+
+@register(
+    "diag_fp_null_bigint",
+    # A nullable BIGINT column containing an actual NULL: pandas exports
+    # degrade it to float64 (NaN) on WHICHEVER side goes through pandas.
+    # Green == both sides canonicalize NULL-bearing int columns the same
+    # way; red == the harness fetches the two sides asymmetrically.
+    oracle="""
+    SELECT k, v FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(NULL AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(7 AS BIGINT))
+    ) t(k, v)
+    """,
+)
+def diag_fp_null_bigint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-path probe: NULL inside a long column (None vs NaN vs 7.0
+    canonicalization)."""
+    return spark.createDataFrame(
+        [(1, None), (2, 7)],
+        T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]),
+    )
+
+
+@register(
+    "diag_fp_libm",
+    # Both engines RUN their own log10/ln/log2/sqrt/pow here (nothing is
+    # constant-folded away on the DuckDB side); quantization at 1e9
+    # matches the registry's fixed-point contract. Red == the driver's
+    # DuckDB/libm build rounds one of these transcendentals differently
+    # from this sandbox's (the only arithmetic class that could still
+    # explain a text_*_logprob-style mismatch after the HUGEINT fix).
+    oracle="""
+    SELECT CAST(round(log10(CAST(3 AS DOUBLE) / 7) * 1e9) AS BIGINT)
+             AS log10_nano,
+           CAST(round(ln(CAST(3 AS DOUBLE) / 7) * 1e9) AS BIGINT)
+             AS ln_nano,
+           CAST(round(log2(CAST(3 AS DOUBLE) / 7) * 1e9) AS BIGINT)
+             AS log2_nano,
+           CAST(round(sqrt(CAST(3 AS DOUBLE) / 7) * 1e9) AS BIGINT)
+             AS sqrt_nano,
+           CAST(round(pow(CAST(3 AS DOUBLE) / 7, 1.5) * 1e9) AS BIGINT)
+             AS pow_nano
+    """,
+)
+def diag_fp_libm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """libm probe: JVM Math vs the oracle engine's libm on the same
+    rationals, quantized to integer nano-units like every fixed-point
+    entry in the registry."""
+    x = F.lit(3).cast("double") / F.lit(7)
+    def q(c):  # noqa: E306
+        return F.round(c * 1e9, 0).cast("long")
+    return spark.range(1).select(
+        q(F.log10(x)).alias("log10_nano"),
+        q(F.log(x)).alias("ln_nano"),
+        q(F.log2(x)).alias("log2_nano"),
+        q(F.sqrt(x)).alias("sqrt_nano"),
+        q(F.pow(x, F.lit(1.5))).alias("pow_nano"),
+    )
+
+
+@register(
+    "diag_fp_round_half",
+    # round-half semantics: Spark rounds doubles via exact BigDecimal
+    # HALF_UP, DuckDB half-away-from-zero on the double — identical for
+    # these probes (including 2.675*100 = 267.49999999999997, which must
+    # round DOWN in both: an engine that rounds the decimal literal, not
+    # the double, would say 268).
+    oracle="""
+    SELECT CAST(round(CAST(0.5 AS DOUBLE)) AS BIGINT) AS r_half,
+           CAST(round(CAST(2.5 AS DOUBLE)) AS BIGINT) AS r_two_half,
+           CAST(round(CAST(-2.5 AS DOUBLE)) AS BIGINT) AS r_neg_half,
+           CAST(round(CAST(2.675 AS DOUBLE) * 100) AS BIGINT) AS r_repr
+    """,
+)
+def diag_fp_round_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-semantics probe: half-up vs banker's vs decimal-literal
+    rounding, on the values where they disagree."""
+    return spark.range(1).select(
+        F.round(F.lit(0.5), 0).cast("long").alias("r_half"),
+        F.round(F.lit(2.5), 0).cast("long").alias("r_two_half"),
+        F.round(F.lit(-2.5), 0).cast("long").alias("r_neg_half"),
+        F.round(F.lit(2.675) * 100, 0).cast("long").alias("r_repr"),
+    )
+
+
+@register(
+    "diag_fp_temporal",
+    # timestamp/date canonicalization: a US-DST-transition wall-clock
+    # instant (02:30 on 2024-03-10 does not exist in America/*; engines
+    # pinned to UTC are unaffected), a pre-epoch micros timestamp
+    # (negative epoch), and a plain date.
+    oracle="""
+    SELECT TIMESTAMP '2024-03-10 02:30:00' AS ts_dst,
+           TIMESTAMP '1969-12-31 23:59:59.123456' AS ts_pre_epoch,
+           DATE '2024-03-10' AS d
+    """,
+)
+def diag_fp_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal probe: session-timezone and epoch-sign handling of
+    timestamp/date values through each side's fetch path."""
+    return spark.range(1).select(
+        F.to_timestamp(F.lit("2024-03-10 02:30:00")).alias("ts_dst"),
+        F.to_timestamp(
+            F.lit("1969-12-31 23:59:59.123456")
+        ).alias("ts_pre_epoch"),
+        F.to_date(F.lit("2024-03-10")).alias("d"),
+    )
+
+
+@register(
+    "diag_fp_double_repr",
+    # double canonicalization: shortest-roundtrip repr cases (0.1,
+    # 0.1+0.2 computed LIVE on both sides, 1e-7, 1e300, negative zero).
+    # -0.0 must be synthesized via unary minus on a DOUBLE: DuckDB's
+    # CAST(-0.0 AS DOUBLE) goes through a signless DECIMAL literal and
+    # comes out +0.0 (found when this canary first ran).
+    oracle="""
+    SELECT CAST(0.1 AS DOUBLE) AS x_tenth,
+           CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS x_sum,
+           CAST(1e-7 AS DOUBLE) AS x_tiny,
+           CAST(1e300 AS DOUBLE) AS x_huge,
+           -CAST(0.0 AS DOUBLE) AS x_negzero
+    """,
+)
+def diag_fp_double_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-repr probe: values whose string form exposes float
+    formatting differences (0.30000000000000004, 1e-07 vs 1e-7, -0.0)."""
+    return spark.range(1).select(
+        F.lit(0.1).alias("x_tenth"),
+        (F.lit(0.1) + F.lit(0.2)).alias("x_sum"),
+        F.lit(1e-7).alias("x_tiny"),
+        F.lit(1e300).alias("x_huge"),
+        (-F.lit(0.0)).alias("x_negzero"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
 #
@@ -9500,63 +9698,66 @@ def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # never-verdicted oracle-bearing entries (first driver check) ---------
-    "a7_unpivot_metrics",
+    # r06 window. Every slot is never-verdicted or red (VERDICT r05 task
+    # 3): 6 new engine-fingerprint canaries, the 5 r05 reds re-checked
+    # after the HUGEINT oracle-cast fix, then the full never-verdicted
+    # backlog (incl. fn_bitmap_suite after its bucket-layout fix), then
+    # the never-verdicted rows-only entries.
+    # --- engine-fingerprint canaries (localize any driver divergence) ---
+    "diag_fp_hugeint",
+    "diag_fp_null_bigint",
+    "diag_fp_libm",
+    "diag_fp_round_half",
+    "diag_fp_temporal",
+    "diag_fp_double_repr",
+    # --- the five r05 reds, re-checked after the HUGEINT cast fix -------
     "text_vocab_coverage",
-    "text_tfidf_topterms",
-    "ml_quantile_bins",           # also changed this round (plan-folded)
-    "samp_topk_quality",
-    "samp_weighted_docs",
-    "samp_shuffle_shards",
-    "dedup_windowed_events",      # also changed (schema-preserving dedup)
-    "a10_groupwise_ols",
-    "a11_funnel_conversion",
-    "ml_auc_exact",
-    "merge_cdc_apply",
-    "scd2_temporal_join",
-    "j5_salted_join",
-    "seq_user_event_export",
-    "a12_cohort_retention",
-    "w_transition_matrix",
-    "w_rolling_active_users",
-    "a13_histogram_value",        # also changed (plan-folded min/max)
-    "a14_abc_classification",
-    "a15_basket_pairs",
-    "a16_rfm_segments",           # also changed (plan-folded bounds)
-    "a17_zscore_outliers",
-    "g1_triangle_count",
-    "a18_chi2_independence",      # also changed (plan-folded total)
-    "a19_wow_growth",
-    "ml_impute_group_median",
-    "w_event_trigrams",
-    "w_gap_fill_forward",
-    "dedup_fuzzy_names",
-    "a20_weighted_stats",
-    "h1_ancestor_closure",
-    "a21_mad_robust",
-    "a22_share_of_region",
-    "w_interval_merge",
-    "a23_gini_revenue",
-    "mv_rollup_cascade",
-    "s_zorder_roundtrip",
-    # the one r04 red, re-checked after the chunk-order fix ---------------
     "stream_running_totals",
-    # (w2_daily_lag_avg's and sql_entry_daily_label's events/flagship
-    # surfaces are covered transitively by many in-window entries; their
-    # slots go to the new left-outer streaming join and the partitioned
-    # sink roundtrip — new oracles outrank stale re-checks)
-    "stream_interval_left_join",
-    "s_partitioned_pruned",
-    # new oracle-bearing entries this round outrank more stale re-checks
-    "a24_association_rules",
-    "ml_string_index",
-    "mm_container_headers",
-    "j6_binned_range_join",
     "text_unigram_logprob",
-    "simsearch_ann_join",
     "w_cumulative_distinct",
-    "asof_join_tolerance",
     "g2_pagerank",
+    # --- fixed this round (bitmap bucket layout + key-0 drop) -----------
+    "fn_bitmap_suite",
+    # --- never-verdicted oracle-backed backlog (r05 late batches) -------
+    "stream_rocksdb_session",
+    "fn_variant_nested",
+    "fn_python_udtf_chunks",
+    "s_python_datasource",
+    "a25_countmin_heavy_hitters",
+    "s_csv_malformed_audit",
+    "stream_chained_rollup",
+    "text_repetition_stats",
+    "dedup_exact_substring",
+    "samp_rebalance_sources",
+    "seq_pattern_recovery",
+    "mm_gif_jpeg_headers",
+    "s_bucketed_join",
+    "s_observed_write_audit",
+    "fn_map_suite",
+    "fn_xml_suite",
+    "ind_obv_vwap",
+    "ind_drawdown_peak",
+    "w_weekly_ohlc",
+    "a26_acf_lags",
+    "a27_sharpe_diff",
+    "ml_ks_2sample",
+    "g3_bfs_hops",
+    "text_bigram_logprob",
+    "a28_entropy_by_group",
+    "ml_lift_table",
+    "dedup_semantic_ivf",
+    "dedup_paragraphs_rebuild",
+    "s_binaryfile_scan",
+    "samp_temperature_mix",
+    "ind_rolling_median",
+    "fn_sql_udf",
+    "fn_parameterized_sql",
+    "ps_pandas_api",
+    # --- never-verdicted rows-only (driver records rows>0) --------------
+    "w_ema_scan",
+    "agg_hll_union",
+    "ml_lda_topics",
+    "ml_als_recommend",
 )
 
 

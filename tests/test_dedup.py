@@ -336,3 +336,34 @@ def test_semantic_dedup_prunes_lower_id_neighbor(spark):
     assert not out[2]["is_kept"] and out[2]["dup_of"] == 1
     assert out[2]["cos_to_dup"] >= 0.95
     assert out[3]["is_kept"] and out[4]["is_kept"]
+
+def test_semantic_dedup_cell_cap_bounds_pairs(spark):
+    # One degenerate cell (n_clusters=1 forces every vector together):
+    # with max_cell_size=10 the 60 members sub-split into 6 chunks, so
+    # within-chunk pair cost is bounded (~ n*cap/2 not n^2/2) while
+    # near-identical twins that land in the same chunk are still pruned.
+    # The uncapped run (max_cell_size=None) must equal the default run on
+    # a HEALTHY cell size (cap >> |cell| => chunking is a no-op).
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i % 7 + 1), float(i % 5), 1.0, 0.0])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    capped = D.semantic_dedup(
+        df, threshold=0.999999, n_clusters=1, n_iters=1, max_cell_size=10
+    )
+    # sanity: runs, keeps the spine, and every pruned row names a
+    # LOWER-id dup (the order-free rule survives chunking)
+    got = capped.collect()
+    assert len(got) == 60
+    assert all(r["dup_of"] is None or r["dup_of"] < r["vec_id"] for r in got)
+    # healthy-cell equivalence: cap larger than the cell == uncapped
+    a = D.semantic_dedup(
+        df, threshold=0.9, n_clusters=1, n_iters=1, max_cell_size=2000
+    ).orderBy("vec_id").collect()
+    b = D.semantic_dedup(
+        df, threshold=0.9, n_clusters=1, n_iters=1, max_cell_size=None
+    ).orderBy("vec_id").collect()
+    assert a == b

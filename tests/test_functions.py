@@ -84,3 +84,41 @@ def test_python_udtf_chunker_grid_and_degenerate_inputs(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPythonUDTF" in plan
+
+
+def test_bitmap_distinct_key_zero_and_bucket_boundary(spark):
+    # bitmap_bit_position(x) = (x-1) % 32768, so key 0 maps to -1 and is
+    # silently dropped by bitmap_construct_agg, and two keys 32768 apart
+    # collide on the same bit unless leaves also group by
+    # bitmap_bucket_number. The mergeable layout (shift +1, bucketed
+    # leaves, OR-merge per bucket, SUM of per-bucket counts) must count
+    # exactly like COUNT(DISTINCT) on both hazards.
+    rows = [
+        ("a", "s1", 0),          # the dropped-key hazard
+        ("a", "s1", 5),
+        ("a", "s2", 5),          # same key via another leaf: OR-merge dedups
+        ("a", "s2", 5 + 32768),  # the bucket-collision hazard
+        ("b", "s1", 32768),
+        ("b", "s1", 2 * 32768),
+        ("b", "s2", 3),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "sub", "key"])
+    df.createOrReplaceTempView("__bm_test")
+    got = {
+        r.grp: r.n
+        for r in spark.sql("""
+            WITH leaf AS (
+              SELECT grp, sub, bitmap_bucket_number(key + 1) AS bkt,
+                     bitmap_construct_agg(bitmap_bit_position(key + 1)) AS bm
+              FROM __bm_test
+              GROUP BY grp, sub, bitmap_bucket_number(key + 1)
+            ),
+            merged AS (
+              SELECT grp, bkt, bitmap_or_agg(bm) AS bm
+              FROM leaf GROUP BY grp, bkt
+            )
+            SELECT grp, CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n
+            FROM merged GROUP BY grp
+        """).collect()
+    }
+    assert got == {"a": 3, "b": 3}

@@ -164,7 +164,6 @@ def test_vocab_coverage_exact_small_case(spark):
     # freq: a=4, b=3, d=2, c=1 -> vocab {a, b}
     assert (got["en"].total_tokens, got["en"].oov_tokens) == (6, 1)
     assert (got["fr"].total_tokens, got["fr"].oov_tokens) == (4, 2)
-    assert got["fr"].oov_rate == 0.5
 
 
 def test_tfidf_topterms_hand_case(spark):

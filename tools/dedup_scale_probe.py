@@ -105,8 +105,54 @@ def main() -> None:
         )
         print(points[-1], flush=True)
 
+    # Skewed-cell semantic-dedup probe: force EVERYTHING into one k-means
+    # cell (n_clusters=1 — the degenerate case the max_cell_size cap
+    # exists for) and grow the corpus. Capped pair cost is
+    # |cell|·max_cell_size, so candidate pairs per vector and µs/vector
+    # must stay ~flat; uncapped they would grow linearly with the cell.
+    sem_points = []
+    for mult in SCALES:
+        n_vecs = 2_000 * mult
+        vecs = spark.range(n_vecs).selectExpr(
+            "id AS vec_id",
+            "array(CAST(id % 13 + 1 AS DOUBLE), CAST(id % 11 AS DOUBLE),"
+            " CAST(id % 7 AS DOUBLE), 1.0D) AS embedding",
+        )
+        t0 = time.time()
+        n_pruned = (
+            dd.semantic_dedup(
+                vecs, threshold=0.999999, n_clusters=1, n_iters=1,
+                max_cell_size=500,
+            )
+            .filter("NOT is_kept")
+            .count()
+        )
+        dt = time.time() - t0
+        sem_points.append(
+            {
+                "n_vecs": n_vecs,
+                "pruned": n_pruned,
+                "max_pairs_per_vec": 500,
+                "sec": round(dt, 2),
+                "us_per_vec": round(dt / n_vecs * 1e6, 1),
+            }
+        )
+        print(sem_points[-1], flush=True)
+
     with open(out_path, "w") as f:
-        json.dump({"base_docs": BASE, "points": points}, f, indent=1)
+        json.dump(
+            {
+                "base_docs": BASE,
+                "points": points,
+                "semantic_skewed_cell": {
+                    "design": "all vectors forced into ONE cell; "
+                              "max_cell_size=500 sub-splits it",
+                    "points": sem_points,
+                },
+            },
+            f,
+            indent=1,
+        )
     print(f"-> {out_path}")
 
 
