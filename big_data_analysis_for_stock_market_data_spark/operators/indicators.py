@@ -538,6 +538,71 @@ def adx(df: DataFrame, n: int = 14, partition_by="symbol", order_by="date",
     return _recursive_apply(df, partition_by, order_by, {out_col: T.DoubleType()}, fn)
 
 
+def _cci_pandas_block(pdf: pd.DataFrame, ns: Sequence[int], col: str):
+    """Vectorized CCI over a timestamp-sorted pandas frame (shared by the
+    sequential engine and the scan engine's bounded-lookback pass)."""
+    import numpy as np
+
+    for n in ns:
+        tp = ((pdf["high"] + pdf["low"] + pdf[col]) / 3.0).to_numpy(
+            dtype="float64"
+        )
+        m = len(tp)
+        out = np.full(m, np.nan)
+        # head rows have expanding windows (mirrors the SQL frame
+        # rowsBetween(-(n-1), 0)); only n-1 of them — loop is fine
+        for start in range(min(n - 1, m)):
+            w_ = tp[: start + 1]
+            sma_w = w_.mean()
+            md = np.abs(w_ - sma_w).mean()
+            out[start] = (
+                (tp[start] - sma_w) / (0.015 * md) if md > 0 else np.nan
+            )
+        if m >= n:
+            W = np.lib.stride_tricks.sliding_window_view(tp, n)
+            sma_w = W.mean(axis=1)
+            md = np.abs(W - sma_w[:, None]).mean(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = (tp[n - 1:] - sma_w) / (0.015 * md)
+            vals[md == 0] = np.nan
+            out[n - 1:] = vals
+        pdf[f"cci{n}"] = out
+    return pdf
+
+
+#: measured crossover (local[32], 27-recurrence composite): at 168k
+#: rows/key the sequential pandas fold wins (2.3 s vs 5.2 s warm); at 3M
+#: rows/key the scan wins 4-5x warm (8-12 s vs 30-43 s) and keeps
+#: widening with depth (the fold is a single task per key). The scan
+#: additionally pays a one-time JIT/codegen warm-up (~2 min cold for the
+#: full composite) that only amortizes over a session's repeated runs —
+#: hence the deliberately conservative threshold.
+SCAN_MIN_ROWS_PER_KEY = 2_000_000
+
+
+def _keyspace_is_degenerate(df: DataFrame, keys: Sequence[str]) -> bool:
+    """True when the block-parallel scan beats the sequential per-key
+    fold: few keys (≪ cores, so the fold can't use the cluster) AND deep
+    per-key series (past the measured crossover — shallow series never
+    repay the scan's stitch/JIT overhead; see SCAN_MIN_ROWS_PER_KEY).
+    One aggregate job over a keys-only projection probes both numbers."""
+    spark = df.sparkSession
+    cores = int(spark.sparkContext.defaultParallelism)
+    stats = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("__n").alias("max_rows"),
+        )
+        .first()
+    )
+    return (
+        stats.n_keys <= max(2, cores // 4)
+        and (stats.max_rows or 0) >= SCAN_MIN_ROWS_PER_KEY
+    )
+
+
 def recursive_enrich(
     df: DataFrame,
     partition_by="symbol",
@@ -551,6 +616,8 @@ def recursive_enrich(
     apo_pairs: Sequence[tuple[int, int]] = (),
     ppo_pairs: Sequence[tuple[int, int]] = (),
     cci_ns: Sequence[int] = (),
+    engine: str = "sequential",
+    cuts: "list[float] | None" = None,
 ) -> DataFrame:
     """ALL recursive indicators in ONE applyInPandas pass — one shuffle on
     the symbol key instead of one per indicator family. This is the form
@@ -565,7 +632,21 @@ def recursive_enrich(
     its nested mean-|deviation-from-current-window-SMA| makes the
     expression form (collect_list per frame) ~10x costlier than a numpy
     sliding-window pass — measured 17s vs <1s at 671k rows. The standalone
-    ``cci()`` expression form remains for à-la-carte use."""
+    ``cci()`` expression form remains for à-la-carte use.
+
+    ``engine``: 'sequential' (default) = the bit-exact per-key pandas
+    fold described above, parallelism |keys|; 'scan' = the block-parallel
+    affine-scan twin (``windows.recursive_scan_enrich`` + an
+    overlap-bucket CCI pass), parallelism rows/buckets, numerically
+    equivalent at rtol ~1e-12 but NOT bit-identical; 'auto' = one
+    keys-only aggregate probe, then 'scan' iff |keys| ≤ cores/4 AND the
+    deepest key exceeds the measured crossover (SCAN_MIN_ROWS_PER_KEY —
+    at the reference's 4x168k shape the sequential fold WINS 2.3 s vs
+    5.2 s, so few keys alone is not enough; at 1x3M the scan wins 4-5x).
+    Oracle-checked entries must pass 'sequential' explicitly.
+    ``cuts``: precomputed order cut points threaded to the scan passes
+    (same contract as ``rolling_apply_parallel``; without them each
+    linear_recurrence sketches its own, re-executing upstream lineage)."""
     import numpy as np
 
     new_cols: dict[str, T.DataType] = {}
@@ -590,6 +671,46 @@ def recursive_enrich(
     if not has_ohlc:
         for n in adx_ns:
             new_cols.pop(f"adx{n}", None)
+
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    if engine == "auto":
+        # Scan only when BOTH hold: few keys (the fold can't use the
+        # cluster) and deep series (past the measured crossover). Few
+        # SHALLOW keys — the reference's 4x168k shape — stay sequential:
+        # measured 2.3 s sequential vs 5.2 s scan there, vs 30-43 s
+        # sequential / 8-12 s scan at 1 key x 3M rows.
+        engine = (
+            "scan" if _keyspace_is_degenerate(df, keys) else "sequential"
+        )
+    if engine == "scan":
+        from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+            recursive_scan_enrich,
+            rolling_apply_parallel,
+        )
+
+        d = df
+        if has_ohlc and cci_ns:
+            # CCI is bounded-lookback (not recursive): the overlap-bucket
+            # pandas pass keeps within-key parallelism. Runs FIRST, on the
+            # raw frame, so its cut-point sketch stays cheap.
+            d = rolling_apply_parallel(
+                d,
+                lambda pdf: _cci_pandas_block(pdf, cci_ns, col),
+                {f"cci{n}": T.DoubleType() for n in cci_ns},
+                lookback=max(cci_ns) - 1,
+                order_by=order_by, partition_by=keys, cuts=cuts,
+            )
+        d = recursive_scan_enrich(
+            d, partition_by=keys, order_by=order_by, col=col,
+            ema_spans=ema_spans, macd_pairs=macd_pairs, rsi_ns=rsi_ns,
+            kama_ns=kama_ns, adx_ns=adx_ns if has_ohlc else (),
+            apo_pairs=apo_pairs, ppo_pairs=ppo_pairs, cuts=cuts,
+        )
+        return d.select(*df.columns, *new_cols)
+    if engine != "sequential":
+        raise ValueError(
+            f"engine must be 'sequential', 'scan' or 'auto', got {engine!r}"
+        )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[col]
@@ -631,30 +752,7 @@ def recursive_enrich(
                     y[i] = y[i - 1] + sc[i] * (arr[i] - y[i - 1])
             pdf[f"kama{n}"] = y
         if has_ohlc:
-            for n in cci_ns:
-                tp = ((pdf["high"] + pdf["low"] + pdf[col]) / 3.0).to_numpy(
-                    dtype="float64"
-                )
-                m = len(tp)
-                out = np.full(m, np.nan)
-                # head rows have expanding windows (mirrors the SQL frame
-                # rowsBetween(-(n-1), 0)); only n-1 of them — loop is fine
-                for start in range(min(n - 1, m)):
-                    w_ = tp[: start + 1]
-                    sma_w = w_.mean()
-                    md = np.abs(w_ - sma_w).mean()
-                    out[start] = (
-                        (tp[start] - sma_w) / (0.015 * md) if md > 0 else np.nan
-                    )
-                if m >= n:
-                    W = np.lib.stride_tricks.sliding_window_view(tp, n)
-                    sma_w = W.mean(axis=1)
-                    md = np.abs(W - sma_w[:, None]).mean(axis=1)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        vals = (tp[n - 1:] - sma_w) / (0.015 * md)
-                    vals[md == 0] = np.nan
-                    out[n - 1:] = vals
-                pdf[f"cci{n}"] = out
+            pdf = _cci_pandas_block(pdf, cci_ns, col)
             for n in adx_ns:
                 high, low = pdf["high"], pdf["low"]
                 up, down = high.diff(), -low.diff()
@@ -771,6 +869,7 @@ def enrich_ohlcv(
     order_by="date",
     engine: str = "parallel",
     cuts: "list[float] | None" = None,
+    recursive_engine: str = "auto",
 ) -> DataFrame:
     """Compute the reference schema's indicator families natively from OHLCV.
 
@@ -782,9 +881,11 @@ def enrich_ohlcv(
     (dependence bounded by CLOSED_FORM_LOOKBACK) and parallel WITHIN a key,
     the right shape for few-symbols-deep-history data (the reference's is
     ONE symbol).
-    The recursive family (EMA/MACD/RSI/KAMA/ADX + vectorized CCI) always
-    runs as the exact per-key applyInPandas pass (unbounded recurrences
-    can't use bounded-history buckets)."""
+    The recursive family (EMA/MACD/RSI/KAMA/ADX + vectorized CCI) runs
+    through ``recursive_enrich`` with ``recursive_engine`` ('auto' by
+    default: the block-parallel affine scan when |keys| ≪ cores — the
+    reference's 4-symbol shape, where the sequential pandas fold
+    serializes — else the bit-exact sequential pass)."""
     if engine == "expr":
         d = df
         for n in (5, 10, 15, 20):
@@ -827,6 +928,8 @@ def enrich_ohlcv(
         apo_pairs=((12, 26),),
         ppo_pairs=((12, 26),),
         cci_ns=(5, 10, 15),
+        engine=recursive_engine,
+        cuts=cuts,
     )
     return d
 

@@ -239,21 +239,52 @@ def w_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("w_ema_scan")
+@register(
+    "w_ema_scan",
+    # The oracle replays the EXACT sequential recursion (recursive CTE,
+    # all literals CAST AS DOUBLE — bare decimals are DECIMAL in DuckDB);
+    # the Spark side is the re-associated block-parallel scan, equivalent
+    # at rtol ~1e-12 (~1e-11 absolute at these magnitudes). Quantizing to
+    # integer CENTI-units (round(ema*100) — double-to-integer rounding is
+    # engine-exact) makes the residual a ~4e-9/row boundary-flip risk:
+    # hash-comparable without pretending the scan is bit-identical.
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    e(user_id, rn, ema) AS (
+      SELECT user_id, rn, CAST(value AS DOUBLE) FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 11.0) * e.ema
+               + (CAST(2.0 AS DOUBLE) / 11.0) * s.value
+      FROM e JOIN s ON s.user_id = e.user_id AND s.rn = e.rn + 1
+    )
+    SELECT s.event_id, s.user_id, s.ts, s.value,
+           CAST(round(e.ema * 100) AS BIGINT) AS ema10_centi
+    FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn
+    """,
+)
 def w_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA via the block-parallel affine scan (windows.linear_recurrence):
     quantile-cut buckets fold in parallel, one summary row per bucket
-    stitches boundaries — parallelism independent of |keys|. Rows-only by
-    design: the scan's float re-association is tolerance-equivalent (1e-12,
-    pinned in test_global_window), not hash-identical, and the bucket cuts
-    come from approxQuantile. Measured: 21.5 s -> 3.3 s vs the sequential
-    per-key pass on a 6.7M-row single-key series (local[32])."""
+    stitches boundaries — parallelism independent of |keys|. Emits the
+    centi-unit fixed-point EMA so the scan is ORACLE-CHECKED against the
+    sequential recursion replayed in SQL (see oracle note); the raw-double
+    surface stays covered by test_global_window's rtol pin. Measured:
+    21.5 s -> 3.3 s vs the sequential per-key pass on a 6.7M-row
+    single-key series (local[32])."""
     ev = load(spark, sf_dir, "events")
     out = win_ops.ema_scan(
         ev, spans=[10], partition_by="user_id", order_by="ts", col="value",
         num_buckets=8,
     )
-    return out.select("event_id", "user_id", "ts", "value", "ema10")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.round(F.col("ema10") * 100, 0).cast("long").alias("ema10_centi"),
+    )
 
 
 @register(
@@ -1824,10 +1855,12 @@ def ind_recursive_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
 
     events = load(spark, sf_dir, "events")
+    # engine pinned: the oracle replays the SEQUENTIAL fold bit-for-bit;
+    # the scan twin is rtol-equivalent only (see recursive_enrich).
     out = ind.recursive_enrich(
         events, partition_by="user_id", order_by="ts", col="value",
         ema_spans=(10, 20), macd_pairs=((12, 26),), rsi_ns=(14,),
-        kama_ns=(10,), adx_ns=(),
+        kama_ns=(10,), adx_ns=(), engine="sequential",
     )
     return out.select(
         "event_id", "user_id", "ts", "ema10", "ema20", "macd1226",
@@ -9753,8 +9786,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "fn_sql_udf",
     "fn_parameterized_sql",
     "ps_pandas_api",
-    # --- never-verdicted rows-only (driver records rows>0) --------------
+    # --- newly oracle-backed this round (was rows-only) -----------------
     "w_ema_scan",
+    # --- never-verdicted rows-only (driver records rows>0) --------------
     "agg_hll_union",
     "ml_lda_topics",
     "ml_als_recommend",

@@ -230,12 +230,23 @@ def feature_frame(
     # sketch inside rolling_apply_parallel would otherwise re-run them).
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cuts = win_ops.compute_order_cuts(df, "date", n)
+    # Engine probe on the RAW bars (pruned scan), not the enriched frame —
+    # probing after daily+label would re-execute those stages once.
+    # Policy: scan iff few symbols AND deep series (indicators.
+    # SCAN_MIN_ROWS_PER_KEY crossover); the 4x168k reference shape stays
+    # on the bit-exact sequential fold, which measured FASTER there.
+    recursive_engine = (
+        "scan" if ind._keyspace_is_degenerate(df, ["symbol"]) else "sequential"
+    )
     d = daily_features(df, fused=fused)
     d = win_ops.label_buy_sell(
         d, value_col="high", order_by="date", partition_by="symbol",
         mode=label_mode,
     )
-    d = ind.enrich_ohlcv(d, partition_by="symbol", order_by="date", cuts=cuts)
+    d = ind.enrich_ohlcv(
+        d, partition_by="symbol", order_by="date", cuts=cuts,
+        recursive_engine=recursive_engine,
+    )
     return _rowwise_features(d)
 
 
