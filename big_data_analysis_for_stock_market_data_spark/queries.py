@@ -5621,19 +5621,138 @@ def stock_closed_form_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("atr14", atr14)
 
 
-@register("stock_feature_frame")  # fixture-generated: rows-only
+@register(
+    "stock_feature_frame",
+    # Full-pipeline oracle on the md5 fixture replay: regenerate the bars
+    # (same CTE chain certified by stock_fixture_daily_label), rebuild the
+    # lead label, the EXACT-DECIMAL day features (daily_features stages
+    # sums in DECIMAL(18,6), so the values are order-free), and the
+    # 4-state pandas-ewm recursion feeding macd = (ema5-ema10) -
+    # (ema12-ema26). The fixture's exp/ln are libm, so raw prices carry
+    # ~1-ulp cross-engine noise; every emitted column absorbs it —
+    # ROUND(close,6), integer micro-unit macd, decimal-staged averages.
+    # The closed-form indicator surface of the same pipeline is
+    # oracle-covered separately by stock_closed_form_indicators.
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT t.range AS id,
+             t.range % 2 AS symbol_id,
+             t.range // 2 AS i
+      FROM range(0, 4000) t
+    ),
+    stepped AS (
+      SELECT *,
+             TIMESTAMP '2015-01-05 09:30:00'
+               + (i // 390) * INTERVAL 1 DAY
+               + (i % 390) * INTERVAL 1 MINUTE AS ts,
+             ({_STK_U.format(x="(id + 42)::VARCHAR", salt="1")} - 0.5)
+               * 0.002 AS step
+      FROM base
+    ),
+    summed AS (
+      SELECT *,
+             CAST(SUM(CAST(step AS DECIMAL(28,8))) OVER (
+               PARTITION BY symbol_id ORDER BY i) AS DOUBLE) AS cumret
+      FROM stepped
+    ),
+    priced AS (
+      SELECT *, exp(ln(100.0 + symbol_id * 10) + cumret) AS close
+      FROM summed
+    ),
+    ohlc AS (
+      SELECT *,
+             COALESCE(LAG(close) OVER (
+               PARTITION BY symbol_id ORDER BY i), close) AS open,
+             1.0 + {_STK_U.format(x="(id + 42)::VARCHAR", salt="2")}
+               * 0.001 AS spread_hi,
+             1.0 - {_STK_U.format(x="(id + 42)::VARCHAR", salt="3")}
+               * 0.001 AS spread_lo
+      FROM priced
+    ),
+    bars AS (
+      SELECT 'SYM' || symbol_id AS symbol, symbol_id, i, ts,
+             CAST(ts AS DATE) AS d, open, close,
+             GREATEST(open, close) * spread_hi AS high,
+             LEAST(open, close) * spread_lo AS low
+      FROM bars_src
+    ),
+    days AS (
+      SELECT symbol_id, d,
+             CAST(SUM(CAST(close AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(close) AS avg_close,
+             CAST(SUM(CAST(open AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(open) AS avg_open
+      FROM bars GROUP BY symbol_id, d
+    ),
+    days_l AS (
+      SELECT *,
+             LAG(avg_close) OVER (PARTITION BY symbol_id ORDER BY d)
+               AS avg_close_prev_day
+      FROM days
+    ),
+    lbl AS (
+      SELECT b.*,
+             CASE WHEN LEAD(b.high) OVER (
+                    PARTITION BY b.symbol_id ORDER BY b.i) > b.high
+                  THEN 1 ELSE 0 END AS buy_or_sell,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.symbol_id ORDER BY b.i) AS rn
+      FROM bars b
+    ),
+    r AS (
+      SELECT symbol_id, rn, close AS x,
+             close AS ema5, close AS ema10, close AS e12, close AS e26
+      FROM lbl WHERE rn = 1
+      UNION ALL
+      SELECT b.symbol_id, b.rn, b.close,
+             CASE WHEN r.ema5 = b.close THEN r.ema5
+                  ELSE ((1.0 - 2.0/6.0) * r.ema5 + (2.0/6.0) * b.close)
+                       / ((1.0 - 2.0/6.0) + 2.0/6.0) END,
+             CASE WHEN r.ema10 = b.close THEN r.ema10
+                  ELSE ((1.0 - 2.0/11.0) * r.ema10 + (2.0/11.0) * b.close)
+                       / ((1.0 - 2.0/11.0) + 2.0/11.0) END,
+             CASE WHEN r.e12 = b.close THEN r.e12
+                  ELSE ((1.0 - 2.0/13.0) * r.e12 + (2.0/13.0) * b.close)
+                       / ((1.0 - 2.0/13.0) + 2.0/13.0) END,
+             CASE WHEN r.e26 = b.close THEN r.e26
+                  ELSE ((1.0 - 2.0/27.0) * r.e26 + (2.0/27.0) * b.close)
+                       / ((1.0 - 2.0/27.0) + 2.0/27.0) END
+      FROM lbl b JOIN r ON b.symbol_id = r.symbol_id AND b.rn = r.rn + 1
+    )
+    SELECT l.symbol, l.ts, ROUND(l.close, 6) AS close, l.buy_or_sell,
+           CAST(round(((r.ema5 - r.ema10) - (r.e12 - r.e26)) * 1000000.0)
+                AS BIGINT) AS macd_micro,
+           dl.avg_close, dl.avg_open, dl.avg_close_prev_day
+    FROM lbl l
+    JOIN r ON r.symbol_id = l.symbol_id AND r.rn = l.rn
+    JOIN days_l dl ON dl.symbol_id = l.symbol_id AND dl.d = l.d
+    """.replace("FROM bars_src", "FROM ohlc"),
+)
 def stock_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full FE+label pipeline (G_2_rf_nordd_fe.py:47-313)
     on the deterministic synthetic stock fixture — fused single-shuffle
-    form; fused==join-back parity is asserted in tests/test_stock.py."""
+    form; fused==join-back parity is asserted in tests/test_stock.py.
+    ORACLE-CHECKED (was rows-only): the emitted slice is the pipeline's
+    bit-exact-replayable surface — fixture, lead label, exact-decimal day
+    features, and the sequential pandas-ewm macd; the pandas-rolling
+    closed-form block is hash-covered by stock_closed_form_indicators and
+    parity-pinned in test_indicators. md5 hash mode for engine parity
+    (xxhash64 default exercises the identical code path)."""
     from big_data_analysis_for_stock_market_data_spark import stock
 
-    bars = stock.make_stock_fixture(spark, n_rows=4_000, n_symbols=2)
+    bars = stock.make_stock_fixture(
+        spark, n_rows=4_000, n_symbols=2, hash_fn="md5"
+    )
     d = stock.feature_frame(bars)
+    # macd in integer micro-units: the fixture's exp/ln go through libm,
+    # so RAW doubles differ at 1 ulp between engines (~1e-14 abs) — the
+    # fixed-point emission absorbs that exactly like the closed-form
+    # entries' ROUND(...,6) does for prices.
     return d.select(
-        "symbol", "date", "close", "buy_or_sell", "macd",
-        "bollinger_bands_width", "sma_mean", "avg_close",
-        "avg_close_prev_day",
+        "symbol", F.col("date").alias("ts"),
+        F.round("close", 6).alias("close"), "buy_or_sell",
+        F.round(F.col("macd") * 1e6, 0).cast("long").alias("macd_micro"),
+        "avg_close", "avg_open", "avg_close_prev_day",
     )
 
 
@@ -9786,10 +9905,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "fn_sql_udf",
     "fn_parameterized_sql",
     "ps_pandas_api",
-    # --- newly oracle-backed this round (was rows-only) -----------------
+    # --- newly oracle-backed this round (were rows-only) ----------------
     "w_ema_scan",
+    "stock_feature_frame",
     # --- never-verdicted rows-only (driver records rows>0) --------------
-    "agg_hll_union",
     "ml_lda_topics",
     "ml_als_recommend",
 )

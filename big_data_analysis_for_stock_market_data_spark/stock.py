@@ -177,11 +177,34 @@ def daily_features(df: DataFrame, fused: bool = True) -> DataFrame:
     on symbol, zero joins.
     fused=False: the reference's literal dataflow — daily aggregate frame,
     day-grain lag, equi-join back on (symbol, date_only) (J2).
+
+    Averages are EXACT-DECIMAL staged (sum of DECIMAL(18,6) addends, one
+    cast to double, one division): a plain double AVG's value depends on
+    the engine's summation order, so it changes across partitionings and
+    engines at the ulp level — these features feed the ML surface and the
+    oracle gate, where that nondeterminism becomes flaky hashes. Decimal
+    addition is order-free, so both fused and join forms (and any SQL
+    twin) agree bit-for-bit.
     """
+    def davg_over(c: str, w: Window) -> Column:
+        return (
+            F.sum(F.col(c).cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.col(c)).over(w)
+        )
+
     if not fused:
         daily = (
             df.groupBy("symbol", "date_only")
-            .agg(F.avg("close").alias("avg_close"), F.avg("open").alias("avg_open"))
+            .agg(
+                (
+                    F.sum(F.col("close").cast("decimal(18,6)")).cast("double")
+                    / F.count("close")
+                ).alias("avg_close"),
+                (
+                    F.sum(F.col("open").cast("decimal(18,6)")).cast("double")
+                    / F.count("open")
+                ).alias("avg_open"),
+            )
             .withColumn(
                 "avg_close_prev_day",
                 F.lag("avg_close", 1).over(
@@ -200,9 +223,9 @@ def daily_features(df: DataFrame, fused: bool = True) -> DataFrame:
         Window.partitionBy("symbol").orderBy("__day_idx").rangeBetween(-1, -1)
     )
     return (
-        d.withColumn("avg_close", F.avg("close").over(day_w))
-        .withColumn("avg_open", F.avg("open").over(day_w))
-        .withColumn("avg_close_prev_day", F.avg("close").over(prev_day_w))
+        d.withColumn("avg_close", davg_over("close", day_w))
+        .withColumn("avg_open", davg_over("open", day_w))
+        .withColumn("avg_close_prev_day", davg_over("close", prev_day_w))
         .drop("__day_idx")
     )
 
