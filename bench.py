@@ -63,6 +63,12 @@ HEADLINE = [
 
 STOCK_ROWS = 671_024  # the reference dataset's exact row count
 
+# The r05 headline set, FROZEN for round-over-round comparability: when
+# HEADLINE grows, the "common" figure below keeps comparing like for like
+# (the r05 verdict flagged that a growing set hides per-query wins —
+# 61.1 s -> 54.2 s total masked a -33% like-for-like improvement).
+COMMON_R05 = tuple(HEADLINE) + ("stock_fe_671k", "stock_rf_671k")
+
 
 def bench_stock_ml(spark, timings: dict[str, float]) -> None:
     from big_data_analysis_for_stock_market_data_spark import ml, stock
@@ -141,6 +147,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "common_set": "r05_27",
+                "common_sec": round(
+                    sum(v for k, v in timings.items() if k in COMMON_R05), 3
+                ),
                 "sf": sf_val,
             }
         )

@@ -599,3 +599,93 @@ def bigram_logprob(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         "sum_logp_nano",
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 4,
+    col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus — the
+    tokenizer-training step of an LLM data pipeline (Sennrich 2016),
+    distributed: each round counts adjacent symbol pairs weighted by word
+    frequency, then merges the most frequent pair everywhere,
+    left-to-right non-overlapping.
+
+    Distribution shape: the corpus collapses to the DISTINCT-WORD table
+    (word, freq) after one explode+count — all |corpus| dependence ends
+    there; each round is a pair explode + grouped sum over the
+    vocabulary-sized frame, the winning rule rides as a broadcast 1-row
+    aggregate (no driver scalar), and re-segmentation is a pure JVM array
+    fold (SQL ``aggregate`` — no Python anywhere). Ties break on
+    (count DESC, left ASC, right ASC) via min-of-struct with negated
+    count, so the rule sequence is deterministic on any engine. At 100 TB
+    the word count is the only shuffle that sees corpus cardinality;
+    every round touches |vocab| rows.
+
+    Returns (merge_rank, left, right, merged, pair_count), one row per
+    learned rule, in rule order.
+    """
+    words = (
+        df.select(F.explode(tokens_col(F.col(col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    segs = words.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    rules = []
+    for t in range(n_merges):
+        counted = (
+            segs.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = counted.agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("m")
+        ).select(
+            (-F.col("m.nc")).alias("__cnt"),
+            F.col("m.a").alias("__a"),
+            F.col("m.b").alias("__b"),
+        )
+        rules.append(
+            best.select(
+                F.lit(t + 1).alias("merge_rank"),
+                F.col("__a").alias("left"),
+                F.col("__b").alias("right"),
+                F.concat("__a", "__b").alias("merged"),
+                F.col("__cnt").alias("pair_count"),
+            )
+        )
+        # left-to-right non-overlapping merge as a fold: append, unless
+        # the accumulator's last element is `left` and the incoming
+        # symbol is `right` — then replace the last element with the
+        # merged token. "aaa" under (a,a) -> [aa, a], never [a, aa].
+        merge_fold = (
+            "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = __a "
+            "          AND s = __b "
+            "     THEN concat(slice(acc, 1, size(acc) - 1), "
+            "                 array(concat(__a, __b))) "
+            "     ELSE concat(acc, array(s)) END)"
+        )
+        segs = (
+            segs.crossJoin(F.broadcast(best))
+            .select("freq", F.expr(merge_fold).alias("syms"))
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("merge_rank")

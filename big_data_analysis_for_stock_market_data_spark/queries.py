@@ -9635,6 +9635,89 @@ def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    """Full BPE-training replay: per round, pair counts over the segment
+    table, the (cnt DESC, a, b) winner, and the left-to-right
+    non-overlapping re-segmentation via the run-parity trick (within each
+    run of consecutive matching positions, merge the 1st, 3rd, ... —
+    exactly the fold's behavior on repeats like 'aaa')."""
+    ctes = [
+        f"toks AS (SELECT unnest({_DUCK_TOKS}) AS w FROM documents)",
+        "words AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w)",
+        """seg0 AS (
+      SELECT w, freq,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, i, 1)) AS syms
+      FROM words
+    )""",
+    ]
+    for t in range(n_merges):
+        ctes.append(f"""cnt{t} AS (
+      SELECT syms[u.i] AS a, syms[u.i + 1] AS b,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM seg{t}, unnest(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""best{t} AS (
+      SELECT a, b, cnt FROM cnt{t} ORDER BY cnt DESC, a, b LIMIT 1
+    )""")
+        ctes.append(f"""pos{t} AS (
+      SELECT g.w, g.freq, u.i AS p, g.syms[u.i] AS sym,
+             bb.a AS ba, bb.b AS bbb,
+             (u.i < len(g.syms) AND g.syms[u.i] = bb.a
+              AND g.syms[u.i + 1] = bb.b) AS mtch
+      FROM seg{t} g, best{t} bb,
+           unnest(range(1, len(g.syms) + 1)) AS u(i)
+    )""")
+        ctes.append(f"""mk{t} AS (
+      SELECT *, CASE WHEN mtch THEN p - ROW_NUMBER() OVER (
+                 PARTITION BY w, mtch ORDER BY p) END AS grp
+      FROM pos{t}
+    )""")
+        ctes.append(f"""mg{t} AS (
+      SELECT *, (mtch AND ROW_NUMBER() OVER (
+                 PARTITION BY w, grp ORDER BY p) % 2 = 1) AS strt
+      FROM mk{t}
+    )""")
+        ctes.append(f"""sk{t} AS (
+      SELECT *, COALESCE(LAG(strt) OVER (PARTITION BY w ORDER BY p),
+                         FALSE) AS prev_strt
+      FROM mg{t}
+    )""")
+        ctes.append(f"""seg{t + 1} AS (
+      SELECT w, any_value(freq) AS freq,
+             list(CASE WHEN strt THEN ba || bbb ELSE sym END ORDER BY p)
+               FILTER (WHERE NOT prev_strt) AS syms
+      FROM sk{t}
+      GROUP BY w
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {t + 1} AS merge_rank, a AS \"left\", b AS \"right\","
+        f" a || b AS merged, cnt AS pair_count FROM best{t}"
+        for t in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY merge_rank"
+    )
+
+
+@register("text_bpe_merges", oracle=_bpe_oracle_sql(n_merges=4))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (first 4 merge rules) over the
+    documents corpus (operators/text.bpe_train_merges): corpus collapses
+    to the distinct-word table once, each round is a vocab-sized pair
+    count + broadcast 1-row winner + JVM array-fold re-segmentation. The
+    oracle replays every round including the non-overlapping merge
+    semantics (run-parity on consecutive matches)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=4)
+
+
 # ---------------------------------------------------------------------------
 # Engine-fingerprint canaries (VERDICT r05 task 1). Five r05 entries were
 # driver-red yet green under every local replay; the reproduced mechanism is

@@ -253,3 +253,30 @@ def test_bigram_logprob_tiny_corpus(spark):
     assert rows[2].n_bigrams == 1 and rows[2].sum_logp_nano == ab
     # single-token doc keeps its spine row with no pairs
     assert rows[3].n_bigrams == 0 and rows[3].sum_logp_nano is None
+
+
+def test_bpe_train_merges_classic_and_overlap(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    # Sennrich's classic shape: 'lo' wins first (freq-weighted), then
+    # 'low'; ties broken (count DESC, left ASC, right ASC).
+    df = spark.createDataFrame(
+        [("low low low lower lower newest",), ("newest newest widest",)],
+        ["text"],
+    )
+    rules = [tuple(r) for r in bpe_train_merges(df, n_merges=2).collect()]
+    assert rules[0][0] == 1 and rules[0][4] >= rules[1][4]
+    # every merged token is left||right and ranks are 1..n in order
+    for i, (rank, left, right, merged, cnt) in enumerate(rules):
+        assert rank == i + 1 and merged == left + right and cnt > 0
+
+    # counting is OVERLAPPING (3 (a,a) pairs per 'aaaa' x freq 3 = 9, the
+    # classic zip(word, word[1:]) count) but the MERGE is non-overlapping
+    # left-to-right: 'aaaa' -> [aa, aa], so the next round's top pair is
+    # (aa, aa) with count 3 — never (a, aa)
+    df2 = spark.createDataFrame([("aaaa aaaa aaaa",)], ["text"])
+    r2 = [tuple(r) for r in bpe_train_merges(df2, n_merges=2).collect()]
+    assert (r2[0][1], r2[0][2], r2[0][4]) == ("a", "a", 9)
+    assert (r2[1][1], r2[1][2], r2[1][4]) == ("aa", "aa", 3)
