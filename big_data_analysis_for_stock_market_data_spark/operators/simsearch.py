@@ -780,3 +780,32 @@ def ivfpq_det_topk(
         .filter(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+def int8_quantize(
+    df: DataFrame,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard vector-store
+    compression step (4x over float32; 8x over float64): q_i =
+    round(127 * x_i / max|x|), scale carried per vector for
+    dequantization. Pure JVM array expressions, engine-exact: the only
+    arithmetic is IEEE multiply/divide on doubles derived from the same
+    float32 payload plus a double->integer rounding (portable, unlike
+    decimal-place rounding). Zero vectors quantize to zeros with scale 0.
+
+    Returns (id, scale_abs, q8): ``scale_abs`` = max|x| (dequantize as
+    q * scale_abs / 127), ``q8`` the int array in [-127, 127]."""
+    x = F.transform(F.col(col), lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    q = F.when(
+        mx == 0.0, F.transform(x, lambda v: F.lit(0))
+    ).otherwise(
+        F.transform(
+            x, lambda v: F.round(v / mx * 127.0, 0).cast("int")
+        )
+    )
+    return df.select(
+        F.col(id_col), mx.alias("scale_abs"), q.alias("q8")
+    )

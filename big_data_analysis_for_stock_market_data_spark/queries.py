@@ -5066,6 +5066,94 @@ def stream_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_full_join",
+    # full-outer streaming contract: BOTH sides' null-padded rows emit
+    # only once the watermark proves the other side complete, so the
+    # drained replay equals the batch FULL join below the horizon on
+    # BOTH event times (same 65-min slack construction as the left-outer
+    # entry, applied to whichever side of the row is non-null).
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click'),
+    b AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                 AS wm_base)
+    SELECT purchase_id, click_id, user_id, purchase_ts, click_ts FROM (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             COALESCE(p.user_id, c.user_id) AS user_id,
+             CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+             CAST(c.ts AS TIMESTAMP) AS click_ts
+      FROM p
+      FULL JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    ) j CROSS JOIN b
+    WHERE (purchase_ts IS NULL
+           OR purchase_ts <= b.wm_base - INTERVAL '65' MINUTE)
+      AND (click_ts IS NULL
+           OR click_ts <= b.wm_base - INTERVAL '65' MINUTE)
+    ORDER BY purchase_id, click_id
+    """,
+)
+def stream_interval_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join (Spark 3.1+):
+    purchases with no click within the hour AND clicks preceded by no
+    purchase both surface null-padded, each once the watermark proves the
+    other stream complete. Compared against the batch full join below the
+    watermark horizon on both event times — the honest equivalence, as in
+    the left-outer entry."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    lw = purchases.withWatermark("purchase_ts", "1 second")
+    rw = clicks.withWatermark("click_ts", "1 second")
+    joined = lw.join(
+        rw,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= purchase_ts "
+            "AND click_ts <= purchase_ts + INTERVAL 1 HOUR"
+        ),
+        "full_outer",
+    )
+    _, sink = st.run_to_memory(joined, output_mode="append")
+    ev_batch = load(spark, sf_dir, "events")
+    bound = ev_batch.groupBy().agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        ).alias("__wm_base")
+    )
+    horizon = F.col("__wm_base") - F.expr("INTERVAL '65' MINUTE")
+    return (
+        spark.table(sink)
+        .crossJoin(F.broadcast(bound))
+        .filter(
+            (F.col("purchase_ts").isNull() | (F.col("purchase_ts") <= horizon))
+            & (F.col("click_ts").isNull() | (F.col("click_ts") <= horizon))
+        )
+        .select(
+            "purchase_id", "click_id",
+            F.coalesce("user_id", "c_user_id").alias("user_id"),
+            "purchase_ts", "click_ts",
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
     "stream_ema_user",
     # recursive-CTE twin of the streaming recurrence. The fold is
     # ema' = a*x + (1-a)*ema with a = 2/(span+1) seeded at the first value
@@ -9633,6 +9721,94 @@ def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / 100.0).alias("sum_price"),
         F.col("max_price").cast("double").alias("max_price"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "simsearch_int8_quant",
+    # q = round(127 * x / max|x|) on doubles derived from the SAME
+    # float32 payload: IEEE multiply/divide + double->integer rounding,
+    # no libm, so the arrays hash exactly
+    oracle="""
+    SELECT vec_id, scale_abs,
+           CASE WHEN scale_abs = 0.0
+                THEN list_transform(emb, v -> 0)
+                ELSE list_transform(
+                  emb, v -> CAST(round(v / scale_abs * 127.0) AS INTEGER))
+           END AS q8
+    FROM (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb,
+             list_max(list_transform(
+               embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale_abs
+      FROM embeddings
+    )
+    ORDER BY vec_id
+    """,
+)
+def simsearch_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding corpus
+    (operators/simsearch.int8_quantize) — the vector-store compression
+    path (4x vs float32): scale + int8 code array per vector, pure JVM
+    array expressions, shuffle-free."""
+    from big_data_analysis_for_stock_market_data_spark.operators.simsearch import (
+        int8_quantize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return int8_quantize(emb).orderBy("vec_id")
+
+
+@register(
+    "s_schema_evolution",
+    # two generations of files in one dataset dir: generation 1 lacks the
+    # customer-key column; mergeSchema=true must surface it as
+    # NULL for generation-1 rows. The oracle reproduces the generation
+    # split (o_orderkey parity) on the source table.
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                         ELSE o_custkey END) AS BIGINT)
+             AS sum_new_col,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_new
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet dataset: generation-1 files written
+    without a column, generation-2 files with it; a mergeSchema read
+    reconciles both (added column NULL for old files) — the lakehouse
+    add-a-column migration path, verified by aggregating the merged
+    frame against the source-table replay of the generation split."""
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_schema_evo_")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 != 0)
+    gen1.write.mode("overwrite").parquet(out_dir + "/gen=1")
+    gen2.write.mode("overwrite").parquet(out_dir + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        out_dir + "/gen=1", out_dir + "/gen=2"
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").alias("sum_new_col"),
+            F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ).alias("n_null_new"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 def _bpe_oracle_sql(n_merges: int = 4) -> str:

@@ -502,11 +502,16 @@ def stream_stream_interval_join(
     ``how='left_outer'`` additionally emits unmatched left rows
     null-padded — but only once the watermark proves no matching right
     row can still arrive, so outer results trail the watermark by design
-    (a drained replay converges to the batch left join)."""
-    if how not in ("inner", "left_outer", "leftouter"):
+    (a drained replay converges to the batch left join).
+    ``how='full_outer'`` extends the same contract to unmatched RIGHT
+    rows (supported since Spark 3.1): each side's null-padded rows emit
+    when the watermark proves the other side complete for their bound."""
+    if how not in (
+        "inner", "left_outer", "leftouter", "full_outer", "fullouter",
+    ):
         raise ValueError(
-            "stream-stream interval join supports inner/left_outer, "
-            f"got {how!r}"
+            "stream-stream interval join supports inner/left_outer/"
+            f"full_outer, got {how!r}"
         )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)

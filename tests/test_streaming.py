@@ -487,10 +487,12 @@ def test_interval_join_rejects_unsupported_how(spark, stream_dir):
     s2 = st.read_stream_parquet(spark, d, EVENTS_SCHEMA).select(
         "user_id", F.col("ts").alias("r_ts")
     )
+    # full_outer became supported (stream_interval_full_join entry);
+    # genuinely unsupported types must still be rejected eagerly
     with pytest.raises(ValueError, match="inner/left_outer"):
         st.stream_stream_interval_join(
             s1, s2, on=["user_id"], left_ts="l_ts", right_ts="r_ts",
-            how="full_outer",
+            how="right_outer",
         )
 
 
