@@ -630,6 +630,12 @@ def bpe_train_merges(
         df.select(F.explode(tokens_col(F.col(col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+        # each round's winner AND the final rule union branch off this
+        # frame — without the checkpoint the CORPUS explode re-executes
+        # once per branch (n_merges+ full input passes at 100 TB); with
+        # it, one corpus pass, and every later branch reads the
+        # vocab-sized table (same pattern as graph.pagerank's edge table)
+        .localCheckpoint(eager=True)
     )
     segs = words.select(
         "freq",

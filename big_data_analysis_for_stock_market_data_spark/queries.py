@@ -2106,10 +2106,10 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-budget planning: coverage of a 200-entry frequency-ranked
-    vocabulary per language — total token occurrences, OOV occurrences,
-    OOV rate (exact small-int ratio). Vocab build is a grouped count +
-    TakeOrderedAndProject; scoring is a broadcast join of the vocab-sized
-    table (operators/text.vocab_coverage)."""
+    vocabulary per language — total token occurrences and OOV occurrences
+    (integer-pure; callers derive the rate). Vocab build is a grouped
+    count + TakeOrderedAndProject; scoring is a broadcast join of the
+    vocab-sized table (operators/text.vocab_coverage)."""
     from big_data_analysis_for_stock_market_data_spark.operators.text import (
         vocab_coverage,
     )
@@ -9808,6 +9808,134 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_null_new"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    # one-pass-per-edge orphan audit over the star schema's FK edges;
+    # LEFT ANTI joins count keys with no parent — the expectations-style
+    # data-quality gate a pipeline runs before training/merge
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           (SELECT COUNT(*) FROM lineitem) AS n_rows
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM customer)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM supplier)
+    ORDER BY fk_edge
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    per edge, the orphan count (LEFT ANTI join against the parent — the
+    parent side broadcasts when small) and the child row count. The
+    expectations-style gate a pipeline runs before joins/merges assume
+    the FKs hold; at 100 TB each edge is one anti join with the dimension
+    side broadcast (nation/customer) or shuffle-keyed (orders)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load(spark, sf_dir, "supplier").select("s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    def edge(name, child, parent, ck, pk):
+        orphans = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("fk_edge"), "n_orphans", "n_rows"
+        )
+
+    out = (
+        edge("lineitem.l_orderkey->orders", li,
+             orders.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .unionByName(edge("orders.o_custkey->customer",
+                          orders.select("o_custkey"),
+                          cust.select("c_custkey"), "o_custkey", "c_custkey"))
+        .unionByName(edge("customer.c_nationkey->nation",
+                          cust.select("c_nationkey"), nation,
+                          "c_nationkey", "n_nationkey"))
+        .unionByName(edge("supplier.s_nationkey->nation", sup, nation,
+                          "s_nationkey", "n_nationkey"))
+    )
+    return out.orderBy("fk_edge")
+
+
+@register(
+    "ts_seasonal_naive_backtest",
+    # seasonal-naive baseline: prediction(t) = value(t - 24h bucket) on
+    # each user's hourly rollup; scored with integer-micros absolute
+    # errors (order-free sums) over the rows where a season-back value
+    # exists — the forecasting sanity baseline every model must beat
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT user_id, h, v,
+             LAG(v, 24) OVER (PARTITION BY user_id ORDER BY h) AS pred
+      FROM hourly
+    )
+    SELECT user_id,
+           COUNT(pred) AS n_scored,
+           CAST(SUM(CAST(round(abs(v - pred) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS sum_abs_err_micros,
+           CAST(MAX(CAST(round(abs(v - pred) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS max_abs_err_micros
+    FROM lagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline with backtest scoring: hourly
+    per-user rollup (exact-decimal sums), prediction = the value 24
+    buckets earlier, absolute errors aggregated in integer micro-units
+    (order-free). The baseline every forecasting model must beat; one
+    rollup shuffle + one key-partitioned lag window."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(dsum(F.col("value"), "v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    lagged = hourly.withColumn("pred", F.lag("v", 24).over(w))
+    err = F.round(F.abs(F.col("v") - F.col("pred")) * 1e6, 0).cast("long")
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("pred").alias("n_scored"),
+            F.sum(err).alias("sum_abs_err_micros"),
+            F.max(err).alias("max_abs_err_micros"),
+        )
+        .orderBy("user_id")
     )
 
 
