@@ -748,6 +748,11 @@ def semantic_dedup(
         .filter(F.col("__rn") == 1)
         .select(id_col, vec_col, "cluster")
     )
+    # assigned feeds several consumers (cell sizes, both pair sides, the
+    # final spine join); without the checkpoint the kmeans + assignment
+    # lineage re-executes once per consumer (r06 plan audit: 111
+    # exchanges). The frame is corpus-sized but narrow (id, vec, cluster).
+    assigned = assigned.localCheckpoint(eager=True)
     if max_cell_size is not None:
         # Sub-split oversized cells: chunk id = hash(id) mod
         # ceil(|cell|/cap). Healthy cells get n_chunks=1 (chunk 0 for

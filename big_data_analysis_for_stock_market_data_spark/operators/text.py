@@ -687,9 +687,15 @@ def bpe_train_merges(
             "                 array(concat(__a, __b))) "
             "     ELSE concat(acc, array(s)) END)"
         )
+        # per-round checkpoint: rounds chain (seg3 = f(f(f(seg0)))), and
+        # every round's winner branch plus the final rule union would
+        # otherwise re-execute all prior rounds' aggregates (r06 plan
+        # audit: 56 exchanges). Each checkpoint is the vocab-sized
+        # segment table — tiny next to the corpus.
         segs = (
             segs.crossJoin(F.broadcast(best))
             .select("freq", F.expr(merge_fold).alias("syms"))
+            .localCheckpoint(eager=True)
         )
     out = rules[0]
     for r in rules[1:]:

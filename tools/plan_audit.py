@@ -58,6 +58,10 @@ NESTED_LOOP_OK = {
     "text_unigram_logprob",   # token-total 1-row agg x vocab table
     "a24_association_rules",  # basket-count 1-row agg x rules
     "stream_interval_left_join",  # watermark-horizon 1-row agg x drain
+    "stream_interval_full_join",  # same watermark-horizon 1-row cross
+    # r06: each BPE round crosses the 1-row winner aggregate into the
+    # vocab-sized segment table — the broadcast 1-row pattern
+    "text_bpe_merges",
     "stream_chained_rollup",      # same horizon 1-row agg x drain
     "samp_rebalance_sources",     # min-group-count 1-row agg x thresholds
     "samp_temperature_mix",       # binding-group 1-row agg x thresholds
@@ -133,6 +137,11 @@ EXCHANGE_BUDGET = {
                                    # prefix scan and the totals branch
                                    # (ReusedExchange at runtime), + the
                                    # bucket re-aggregate
+    "text_bpe_merges": 16,         # r06: 4 rounds x (pair-count agg +
+                                   # 1-row winner agg) off per-round
+                                   # CHECKPOINTED segment tables + the
+                                   # final 4-branch rule union; corpus is
+                                   # scanned once (words checkpoint)
 }
 
 

@@ -56,6 +56,10 @@ ENTRIES = (
     # token renaming makes cross-replica bigrams distinct, so the vocab
     # scales the way a genuinely bigger corpus scales
     "text_bigram_logprob",
+    # r06: BPE training's rounds are vocab-bound by design — the corpus
+    # contributes one explode+count pass (checkpointed), so 10x docs with
+    # per-replica token renaming (10x vocab too) must stay ~linear
+    "text_bpe_merges",
 )
 #: 10x data on fixed cores is linear at ratio <= 10; headroom for shuffle
 #: constants before we call it superlinear.
