@@ -2,15 +2,22 @@
 ``binary`` payloads with typed metadata, processed by Arrow-batched
 Pandas-UDF stages over ``mapInPandas``.
 
-The container ships no media libraries (no PIL/librosa/ffmpeg), so the
-*decode* step is stubbed two ways, per the build contract:
+The container ships no media libraries (no PIL/librosa/ffmpeg). The
+*decode* step has three backends:
 
+- ``decode_backend='native'`` — REAL decode with the standard library
+  only: PCM WAV samples (struct/numpy), 24-bit BMP pixels (raw rows,
+  bottom-up flip, stride), 8-bit truecolor PNG pixels (stdlib zlib +
+  all five scanline unfilter algorithms). JPEG (DCT+Huffman) and GIF
+  (LZW) remain out of native scope — that is the honest remaining
+  library boundary, and 'native' returns null features for them.
 - ``decode_backend='stub'`` raises ``NotImplementedError`` naming the
-  missing dependency — the honest production placeholder.
+  missing dependency — the production placeholder for formats beyond
+  the native set.
 - ``decode_backend='fake'`` produces a deterministic feature vector from
   the payload bytes, so the Spark-side plumbing — schema evolution,
   partition-preserving mapInPandas, Arrow batch shapes, fixed-size float
-  array outputs — is real and testable end-to-end.
+  array outputs — is testable independent of any codec.
 
 Scale notes: payloads never route through the driver; mapInPandas streams
 Arrow batches, so one task holds O(batch) payload bytes, not O(partition).
@@ -146,9 +153,10 @@ def build_png(width: int, height: int, *idat_chunks: bytes) -> bytes:
     """Construct a structurally-valid PNG (signature + IHDR + one IDAT
     chunk per argument + IEND, with correct lengths and CRCs). Multiple
     ``idat_chunks`` produce a split IDAT stream — legal PNG that defeats
-    single-chunk readers. The bytes stand in for the compressed stream —
-    chunk GRAMMAR is what the parser reads; zlib decode is out of scope
-    like WAV sample decode."""
+    single-chunk readers. The bytes here stand in for the compressed
+    stream (chunk GRAMMAR is what the header parser reads); for real
+    pixel payloads use ``encode_png_pixels``, whose output
+    ``decode_png_pixels`` fully decodes."""
     import struct
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
@@ -483,28 +491,52 @@ def extract_features(
     """Decode + featurize payloads via mapInPandas. Output schema = input +
     ``features: array<float>`` (fixed ``dim``).
 
-    ``decode_backend='stub'`` documents the real integration point: replace
-    ``_fake_feature`` with the actual decoder (PIL/torchvision/librosa) —
-    the surrounding iterator/batch/schema code is production-shaped already.
-    """
-    if decode_backend not in ("fake", "stub"):
-        raise ValueError("decode_backend must be 'fake' or 'stub'")
+    ``decode_backend='native'`` REALLY decodes WAV/BMP/PNG (see module
+    docstring) and emits decoded-domain features — audio: [n_samples,
+    mean, rms, peak, zero-crossing count, ...0-pad]; image: [width,
+    height, mean R, mean G, mean B, pixel std, ...0-pad]; null for
+    payloads outside the native codec set. ``decode_backend='stub'``
+    raises, naming the dependency a JPEG/GIF decode would need."""
+    if decode_backend not in ("fake", "stub", "native"):
+        raise ValueError("decode_backend must be 'fake', 'stub' or 'native'")
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out, T.ArrayType(T.FloatType()), True)]
     )
 
+    def native_feature(p: bytes) -> "np.ndarray | None":
+        s = decode_wav_samples(p)
+        if s is not None and len(s):
+            f = np.zeros(dim, dtype=np.float32)
+            f[0] = len(s)
+            f[1] = float(s.mean())
+            f[2] = float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+            f[3] = float(np.abs(s).max())
+            f[4] = float((np.signbit(s[1:]) != np.signbit(s[:-1])).sum())
+            return f
+        px = decode_bmp_pixels(p)
+        if px is None:
+            px = decode_png_pixels(p)
+        if px is not None:
+            f = np.zeros(dim, dtype=np.float32)
+            f[0], f[1] = px.shape[1], px.shape[0]
+            f[2:5] = px.reshape(-1, 3).mean(axis=0)
+            f[5] = float(px.astype(np.float64).std())
+            return f
+        return None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decode_backend == "stub":
             raise NotImplementedError(
-                "media decode requires an image/audio library (e.g. pillow, "
-                "librosa) which is not installed in this environment; use "
-                "decode_backend='fake' for plumbing tests"
+                "JPEG/GIF decode requires an image library (e.g. pillow) "
+                "which is not installed in this environment; WAV/BMP/PNG "
+                "decode is available via decode_backend='native'"
             )
+        fn = _fake_feature if decode_backend == "fake" else (
+            lambda p, _d: native_feature(p)
+        )
         for pdf in batches:
-            pdf[out] = [
-                _fake_feature(p, dim) for p in pdf[payload_col]
-            ]
+            pdf[out] = [fn(p, dim) for p in pdf[payload_col]]
             yield pdf
 
     from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
@@ -524,13 +556,16 @@ def resize_images(
     binary`` (exactly width*height*3 bytes) + ``resized_width``/
     ``resized_height``.
 
-    ``decode_backend='stub'`` marks the real integration point (PIL
-    ``Image.open(...).resize(...)``); 'fake' emits a deterministic
+    ``decode_backend='native'`` REALLY decodes BMP/PNG payloads and
+    nearest-neighbor resamples them (resize_pixels_nearest), emitting raw
+    top-down RGB bytes; undecodable payloads resize to null.
+    ``decode_backend='stub'`` marks the remaining integration point
+    (JPEG/GIF need an imaging library); 'fake' emits a deterministic
     sha256-keystream "bitmap" of the right SIZE and SHAPE so downstream
     stages (fixed-size binary handling, Arrow batch memory, partitioning)
-    are exercised for real."""
-    if decode_backend not in ("fake", "stub"):
-        raise ValueError("decode_backend must be 'fake' or 'stub'")
+    are exercised independent of any codec."""
+    if decode_backend not in ("fake", "stub", "native"):
+        raise ValueError("decode_backend must be 'fake', 'stub' or 'native'")
     n_bytes = width * height * 3
 
     out_schema = T.StructType(
@@ -549,15 +584,24 @@ def resize_images(
         reps = (n_bytes // len(digest)) + 1
         return (digest * reps)[:n_bytes]
 
+    def native_resize(p: bytes) -> "bytes | None":
+        px = decode_bmp_pixels(p)
+        if px is None:
+            px = decode_png_pixels(p)
+        if px is None:
+            return None
+        return resize_pixels_nearest(px, width, height).tobytes()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decode_backend == "stub":
             raise NotImplementedError(
-                "image resize requires an imaging library (e.g. pillow) "
-                "which is not installed in this environment; use "
-                "decode_backend='fake' for plumbing tests"
+                "JPEG/GIF resize requires an imaging library (e.g. "
+                "pillow) which is not installed in this environment; "
+                "BMP/PNG resize is available via decode_backend='native'"
             )
+        fn = fake_bitmap if decode_backend == "fake" else native_resize
         for pdf in batches:
-            pdf[out] = [fake_bitmap(p) for p in pdf[payload_col]]
+            pdf[out] = [fn(p) for p in pdf[payload_col]]
             pdf["resized_width"] = width
             pdf["resized_height"] = height
             yield pdf
@@ -604,4 +648,338 @@ def frame_sample(
 
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
         run, schema=out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# NATIVE decode (r06): real sample/pixel decode with the standard library
+# only. The "decode is blocked on PIL/librosa" boundary was narrower than
+# documented: PCM WAV needs struct/numpy, BMP is raw pixels, and PNG needs
+# zlib (stdlib) plus the five scanline unfilter algorithms. JPEG (DCT +
+# Huffman) and GIF (LZW) stay behind the 'stub' backend — that is the
+# honest remaining library boundary.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_samples(payload: bytes) -> "np.ndarray | None":
+    """REAL PCM sample decode: walk the RIFF chunk list (junk chunks and
+    word-alignment padding handled like _parse_one_container), then
+    reinterpret the ``data`` chunk as interleaved integer samples
+    (8-bit unsigned -> centered, 16/32-bit little-endian signed).
+    Returns int32 samples or None for non-PCM/corrupt payloads."""
+    import struct
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos: pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8: pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None or fmt[0] != 1:  # PCM only
+        return None
+    bits = fmt[5]
+    if bits == 16:
+        return np.frombuffer(data, dtype="<i2").astype(np.int32)
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    if bits == 32:
+        return np.frombuffer(data, dtype="<i4").astype(np.int32)
+    return None
+
+
+def decode_bmp_pixels(payload: bytes) -> "np.ndarray | None":
+    """REAL 24-bit BMP pixel decode: strip the two headers, de-stride the
+    4-byte-aligned rows, flip bottom-up storage to top-down, reorder BGR
+    to RGB. Returns (height, width, 3) uint8 or None."""
+    import struct
+
+    if payload is None or payload[:2] != b"BM":
+        return None
+    try:
+        (offset,) = struct.unpack_from("<I", payload, 10)
+        _, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    except struct.error:
+        return None
+    if bpp != 24 or width <= 0 or height == 0:
+        return None
+    flip = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    body = payload[offset: offset + stride * height]
+    if len(body) != stride * height:
+        return None
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(height, stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if flip:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _paeth(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png_pixels(payload: bytes) -> "np.ndarray | None":
+    """REAL PNG pixel decode for 8-bit truecolor (color type 2, no
+    interlace): concatenate IDAT chunks, zlib-inflate, and unfilter every
+    scanline with the full filter set (None/Sub/Up/Average/Paeth).
+    Returns (height, width, 3) uint8 or None for unsupported variants."""
+    import struct
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", payload, pos + 8)
+        elif ctype == b"IDAT":
+            idat += payload[pos + 8: pos + 8 + size]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None:
+        return None
+    width, height, depth, color, _, _, interlace = ihdr
+    if depth != 8 or color != 2 or interlace != 0:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    bpp = 3
+    rowlen = width * bpp
+    if len(raw) != height * (rowlen + 1):
+        return None
+    out = np.zeros((height, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    for r in range(height):
+        ftype = raw[r * (rowlen + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=rowlen, offset=r * (rowlen + 1) + 1
+        ).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: left neighbor, sequential per pixel
+            cur = line
+            for i in range(bpp, rowlen):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for i in range(rowlen):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for i in range(rowlen):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            return None
+        out[r] = cur
+        prev = out[r]
+    return out.reshape(height, width, bpp)
+
+
+def encode_png_pixels(
+    pixels: "np.ndarray", filter_mode: "int | str" = "row_cycle"
+) -> bytes:
+    """REAL PNG encoder for (h, w, 3) uint8 pixels: per-scanline filtering
+    (``filter_mode``: a fixed type 0-4, or 'row_cycle' = row index mod 5,
+    which exercises every unfilter path in one image) and a genuine
+    zlib-compressed IDAT stream — the roundtrip partner of
+    ``decode_png_pixels``."""
+    import zlib
+
+    h, w, bpp = pixels.shape
+    rowlen = w * bpp
+    flat = pixels.reshape(h, rowlen).astype(np.int32)
+    parts = []
+    prev = np.zeros(rowlen, dtype=np.int32)
+    for r in range(h):
+        ftype = (r % 5) if filter_mode == "row_cycle" else int(filter_mode)
+        cur = flat[r]
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = cur - (left + prev) // 2
+        elif ftype == 4:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            pred = _paeth(
+                left.astype(np.uint8), prev.astype(np.uint8),
+                upleft.astype(np.uint8),
+            ).astype(np.int32)
+            filt = cur - pred
+        else:
+            raise ValueError(f"filter type {ftype!r} not in 0-4")
+        parts.append(bytes([ftype]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    return build_png_pixels_container(w, h, zlib.compress(b"".join(parts)))
+
+
+def build_png_pixels_container(width: int, height: int, idat: bytes) -> bytes:
+    """PNG container around a REAL zlib IDAT stream (single chunk)."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_pixels_nearest(
+    pixels: "np.ndarray", width: int, height: int
+) -> "np.ndarray":
+    """Nearest-neighbor resample of (h, w, 3) pixels — the real (library-
+    free) backend for ``resize_images(decode_backend='native')``. Source
+    index = floor(dst * src_len / dst_len): deterministic integer
+    arithmetic, no float grid."""
+    sh, sw = pixels.shape[:2]
+    rows = (np.arange(height) * sh) // height
+    cols = (np.arange(width) * sw) // width
+    return pixels[rows][:, cols]
+
+
+def wav_roundtrip_stats(
+    users: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """Encode->container->NATIVE-decode audio verification stage: per id,
+    build a PCM WAV around a planted integer sample series
+    (sample_i = ((id*31 + i*7) % 65536) - 32768, n = 200 + id % 57, with
+    a junk chunk before ``fmt `` on odd ids to exercise the chunk
+    walker), decode it back with ``decode_wav_samples``, and emit integer
+    statistics OF THE DECODED ARRAY. Any decoder defect — wrong chunk
+    offsets, missed word-alignment, sample-width confusion — shifts the
+    stats, so a closed-form replay of the planted series verifies the
+    decode for real (no media library anywhere)."""
+    import struct
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_samples", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("min_sample", T.LongType(), True),
+        T.StructField("max_sample", T.LongType(), True),
+        T.StructField("first_sample", T.LongType(), True),
+        T.StructField("last_sample", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uid in pdf[id_col]:
+                uid = int(uid)
+                n = 200 + uid % 57
+                s = ((uid * 31 + np.arange(n) * 7) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                junk = (
+                    b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+                    if uid % 2
+                    else None
+                )
+                wav = build_wav(s.tobytes(), 8000, extra_chunk=junk)
+                dec = decode_wav_samples(wav)
+                d64 = dec.astype(np.int64)
+                rows.append({
+                    id_col: uid,
+                    "n_samples": len(dec),
+                    "sum_samples": int(d64.sum()),
+                    "sum_abs": int(np.abs(d64).sum()),
+                    "min_sample": int(d64.min()),
+                    "max_sample": int(d64.max()),
+                    "first_sample": int(d64[0]),
+                    "last_sample": int(d64[-1]),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(users.select(id_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
+def png_roundtrip_stats(
+    users: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """Encode->container->NATIVE-decode image verification stage: per id,
+    plant pixels pix(r,c,ch) = (id*7 + r*31 + c*13 + ch*71) % 256 in a
+    (5 + id%7) x (8 + id%9) image, PNG-encode with filter type r % 5
+    (every unfilter algorithm exercised in every image), decode back, and
+    emit integer channel sums plus a ROW-WEIGHTED red sum (flip- and
+    offset-sensitive: a decoder that returns rows bottom-up or shifts a
+    scanline changes it even though plain sums would not)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("rowweighted_r", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uid in pdf[id_col]:
+                uid = int(uid)
+                w, h = 8 + uid % 9, 5 + uid % 7
+                r_ix = np.arange(h)[:, None, None]
+                c_ix = np.arange(w)[None, :, None]
+                ch_ix = np.arange(3)[None, None, :]
+                px = (
+                    (uid * 7 + r_ix * 31 + c_ix * 13 + ch_ix * 71) % 256
+                ).astype(np.uint8)
+                png = encode_png_pixels(px, filter_mode="row_cycle")
+                dec = decode_png_pixels(png).astype(np.int64)
+                rows.append({
+                    id_col: uid,
+                    "width": dec.shape[1],
+                    "height": dec.shape[0],
+                    "sum_r": int(dec[:, :, 0].sum()),
+                    "sum_g": int(dec[:, :, 1].sum()),
+                    "sum_b": int(dec[:, :, 2].sum()),
+                    "rowweighted_r": int(
+                        ((np.arange(h)[:, None] + 1) * dec[:, :, 0]).sum()
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(users.select(id_col)).mapInPandas(
+        run, schema=schema
     )

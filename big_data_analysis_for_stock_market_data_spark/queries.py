@@ -9939,6 +9939,96 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_wav_native_decode",
+    # closed-form replay of the planted PCM series: the Spark side
+    # builds a real RIFF/WAVE container (junk chunk on odd ids) and
+    # NATIVE-decodes it back; the oracle computes the same integer stats
+    # straight from the sample formula, so any decode defect (chunk
+    # offsets, alignment, sample width) breaks the hash
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (
+      SELECT u.user_id, t.i,
+             CAST(((u.user_id * 31 + t.i * 7) % 65536) - 32768 AS BIGINT)
+               AS v
+      FROM u, unnest(range(0, 200 + u.user_id % 57)) AS t(i)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MIN(v) AS BIGINT) AS min_sample,
+           CAST(MAX(v) AS BIGINT) AS max_sample,
+           CAST(MIN(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_sample,
+           CAST(MIN(CASE WHEN i = 199 + user_id % 57 THEN v END) AS BIGINT)
+             AS last_sample
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_wav_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample decode, library-free (operators/multimodal.
+    decode_wav_samples): per user, a PCM WAV is built around a planted
+    int16 series — with a junk chunk before fmt on odd ids — then decoded
+    back natively; the emitted integer stats must equal the oracle's
+    closed-form replay of the planted series. Closes the 'decode is
+    stubbed' gap for PCM audio (JPEG/GIF stay behind the stub)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        wav_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return wav_roundtrip_stats(users).orderBy("user_id")
+
+
+@register(
+    "mm_png_native_decode",
+    # closed-form replay of the planted pixels: the Spark side zlib-
+    # encodes real filtered scanlines (filter type = row % 5, so every
+    # unfilter algorithm runs in every image) and decodes them back; the
+    # row-weighted red sum is flip/offset-sensitive
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    px AS (
+      SELECT u.user_id,
+             8 + u.user_id % 9 AS w, 5 + u.user_id % 7 AS h,
+             r.i AS r, c.i AS c,
+             CAST((u.user_id * 7 + r.i * 31 + c.i * 13) % 256 AS BIGINT)
+               AS red,
+             CAST((u.user_id * 7 + r.i * 31 + c.i * 13 + 71) % 256
+                  AS BIGINT) AS green,
+             CAST((u.user_id * 7 + r.i * 31 + c.i * 13 + 142) % 256
+                  AS BIGINT) AS blue
+      FROM u,
+           unnest(range(0, 5 + u.user_id % 7)) AS r(i),
+           unnest(range(0, 8 + u.user_id % 9)) AS c(i)
+    )
+    SELECT user_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(red) AS BIGINT) AS sum_r,
+           CAST(SUM(green) AS BIGINT) AS sum_g,
+           CAST(SUM(blue) AS BIGINT) AS sum_b,
+           CAST(SUM((r + 1) * red) AS BIGINT) AS rowweighted_r
+    FROM px GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_png_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode, library-free (operators/multimodal.
+    decode_png_pixels — stdlib zlib + all five scanline unfilter
+    algorithms): per user, planted pixels are PNG-encoded with filter
+    type r % 5 and decoded back; channel sums plus a row-weighted sum
+    (catches bottom-up or shifted scanlines) must equal the oracle's
+    closed-form pixel replay. Closes the 'decode is stubbed' gap for
+    8-bit truecolor PNG and 24-bit BMP (same pixel path)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        png_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return png_roundtrip_stats(users).orderBy("user_id")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right
@@ -10289,8 +10379,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "s_binaryfile_scan",
     "samp_temperature_mix",
     "ind_rolling_median",
-    "fn_sql_udf",
-    "fn_parameterized_sql",
+    # --- r06 native-decode gap closure (first claims outrank the thin
+    # SQL-wrapper first claims fn_sql_udf / fn_parameterized_sql, which
+    # queue for r07) ---
+    "mm_wav_native_decode",
+    "mm_png_native_decode",
     "ps_pandas_api",
     # --- newly oracle-backed this round (were rows-only) ----------------
     "w_ema_scan",

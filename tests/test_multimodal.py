@@ -209,3 +209,76 @@ def test_gif_extension_blocks_skipped_and_corrupt_degrades(spark):
     assert out[1]["container"] == "gif" and out[1]["n_samples"] == 2
     assert out[2]["container"] == "unknown"
     assert out[3]["container"] == "unknown"
+
+
+def test_native_png_decode_all_filters_roundtrip():
+    import numpy as np
+
+    px = (np.arange(9 * 6 * 3).reshape(6, 9, 3) * 7 % 256).astype(np.uint8)
+    for mode in (0, 1, 2, 3, 4, "row_cycle"):
+        png = M.encode_png_pixels(px, filter_mode=mode)
+        back = M.decode_png_pixels(png)
+        assert back is not None and (back == px).all(), f"filter {mode}"
+    # unsupported variants degrade to None, never raise
+    assert M.decode_png_pixels(b"\x89PNG\r\n\x1a\nbroken") is None
+    assert M.decode_png_pixels(None) is None
+
+
+def test_native_bmp_decode_flip_and_stride():
+    import numpy as np
+
+    w, h = 5, 4  # stride 16 > 15: exercises row padding
+    rgb = (np.arange(h * w * 3).reshape(h, w, 3) % 256).astype(np.uint8)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up, BGR
+        row = rgb[r][:, ::-1].tobytes()
+        rows.append(row + b"\x00" * (stride - len(row)))
+    back = M.decode_bmp_pixels(M.build_bmp(w, h, b"".join(rows)))
+    assert (back == rgb).all()
+
+
+def test_native_wav_decode_junk_chunk_and_widths():
+    import struct
+
+    import numpy as np
+
+    s16 = ((np.arange(100) * 7) % 65536 - 32768).astype("<i2")
+    junk = b"JUNK" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    dec = M.decode_wav_samples(
+        M.build_wav(s16.tobytes(), 8000, extra_chunk=junk)
+    )
+    assert (dec == s16.astype(np.int32)).all()
+    # 8-bit WAV is unsigned, centered at 128
+    s8 = np.array([0, 128, 255], dtype=np.uint8)
+    dec8 = M.decode_wav_samples(M.build_wav(s8.tobytes(), 8000, bits=8))
+    assert list(dec8) == [-128, 0, 127]
+    assert M.decode_wav_samples(b"RIFFxxxxNOPE") is None
+
+
+def test_native_feature_and_resize_backends(spark):
+    import numpy as np
+
+    px = (np.arange(4 * 4 * 3).reshape(4, 4, 3) % 256).astype(np.uint8)
+    png = M.encode_png_pixels(px, filter_mode="row_cycle")
+    s16 = np.array([1000, -1000, 2000, -2000], dtype="<i2")
+    wav = M.build_wav(s16.tobytes(), 8000)
+    jpeg = M.build_jpeg(8, 8)
+    df = spark.createDataFrame(
+        [Row(asset_id=1, payload=png), Row(asset_id=2, payload=wav),
+         Row(asset_id=3, payload=jpeg)],
+        schema="asset_id long, payload binary",
+    )
+    feats = {r.asset_id: r.features
+             for r in M.extract_features(df, dim=8,
+                                         decode_backend="native").collect()}
+    assert feats[1][0] == 4.0 and feats[1][1] == 4.0  # width, height
+    assert feats[1][2] == pytest.approx(px[:, :, 0].mean())
+    assert feats[2][0] == 4.0                          # n_samples
+    assert feats[2][3] == 2000.0                       # peak
+    assert feats[3] is None                            # JPEG: outside native set
+    rs = {r.asset_id: r for r in M.resize_images(
+        df, width=2, height=2, decode_backend="native").collect()}
+    expect = px[[0, 2]][:, [0, 2]]                     # nearest-neighbor grid
+    assert rs[1].resized_payload == expect.tobytes()
+    assert rs[3].resized_payload is None

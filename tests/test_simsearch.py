@@ -219,3 +219,26 @@ def test_ann_join_contract(spark):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_int8_quantize_roundtrip_and_zero_vector(spark):
+    from pyspark.sql import Row
+
+    from big_data_analysis_for_stock_market_data_spark.operators.simsearch import (
+        int8_quantize,
+    )
+
+    rows = [
+        Row(vec_id=1, embedding=[0.5, -1.0, 0.25]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0]),   # zero vector
+        Row(vec_id=3, embedding=[2.0]),
+    ]
+    out = {r.vec_id: r for r in int8_quantize(spark.createDataFrame(rows)).collect()}
+    assert out[1].scale_abs == 1.0
+    assert out[1].q8 == [64, -127, 32]   # round(0.5*127)=64 (half-up), etc.
+    assert out[2].scale_abs == 0.0 and out[2].q8 == [0, 0, 0]
+    assert out[3].q8 == [127]
+    # dequantization error bounded by scale/254 per element
+    deq = [q * out[1].scale_abs / 127.0 for q in out[1].q8]
+    for d, x in zip(deq, rows[0].embedding):
+        assert abs(d - x) <= out[1].scale_abs / 254 + 1e-12
