@@ -10127,21 +10127,28 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "diag_fp_hugeint",
-    # s_uncast is HUGEINT on the DuckDB side BY DESIGN: red here == the
-    # harness fetches oracle results through a path that widens/floats
-    # int128 (pandas .df() gives float64, Arrow gives decimal128) — the
-    # exact mechanism behind the five r05 reds. s_cast is the fixed form.
+    # s_uncast is HUGEINT on the DuckDB side BY DESIGN, and the Spark
+    # side emits DOUBLE 7.0: GREEN == the harness fetches oracle results
+    # through a pandas/Arrow path that floats int128 (the r05 evidence:
+    # stream_interval_left_join hashed green with 1948 NULLs in a BIGINT
+    # column, so BOTH sides degrade through pandas symmetrically, and
+    # HUGEINT — which only the oracle side produces — was the one
+    # asymmetric type, explaining all five r05 reds). A RED here means
+    # the fetch path changed to integer-exact (fetchall-style) — at
+    # which point the CAST discipline is belt-and-braces but this canary
+    # should be re-oriented. s_cast pins the casted form against the
+    # Spark integer under any path.
     oracle="""
     SELECT SUM(i) AS s_uncast, CAST(SUM(i) AS BIGINT) AS s_cast
     FROM (VALUES (3), (4)) t(i)
     """,
 )
 def diag_fp_hugeint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fetch-path probe: does an uncast DuckDB integer SUM (HUGEINT)
-    survive the harness's oracle fetch as the integer 7, or degrade to
-    7.0? Spark side is the plain long constant either way."""
+    """Fetch-path probe: the oracle's uncast integer SUM is HUGEINT;
+    under a pandas fetch it arrives as the double 7.0 — which this side
+    matches. See the oracle comment for the orientation rationale."""
     return spark.range(1).select(
-        F.lit(7).cast("long").alias("s_uncast"),
+        F.lit(7.0).alias("s_uncast"),
         F.lit(7).cast("long").alias("s_cast"),
     )
 

