@@ -10029,6 +10029,49 @@ def mm_png_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_roundtrip_stats(users).orderBy("user_id")
 
 
+@register(
+    "mm_gif_native_decode",
+    # closed-form replay of the planted palette indices: idx = (id*11 +
+    # r*29 + c*17) % 256, colors (idx, 3*idx % 256, 7*idx % 256); the
+    # Spark side LZW-encodes a real GIF89a and decodes it back natively
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    px AS (
+      SELECT u.user_id,
+             6 + u.user_id % 8 AS w, 4 + u.user_id % 6 AS h,
+             r.i AS r,
+             (u.user_id * 11 + r.i * 29 + c.i * 17) % 256 AS idx
+      FROM u,
+           unnest(range(0, 4 + u.user_id % 6)) AS r(i),
+           unnest(range(0, 6 + u.user_id % 8)) AS c(i)
+    )
+    SELECT user_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(idx) AS BIGINT) AS sum_r,
+           CAST(SUM((idx * 3) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((idx * 7) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((r + 1) * idx) AS BIGINT) AS rowweighted_r
+    FROM px GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_gif_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode, library-free (operators/multimodal.
+    decode_gif_pixels — pure-Python variable-width LZW with the GIF
+    late-change width convention, dictionary reset at 4096, sub-block
+    reassembly, palette resolution): planted palette indices are
+    LZW-encoded into genuine GIF89a payloads and decoded back; channel
+    sums + a row-weighted sum must equal the oracle's closed-form
+    replay. With this, JPEG's entropy coding is the only decode left
+    behind the stub backend."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        gif_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return gif_roundtrip_stats(users).orderBy("user_id")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right
@@ -10391,7 +10434,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # queue for r07) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
-    "ps_pandas_api",
+    "mm_gif_native_decode",
     # --- newly oracle-backed this round (were rows-only) ----------------
     "w_ema_scan",
     "stock_feature_frame",

