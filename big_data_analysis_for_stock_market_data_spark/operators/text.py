@@ -701,3 +701,94 @@ def bpe_train_merges(
     for r in rules[1:]:
         out = out.unionByName(r)
     return out.orderBy("merge_rank")
+
+
+def bpe_tokenize_counts(
+    df: DataFrame,
+    n_merges: int = 4,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the corpus-trained BPE merges (``bpe_train_merges``) back to
+    every document — the tokenizer APPLY step: each word segments into
+    the subwords produced by the ``n_merges`` learned rules in rank
+    order. Emits per-document subword statistics (counts, not strings —
+    the pipeline signal is sequence length for packing/budgeting).
+
+    Plan: training as in ``bpe_train_merges`` (corpus scanned once, each
+    round vocab-sized); application is free — the final segment table
+    ALREADY holds every distinct word's segmentation, so scoring is one
+    doc-token explode joined to the vocab-sized segment table (AQE
+    broadcasts it when small). Returns (id, n_words, n_subwords,
+    sum_subword_chars)."""
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(col))).alias("w"),
+        )
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    segs = vocab.select(
+        "w", "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for _t in range(n_merges):
+        counted = (
+            segs.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = counted.agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("m")
+        ).select(
+            F.col("m.a").alias("__a"), F.col("m.b").alias("__b")
+        )
+        merge_fold = (
+            "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = __a "
+            "          AND s = __b "
+            "     THEN concat(slice(acc, 1, size(acc) - 1), "
+            "                 array(concat(__a, __b))) "
+            "     ELSE concat(acc, array(s)) END)"
+        )
+        segs = (
+            segs.crossJoin(F.broadcast(best))
+            .select("w", "freq", F.expr(merge_fold).alias("syms"))
+            .localCheckpoint(eager=True)
+        )
+    seg_sizes = segs.select(
+        "w",
+        F.size("syms").alias("__n_sub"),
+        F.aggregate(
+            F.transform(F.col("syms"), lambda s: F.length(s)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("__n_chars"),
+    )
+    scored = words.join(seg_sizes, "w")
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__n_sub").cast("long").alias("n_subwords"),
+        F.sum("__n_chars").cast("long").alias("sum_subword_chars"),
+    )
+    return df.select(id_col).join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_subwords", F.lit(0)).alias("n_subwords"),
+        F.coalesce("sum_subword_chars", F.lit(0)).alias("sum_subword_chars"),
+    )

@@ -10139,6 +10139,50 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
     )
 
 
+def _bpe_apply_oracle_sql(n_merges: int = 4) -> str:
+    """BPE APPLY replay: train as in ``_bpe_oracle_sql`` (shared CTE
+    construction), then score every document against the final segment
+    table — per-doc word, subword, and subword-character counts."""
+    train = _bpe_oracle_sql(n_merges)
+    ctes = train[: train.rindex("\n    SELECT")]
+    return f"""{ctes},
+    doctoks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    perdoc AS (
+      SELECT t.doc_id, COUNT(*) AS n_words,
+             CAST(SUM(len(s.syms)) AS BIGINT) AS n_subwords,
+             CAST(SUM(list_sum(list_transform(s.syms, x -> length(x))))
+                  AS BIGINT) AS n_ch
+      FROM doctoks t JOIN seg{n_merges} s ON s.w = t.w
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_words, 0) AS n_words,
+           CAST(COALESCE(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+           CAST(COALESCE(p.n_ch, 0) AS BIGINT) AS sum_subword_chars
+    FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("text_bpe_tokenize", oracle=_bpe_apply_oracle_sql(n_merges=4))
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY step completing the BPE story
+    (operators/text.bpe_tokenize_counts): train the 4 corpus merges, then
+    segment every document's words through the final vocab-sized segment
+    table — per-doc word/subword/character counts, the sequence-length
+    signal packing and token budgeting consume. Application costs one
+    doc-token explode + one vocab-sized join; the oracle replays training
+    AND application."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        bpe_tokenize_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_tokenize_counts(docs, n_merges=4).orderBy("doc_id")
+
+
 @register("text_bpe_merges", oracle=_bpe_oracle_sql(n_merges=4))
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (first 4 merge rules) over the

@@ -280,3 +280,24 @@ def test_bpe_train_merges_classic_and_overlap(spark):
     r2 = [tuple(r) for r in bpe_train_merges(df2, n_merges=2).collect()]
     assert (r2[0][1], r2[0][2], r2[0][4]) == ("a", "a", 9)
     assert (r2[1][1], r2[1][2], r2[1][4]) == ("aa", "aa", 3)
+
+
+def test_bpe_tokenize_counts_hand_case(spark):
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        bpe_tokenize_counts,
+    )
+
+    # corpus: 'aaab aaab ab' -> merges learned on it; every word's
+    # subword count shrinks accordingly, characters are conserved
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab"), (3, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_words, r.n_subwords, r.sum_subword_chars)
+           for r in bpe_tokenize_counts(df, n_merges=2).collect()}
+    # characters conserved through segmentation: doc1 = 4+4+2 = 10 chars
+    assert got[1][0] == 3 and got[1][2] == 10
+    assert got[2][0] == 1 and got[2][2] == 4
+    assert got[3] == (0, 0, 0)
+    # after 2 merges every 'aaab' is at most 2 subwords
+    assert got[2][1] <= 2
+    assert got[1][1] <= 2 + 2 + 2
