@@ -67,6 +67,9 @@ STOCK_ROWS = 671_024  # the reference dataset's exact row count
 # HEADLINE grows, the "common" figure below keeps comparing like for like
 # (the r05 verdict flagged that a growing set hides per-query wins —
 # 61.1 s -> 54.2 s total masked a -33% like-for-like improvement).
+# r07 headline candidates (kept OUT of r06 per the freeze): text_bpe_merges,
+# text_bpe_tokenize, mm_wav_native_decode, mm_png_native_decode,
+# mm_gif_native_decode, stream_interval_full_join, dq_referential_integrity.
 COMMON_R05 = tuple(HEADLINE) + ("stock_fe_671k", "stock_rf_671k")
 
 

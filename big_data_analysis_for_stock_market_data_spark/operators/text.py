@@ -715,12 +715,14 @@ def bpe_tokenize_counts(
     order. Emits per-document subword statistics (counts, not strings —
     the pipeline signal is sequence length for packing/budgeting).
 
-    Plan: training as in ``bpe_train_merges`` (corpus scanned once, each
-    round vocab-sized); application is free — the final segment table
-    ALREADY holds every distinct word's segmentation, so scoring is one
-    doc-token explode joined to the vocab-sized segment table (AQE
-    broadcasts it when small). Returns (id, n_words, n_subwords,
-    sum_subword_chars)."""
+    Plan: training as in ``bpe_train_merges`` (one corpus pass into the
+    checkpointed distinct-word table; each round vocab-sized);
+    application is a SECOND corpus pass — the doc-token explode joined
+    to the vocab-sized segment table (AQE broadcasts it when small),
+    which already holds every distinct word's segmentation. Two input
+    passes total at any scale; checkpointing the exploded corpus instead
+    would trade a rescan for materializing it, a loss at 100 TB.
+    Returns (id, n_words, n_subwords, sum_subword_chars)."""
     words = (
         df.select(
             F.col(id_col),
