@@ -636,3 +636,83 @@ def group_entropy(
             F.sum("__t").alias(f"{p}entropy_nano"),
         )
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic between two
+    groups, plus the Welch-Satterthwaite degrees of freedom — the
+    significance companion to the exact KS drift statistic
+    (ml/metrics.ks_two_sample) for slice-vs-slice data audits.
+
+    Both groups' moment sums (n, Σx, Σx²) come from ONE filtered hash
+    aggregate with map-side partials (exact DECIMAL(28,8) addends, so
+    summation order can't move the sums); t and df are scalar IEEE
+    combinations of those six numbers — every divide/sqrt is a
+    correctly-rounded op on identical inputs, so the result is
+    engine-exact. Plan: one scan + one 1-row aggregate; broadcast-size
+    output. Returns NULL t/df when either group has < 2 observations."""
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(28,8)")).cast("double")
+
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col)
+    g = df.filter(in_a | in_b).agg(
+        F.count(F.when(in_a, v)).alias("n_a"),
+        F.count(F.when(in_b, v)).alias("n_b"),
+        dsum(F.when(in_a, v)).alias("__sa"),
+        dsum(F.when(in_a, v * v)).alias("__saa"),
+        dsum(F.when(in_b, v)).alias("__sb"),
+        dsum(F.when(in_b, v * v)).alias("__sbb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, saa = F.col("__sa"), F.col("__saa")
+    sb, sbb = F.col("__sb"), F.col("__sbb")
+    mean_a = F.try_divide(sa, F.nullif(na, F.lit(0.0)))
+    mean_b = F.try_divide(sb, F.nullif(nb, F.lit(0.0)))
+    # sample variance via n·Σx² − (Σx)²; greatest() absorbs last-ulp
+    # cancellation exactly as the oracle does. The n >= 2 guard is
+    # explicit (not left to NULL propagation) because greatest() IGNORES
+    # nulls in both engines — without it a singleton group's NULL
+    # variance would silently become 0.0 and produce a bogus t.
+    def svar(n, s, ss):
+        return F.when(
+            n >= F.lit(2.0),
+            F.greatest(
+                F.try_divide(
+                    n * ss - s * s, F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
+                ),
+                F.lit(0.0),
+            ),
+        )
+
+    var_a = svar(na, sa, saa)
+    var_b = svar(nb, sb, sbb)
+    se2_a, se2_b = var_a / na, var_b / nb
+    se2 = se2_a + se2_b
+    t_stat = F.try_divide(mean_a - mean_b, F.nullif(F.sqrt(se2), F.lit(0.0)))
+    df_w = F.try_divide(
+        se2 * se2,
+        F.nullif(
+            F.try_divide(se2_a * se2_a, F.nullif(na - F.lit(1.0), F.lit(0.0)))
+            + F.try_divide(
+                se2_b * se2_b, F.nullif(nb - F.lit(1.0), F.lit(0.0))
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return g.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        t_stat.alias("t_stat"),
+        df_w.alias("df_welch"),
+    )

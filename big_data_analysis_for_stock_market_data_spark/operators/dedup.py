@@ -70,6 +70,37 @@ def duplicate_groups(
     )
 
 
+def prefix_dedup_keep_longest(
+    df: DataFrame,
+    n_prefix_tokens: int = 6,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-duplicate removal keeping the LONGEST variant: documents
+    whose first ``n_prefix_tokens`` normalized tokens agree form a
+    cluster (the truncation-duplicate shape — crawl snapshots, paywalled
+    previews, re-posts cut mid-article — that full-content hashing can
+    never link), and the survivor is the longest member (most content
+    preserved), ties to the lowest ``id_col``. The "keep best, not keep
+    first" curation rule; exact_dedup keeps lowest-id instead.
+
+    Scale: the cluster key is an md5 of a BOUNDED token slice, so
+    shuffle rows stay small no matter how large documents get; one
+    window over that key (same single-shuffle shape as exact_dedup).
+    Documents shorter than the prefix cluster on their whole token
+    string — exact-normalized dedup is the special case n -> inf."""
+    prefix = F.slice(tokens_col(F.col(col)), 1, n_prefix_tokens)
+    key = F.md5(F.concat_ws(" ", prefix).cast("binary"))
+    w = Window.partitionBy(key).orderBy(
+        F.length(F.col(col)).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -232,6 +232,66 @@ def binned_range_join(
     return l.join(r, on="__bin", how="inner").filter(residual).drop("__bin")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval x interval OVERLAP join for two LARGE interval tables
+    (closed intervals on an integer axis: overlap iff
+    ``l_lo <= r_hi AND r_lo <= l_hi``) — the temporal/genomic companion
+    to the point-in-interval ``binned_range_join``. A raw overlap theta
+    join only plans as a nested loop (|left| x |right|); binning makes
+    it an equi join that stays fully distributed:
+
+    - BOTH sides explode to one row per covered bin of width
+      ``bin_width`` (fan-out ~ interval_len/bin_width + 1);
+    - a pair overlapping across k shared bins would surface k times, so
+      each match is CLAIMED exactly once, at the FIRST bin both
+      intervals cover — ``__bin == greatest(floor(l_lo/w),
+      floor(r_lo/w))`` — a stateless residual predicate in the join
+      itself, never a post-join DISTINCT shuffle over the pair set;
+    - the exact overlap test rides along as a residual filter.
+
+    Pick ``bin_width`` near the median interval length on the wider
+    side: the bin key is what the shuffle partitions on, so too-large
+    bins funnel into few partitions (skew), too-small bins multiply the
+    explode. Scale shape: two explodes + one shuffle equi join — the
+    100 TB form."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bin_width).cast("long"),
+                    F.floor(F.col(hi) / bin_width).cast("long"),
+                )
+            ),
+        )
+
+    l = binned(left, left_lo, left_hi)
+    r = binned(right, right_lo, right_hi)
+    overlap = (F.col(left_lo) <= F.col(right_hi)) & (
+        F.col(right_lo) <= F.col(left_hi)
+    )
+    first_shared_bin = F.col("__bin") == F.greatest(
+        F.floor(F.col(left_lo) / bin_width).cast("long"),
+        F.floor(F.col(right_lo) / bin_width).cast("long"),
+    )
+    return (
+        l.join(r, on="__bin", how="inner")
+        .filter(overlap & first_shared_bin)
+        .drop("__bin")
+    )
+
+
 def _bloom_positions(key, num_bits: int, num_hashes: int):
     """k independent bit positions per key: xxhash64 seeded by the hash
     index, mod m. (Avoids Kirsch-Mitzenmacher h1+j*h2 arithmetic, which

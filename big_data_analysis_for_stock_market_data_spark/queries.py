@@ -10378,6 +10378,154 @@ def diag_fp_double_repr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a29_welch_ttest",
+    # one filtered hash aggregate -> six numbers (n, Σx, Σx² per group,
+    # exact DECIMAL(28,8) sums as in a26/a27 — ≤2-decimal inputs make the
+    # double product within 1 ulp of the exact 4-decimal value, so the
+    # cast rounds identically); t and the Welch-Satterthwaite df are
+    # scalar IEEE combinations mirrored op-for-op
+    oracle="""
+    WITH g AS (
+      SELECT
+        COUNT(CASE WHEN event_type = 'click' THEN value END) AS n_a,
+        COUNT(CASE WHEN event_type = 'view' THEN value END) AS n_b,
+        CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+                      AS DECIMAL(28,8))) AS DOUBLE) AS sa,
+        CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * value END
+                      AS DECIMAL(28,8))) AS DOUBLE) AS saa,
+        CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END
+                      AS DECIMAL(28,8))) AS DOUBLE) AS sb,
+        CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value * value END
+                      AS DECIMAL(28,8))) AS DOUBLE) AS sbb
+      FROM events WHERE event_type IN ('click', 'view')
+    ), m AS (
+      SELECT n_a, n_b,
+        sa / CAST(n_a AS DOUBLE) AS mean_a,
+        sb / CAST(n_b AS DOUBLE) AS mean_b,
+        greatest((CAST(n_a AS DOUBLE) * saa - sa * sa)
+                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)),
+                 0.0) / CAST(n_a AS DOUBLE) AS se2_a,
+        greatest((CAST(n_b AS DOUBLE) * sbb - sb * sb)
+                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)),
+                 0.0) / CAST(n_b AS DOUBLE) AS se2_b
+      FROM g
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+      (mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_stat,
+      ((se2_a + se2_b) * (se2_a + se2_b))
+      / (se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+         + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0)) AS df_welch
+    FROM m
+    """,
+)
+def a29_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between the click and view
+    value distributions (operators/aggregates.welch_ttest) — the
+    significance screen beside the exact KS drift statistic. One scan,
+    one 1-row aggregate with map-side partials."""
+    ev = load(spark, sf_dir, "events")
+    return agg_ops.welch_ttest(ev, "event_type", "value", "click", "view")
+
+
+@register(
+    "j7_interval_overlap",
+    # the binned claim-at-first-shared-bin plan must equal the plain
+    # overlap theta join row-for-row — the oracle IS that theta join;
+    # intervals are integer epoch days, so bin arithmetic is exact
+    oracle=f"""
+    WITH promo AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS p_lo,
+             datediff('day', DATE '1970-01-01', o_orderdate) + 7 AS p_hi
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    ), li AS (
+      SELECT l_quantity,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS l_lo,
+             datediff('day', DATE '1970-01-01', l_shipdate)
+               + 1 + (l_orderkey + l_linenumber) % 13 AS l_hi
+      FROM lineitem
+    )
+    SELECT p.o_orderkey,
+           COUNT(*) AS n_overlap,
+           {_sql_dsum("l.l_quantity", "qty_sum")}
+    FROM promo p JOIN li l ON l.l_lo <= p.p_hi AND p.p_lo <= l.l_hi
+    GROUP BY p.o_orderkey
+    """,
+)
+def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (operators/joins.
+    interval_overlap_join): 1995 URGENT promo windows [d, d+7] against
+    synthetic lineitem ship intervals — both sides bin-exploded, equi
+    join on the bin, each overlapping pair claimed exactly once at the
+    first shared bin (no pair-set DISTINCT), then a per-order rollup.
+    The temporal-correlation shape (campaign windows x activity spans)
+    at its 100 TB form: two explodes + one shuffle equi join."""
+    epoch = F.lit("1970-01-01").cast("date")
+    promo = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+        )
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), epoch).alias("p_lo"),
+            (F.datediff(F.col("o_orderdate"), epoch) + F.lit(7)).alias(
+                "p_hi"
+            ),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        F.datediff(F.col("l_shipdate"), epoch).alias("l_lo"),
+        (
+            F.datediff(F.col("l_shipdate"), epoch)
+            + F.lit(1)
+            + (F.col("l_orderkey") + F.col("l_linenumber")) % 13
+        ).alias("l_hi"),
+    )
+    joined = join_ops.interval_overlap_join(
+        li, promo, "l_lo", "l_hi", "p_lo", "p_hi", bin_width=8
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        dsum(F.col("l_quantity"), "qty_sum"),
+    )
+
+
+@register(
+    "dedup_prefix_longest",
+    # cluster key = md5 of the first-6-token normalized prefix (bounded
+    # slice, so shuffle rows stay small at any document size); survivor =
+    # longest member, ties to lowest doc_id
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(array_to_string(
+                 list_slice({_DUCK_TOKS}, 1, 6), ' '))
+               ORDER BY length(text) DESC, doc_id) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_prefix_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate removal keeping the LONGEST variant
+    (operators/dedup.prefix_dedup_keep_longest): truncation duplicates —
+    crawl snapshots, preview cutoffs — cluster on their first 6
+    normalized tokens and the most complete copy survives. The
+    'keep best, not keep first' curation rule."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.prefix_dedup_keep_longest(docs, n_prefix_tokens=6).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -10475,7 +10623,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ind_rolling_median",
     # --- r06 native-decode gap closure (first claims outrank the thin
     # SQL-wrapper first claims fn_sql_udf / fn_parameterized_sql, which
-    # queue for r07) ---
+    # queue for r07 along with the late-r06 additions a29_welch_ttest,
+    # j7_interval_overlap, dedup_prefix_longest, text_bpe_merges,
+    # text_bpe_tokenize, mm_*_native_decode's bench twins, and the other
+    # entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",

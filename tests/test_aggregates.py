@@ -523,3 +523,47 @@ def test_sharpe_of_diffs_two_row_key_no_ansi_error(spark):
     row = sharpe_of_diffs(spark.createDataFrame(pdf), "k", "t", "v").collect()[0]
     assert row.n_diffs == 1 and row.mean_diff == 1.0
     assert row.std_diff is None and row.sharpe is None
+
+
+def test_welch_ttest_matches_closed_form(spark):
+    import math
+
+    import pandas as pd
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        welch_ttest,
+    )
+
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [2.5, 2.5, 3.5, 5.0]
+    pdf = pd.DataFrame(
+        {"g": ["a"] * len(a) + ["b"] * len(b) + ["zz"], "v": a + b + [99.0]}
+    )
+    row = welch_ttest(spark.createDataFrame(pdf), "g", "v", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2a, se2b = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(se2a + se2b)
+    dfw = (se2a + se2b) ** 2 / (se2a**2 / (na - 1) + se2b**2 / (nb - 1))
+    assert row.n_a == na and row.n_b == nb
+    assert abs(row.mean_a - ma) < 1e-12 and abs(row.mean_b - mb) < 1e-12
+    assert abs(row.t_stat - t) < 1e-9
+    assert abs(row.df_welch - dfw) < 1e-9
+    # the out-of-scope group ('zz') must not contaminate either side
+
+
+def test_welch_ttest_degenerate_group_nulls(spark):
+    import pandas as pd
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        welch_ttest,
+    )
+
+    # one observation in group b: no sample variance -> NULL t/df, not
+    # an ANSI divide-by-zero error
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 5.0]})
+    row = welch_ttest(spark.createDataFrame(pdf), "g", "v", "a", "b").collect()[0]
+    assert row.n_a == 2 and row.n_b == 1
+    assert row.t_stat is None and row.df_welch is None

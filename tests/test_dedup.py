@@ -367,3 +367,26 @@ def test_semantic_dedup_cell_cap_bounds_pairs(spark):
         df, threshold=0.9, n_clusters=1, n_iters=1, max_cell_size=None
     ).orderBy("vec_id").collect()
     assert a == b
+
+
+def test_prefix_dedup_keeps_longest_variant(spark):
+    rows = [
+        # one prefix cluster: truncated / full / extended variants
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=2, text="Alpha  beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta"),
+        # same length as doc 3's cluster-mate? different prefix -> own cluster
+        Row(doc_id=4, text="omega psi chi phi upsilon tau sigma"),
+        # tie on length within a cluster -> lowest id survives
+        Row(doc_id=5, text="one two three four five six AAA"),
+        Row(doc_id=6, text="one two three four five six BBB"),
+        # shorter than the prefix: clusters on its whole token string
+        Row(doc_id=7, text="tiny doc"),
+    ]
+    out = D.prefix_dedup_keep_longest(
+        spark.createDataFrame(rows), n_prefix_tokens=6
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    # cluster {1,2,3}: doc 2 is longest (case/whitespace-normalized
+    # prefix still matches); cluster {5,6}: equal length -> doc 5
+    assert kept == [2, 4, 5, 7]

@@ -194,3 +194,54 @@ def test_as_of_join_tolerance(spark):
     got = {(r.sym, r.t.minute): r.bid for r in out.collect()}
     assert got == {("A", 5): 99.0, ("A", 40): None, ("B", 7): None}
     assert "__match_t" not in out.columns
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """Every overlapping pair surfaces EXACTLY once (the claim-at-first-
+    shared-bin rule), including pairs whose overlap spans many bins;
+    non-overlapping pairs sharing a bin are filtered; closed-interval
+    boundary touches count."""
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 5, 6), (3, 40, 41), (4, 200, 210)],
+        "lid long, l_lo long, l_hi long",
+    )
+    right = spark.createDataFrame(
+        [(10, 50, 60), (11, 6, 7), (12, 100, 110), (13, 300, 310)],
+        "rid long, r_lo long, r_hi long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in J.interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=8
+        ).collect()
+    )
+    # hand-checked: [0,100] overlaps [50,60] (spans many shared bins —
+    # must appear once), [6,7] (touch at 6..7), [100,110] (touch at
+    # 100); [5,6] overlaps [6,7] at the closed boundary; [40,41] and
+    # [200,210] overlap nothing
+    assert got == [(1, 10), (1, 11), (1, 12), (2, 11)]
+
+    # must equal the plain nested-loop theta join for a random-ish mix
+    import itertools
+    lrows = [(i, (i * 7) % 50, (i * 7) % 50 + i % 11) for i in range(40)]
+    rrows = [(j, (j * 13) % 60, (j * 13) % 60 + j % 9) for j in range(30)]
+    want = sorted(
+        (lr[0], rr[0])
+        for lr, rr in itertools.product(lrows, rrows)
+        if lr[1] <= rr[2] and rr[1] <= lr[2]
+    )
+    ldf = spark.createDataFrame(lrows, "lid long, l_lo long, l_hi long")
+    rdf = spark.createDataFrame(rrows, "rid long, r_lo long, r_hi long")
+    got2 = sorted(
+        (r.lid, r.rid)
+        for r in J.interval_overlap_join(
+            ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=5
+        ).collect()
+    )
+    assert got2 == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        J.interval_overlap_join(
+            ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=0
+        )
