@@ -320,12 +320,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, each query probes
     its ``n_probe`` nearest centroids, exact cosine re-ranks within the
     probed cells. ``n_probe == n_clusters`` degrades gracefully to exact
     brute force (asserted in tests). Candidate cost ≈ |corpus|·n_probe/
-    n_clusters per query versus |corpus| for brute force."""
+    n_clusters per query versus |corpus| for brute force. ``round_to``
+    rounds the cosine before ranking (same cross-engine tie-stability
+    knob as ``brute_force_topk``)."""
     assigned, centroids = ivf_index(corpus, n_clusters, id_col, vec_col, seed)
 
     # squared L2 to each centroid; top n_probe cells per query
@@ -355,10 +358,13 @@ def ivf_topk(
         assigned.join(F.broadcast(probes), "__cluster")
         .filter(F.col(id_col) != F.col("__qid"))
     )
+    score = cosine(F.col(vec_col), F.col("__qvec"))
+    if round_to is not None:
+        score = F.round(score, round_to)
     scored = cand.select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        score.alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

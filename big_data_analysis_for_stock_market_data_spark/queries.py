@@ -1204,16 +1204,48 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # HLL sketch: engine-specific, rows-only
+@register(
+    "agg_approx_distinct",
+    # property oracle: the sketch's register layout is engine-specific so
+    # its raw estimate can't hash across engines — what CAN be certified
+    # is (a) the exact distincts the estimate targets and (b) the sketch's
+    # accuracy contract. The estimate enters only through ±10% bound
+    # booleans (5× the configured rsd=0.02); the HLL++ hash is
+    # deterministic for fixed data, so the booleans are stable facts of
+    # this dataset, not flaky probabilistic assertions.
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_orders_ok,
+           TRUE AS approx_parts_ok
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts — the sketch path for
     100 TB cardinality estimation (exact distinct shuffles every value;
-    the sketch shuffles a fixed-size register set). Accuracy vs exact is
-    asserted in tests/test_aggregates.py."""
+    the sketch shuffles a fixed-size register set). The exact distincts
+    ride along here as the oracle harness ONLY (production callers run
+    the sketch alone); the checked property is the ±10% accuracy
+    envelope. Exact-vs-sketch error is additionally pinned in
+    tests/test_aggregates.py."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    est = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
+    )
+
+    def within(approx, exact):
+        e = exact.cast("double")
+        return F.abs(approx.cast("double") - e) <= F.lit(0.10) * e
+
+    return est.select(
+        "exact_orders",
+        "exact_parts",
+        within(F.col("__ao"), F.col("exact_orders")).alias("approx_orders_ok"),
+        within(F.col("__ap"), F.col("exact_parts")).alias("approx_parts_ok"),
     )
 
 
@@ -2928,10 +2960,35 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_dups(docs, threshold=0.5, hash_mode="md5_60")
 
 
-@register("dedup_minhash_near")  # seeded-xxhash LSH: no SQL twin, rows-only
+@register(
+    "dedup_minhash_near",
+    # ground-truth oracle: xxhash64 signatures have no SQL twin (that's
+    # dedup_minhash_md5's job), but the pipeline's OUTPUT can be checked
+    # against the thing it approximates — the exact all-pairs Jaccard
+    # set at threshold 0.5. Hash-match certifies precision exactly (the
+    # verify stage guarantees it) and recall as a stable fact of this
+    # dataset: every true pair here has J >= 0.9, where the 16-band/r=4
+    # scheme's miss probability is (1 − 0.9⁴)¹⁶ < 4e-8 per pair — and
+    # the seeded hashes are deterministic for fixed data, so the verdict
+    # cannot flap. The oracle brute-forces only because ground truth
+    # requires it at sf0.01; the Spark side stays the banded linear plan.
+    oracle=f"""
+    WITH {_NGRAM_JACCARD_CTES},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+)
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: shingle → 64 minhashes → 16 bands
-    (r=4) → capped bucket pairs → exact-Jaccard verify ≥ 0.5."""
+    """MinHash+LSH near-dup pipeline (production xxhash64 hashes):
+    shingle → 64 minhashes → 16 bands (r=4) → capped bucket pairs →
+    exact-Jaccard verify ≥ 0.5. Oracle-checked against the exact
+    all-pairs ground truth; the banding/bucket internals are separately
+    replayed hash-for-hash by dedup_minhash_md5."""
     from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
 
     docs = load(spark, sf_dir, "documents")
@@ -3529,19 +3586,57 @@ def simsearch_ivfpq_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "approx_sqdist", "rank")
 
 
-@register("simsearch_ivf_topk")  # k-means index: rows-only
+@register(
+    "simsearch_ivf_topk",
+    # exact oracle via the index-structure invariant: with
+    # n_probe == n_clusters the IVF machinery (seeded k-means assign →
+    # per-cell scan → cosine re-rank) MUST reproduce the flat exact scan
+    # — any vector lost or duplicated by the cell partitioning breaks
+    # the hash. So the oracle is plain brute-force top-5 (the
+    # simsearch_bruteforce_topk SQL). The PRUNED probe path is certified
+    # separately by simsearch_ivf_det_topk, whose deterministic k-means
+    # is replayed centroid-for-centroid in SQL.
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND({_duck_dot('e.embedding', 'q.qvec')}
+                   / ({_duck_norm('e.embedding')} * {_duck_norm('q.qvec')}),
+                   6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5: seeded k-means coarse quantizer + 4-probe search +
-    exact cosine re-rank. Full-probe == brute-force is asserted in
-    tests/test_simsearch.py; at scale the assigned corpus is persisted
-    partitioned by cell so probes prune partitions."""
+    """IVF ANN top-5 with the seeded (production) k-means quantizer, run
+    at full probe: partition-by-cell + scan-all-cells must equal the
+    flat exact scan — the invariant that certifies the index plumbing
+    end-to-end regardless of where k-means put the centroids. The
+    pruned-probe search (n_probe < n_clusters) is covered by
+    simsearch_ivf_det_topk's full SQL replay; at scale the assigned
+    corpus is persisted partitioned by cell so probes prune
+    partitions."""
     from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
 
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ss.ivf_topk(emb, queries_df, k=5, n_clusters=16, n_probe=4)
+    return ss.ivf_topk(
+        emb, queries_df, k=5, n_clusters=16, n_probe=16, round_to=6
+    )
 
 
 @register(
@@ -5334,20 +5429,105 @@ def ml_svc_pca_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.metrics_df(spark, fit.metrics)
 
 
-@register("ml_pca_variance")  # rows-only
+@register(
+    "ml_pca_variance",
+    # exact oracle via the 2x2 closed form: PCA on standardized columns
+    # diagonalizes the sample CORRELATION matrix, whose 2x2 eigenvalues
+    # are 1 ± |r| — so the explained-variance ratios are (1 ± |r|)/2
+    # with r the Pearson correlation from exact-decimal raw sums (the
+    # a9_corr_pairs replication pattern). The hashed variance_ratio
+    # column is that replicated closed form; the eigensolver's own
+    # output enters through a |breeze − closed| < 1e-9 boolean (their
+    # difference is ~1e-14; hashing the solver floats directly would
+    # gamble on a rounding boundary instead).
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS se,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_quantity AS DECIMAL(13,6))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                      * CAST(l_extendedprice AS DECIMAL(13,6))) AS DOUBLE) AS see,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_extendedprice AS DECIMAL(13,6))) AS DOUBLE) AS sqe
+      FROM lineitem
+    ), r AS (
+      SELECT abs((n * sqe - sq * se)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * see - se * se)))
+               AS abs_r
+      FROM s
+    )
+    SELECT 0 AS component, ROUND((1.0 + abs_r) / 2.0, 6) AS variance_ratio,
+           TRUE AS pca_matches_closed_form
+    FROM r
+    UNION ALL
+    SELECT 1, ROUND((1.0 - abs_r) / 2.0, 6), TRUE FROM r
+    """,
+)
 def ml_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA explained-variance ratios on standardized lineitem measures —
-    the reference's k-selection step (G_2_rf_pca.py:100-142, 95%-variance
-    cut at p.14)."""
+    """PCA explained-variance ratios — the reference's k-selection step
+    (G_2_rf_pca.py:100-142, 95%-variance cut at p.14), run on its
+    correlated-group scenario (two correlated measures, where the
+    reference found k=1 at 99.99% variance). The standardize→PCA
+    pipeline's ratios must equal the correlation matrix's closed-form
+    eigenvalue shares (1 ± |r|)/2: the hashed column replays that
+    closed form from exact-decimal sums, and the eigensolver agreement
+    rides as a checked boolean. The wider k=4 surface stays pinned in
+    tests/test_ml.py."""
     from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
         pca_explained_variance,
     )
 
     li = load(spark, sf_dir, "lineitem")
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    ratios = pca_explained_variance(li, cols, k=4)
-    rows = [(i, round(r, 6)) for i, r in enumerate(ratios)]
-    return spark.createDataFrame(rows, "component int, variance_ratio double")
+    cols = ["l_quantity", "l_extendedprice"]
+    breeze = pca_explained_variance(li, cols, k=2)
+    bdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(breeze)],
+        "component int, __breeze double",
+    )
+
+    def d18(c):
+        return F.col(c).cast("decimal(18,6)")
+
+    def x19(a, b):
+        return F.col(a).cast("decimal(19,6)") * F.col(b).cast("decimal(13,6)")
+
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d18("l_quantity")).cast("double").alias("sq"),
+        F.sum(d18("l_extendedprice")).cast("double").alias("se"),
+        F.sum(x19("l_quantity", "l_quantity")).cast("double").alias("sqq"),
+        F.sum(x19("l_extendedprice", "l_extendedprice"))
+        .cast("double")
+        .alias("see"),
+        F.sum(x19("l_quantity", "l_extendedprice"))
+        .cast("double")
+        .alias("sqe"),
+    )
+    n = F.col("n")
+    abs_r = F.abs(
+        (n * F.col("sqe") - F.col("sq") * F.col("se"))
+        / (
+            F.sqrt(n * F.col("sqq") - F.col("sq") * F.col("sq"))
+            * F.sqrt(n * F.col("see") - F.col("se") * F.col("se"))
+        )
+    )
+    closed = s.select(abs_r.alias("__abs_r"))
+    ratio = F.when(
+        F.col("component") == 0, (F.lit(1.0) + F.col("__abs_r")) / F.lit(2.0)
+    ).otherwise((F.lit(1.0) - F.col("__abs_r")) / F.lit(2.0))
+    return (
+        bdf.crossJoin(F.broadcast(closed))
+        .select(
+            "component",
+            F.round(ratio, 6).alias("variance_ratio"),
+            (F.abs(F.col("__breeze") - ratio) < F.lit(1e-9)).alias(
+                "pca_matches_closed_form"
+            ),
+        )
+        .orderBy("component")
+    )
 
 
 @register("ml_rdd_compat_rf")  # model training: no SQL twin, rows-only
@@ -5890,16 +6070,53 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("o3_random_split")  # Spark-specific Bernoulli sampling: rows-only
+@register(
+    "o3_random_split",
+    # property oracle: randomSplit's Bernoulli thresholds are Spark's
+    # XORShiftRandom — no SQL twin exists BY DESIGN (that's what
+    # o3_hash_split is for). What IS checkable: the corpus count, the
+    # partition property (train + test == total, no row lost or
+    # duplicated), and the seeded split fraction landing in a ±0.03
+    # envelope around 0.7 (≈ 8σ of Binomial(n, 0.7) at sf0.01 — and
+    # deterministic anyway for a fixed seed + file layout).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS split_complete,
+           TRUE AS train_frac_ok
+    FROM orders
+    """,
+)
 def o3_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 seeded randomSplit: the engine standard is ALWAYS-seeded splits
-    (the reference left G_2_rf_nordd.py:63 unseeded). Returns per-split
-    counts — deterministic for a fixed seed."""
+    (the reference left G_2_rf_nordd.py:63 unseeded). Emits the corpus
+    count plus the two facts a split must satisfy — completeness
+    (train + test == total) and the seeded 0.7 fraction envelope — as
+    oracle-checked booleans; per-split counts stay available via
+    o3_hash_split's exactly-replayable twin."""
     orders = load(spark, sf_dir, "orders")
     train, test = orders.randomSplit([0.7, 0.3], seed=42)
-    return spark.createDataFrame(
-        [("train", train.count()), ("test", test.count())],
-        "split string, n_rows long",
+    # counts stay in the plan as broadcast 1-row aggregates (no driver
+    # .count() scalars)
+    split_counts = (
+        train.select(F.lit(1).alias("__t"))
+        .unionAll(test.select(F.lit(0).alias("__t")))
+        .agg(
+            F.count(F.lit(1)).alias("__n_split"),
+            F.sum("__t").alias("__n_train"),
+        )
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    return total.crossJoin(F.broadcast(split_counts)).select(
+        "n_total",
+        (F.col("__n_split") == F.col("n_total")).alias("split_complete"),
+        (
+            F.abs(
+                F.col("__n_train").cast("double")
+                / F.col("n_total").cast("double")
+                - F.lit(0.7)
+            )
+            < F.lit(0.03)
+        ).alias("train_frac_ok"),
     )
 
 
@@ -8207,33 +8424,64 @@ def a25_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_union")  # datasketches HLL: no SQL twin, rows-only
+@register(
+    "agg_hll_union",
+    # property oracle (same contract shape as agg_approx_distinct): the
+    # DataSketches binary layout is library-specific, so the hashed
+    # columns are the exact distincts plus a ±10% accuracy boolean per
+    # row — including the MERGED (-1) row, which certifies that the
+    # union of per-nation sketches still estimates the corpus keyspace
+    # within bound (the mergeability contract itself). Deterministic for
+    # fixed data: the sketch hash has no RNG.
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS approx_ok
+    FROM customer GROUP BY c_nationkey
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT), TRUE
+    FROM customer
+    """,
+)
 def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog sketches (Spark's Apache-DataSketches
     surface): per-nation HLL of the customer keyspace, the nation
     sketches UNIONED into a corpus sketch (hll_union_agg — merge is the
     capability that matters at 100 TB: per-partition sketches combine
-    without a re-scan), estimates emitted next to the exact distinct
-    counts. test_aggregates pins union-vs-direct consistency and the
-    HLL error envelope; no SQL oracle by nature (sketch binary layout is
-    library-specific)."""
+    without a re-scan). Exact distincts ride along as the oracle
+    harness; each sketch estimate is checked against its exact count
+    through a ±10% bound boolean (sketch layout is library-specific, so
+    the raw estimate itself can't hash across engines). test_aggregates
+    additionally pins union-vs-direct consistency."""
     cust = load(spark, sf_dir, "customer")
     per_nation = cust.groupBy("c_nationkey").agg(
         F.hll_sketch_agg(F.col("c_custkey")).alias("__sk"),
         F.count_distinct(F.col("c_custkey")).alias("exact_distinct"),
     )
+
+    def within(approx, exact):
+        e = exact.cast("double")
+        return F.abs(approx.cast("double") - e) <= F.lit(0.10) * e
+
     nations = per_nation.select(
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
         "exact_distinct",
-        F.hll_sketch_estimate(F.col("__sk")).alias("approx_distinct"),
+        within(
+            F.hll_sketch_estimate(F.col("__sk")), F.col("exact_distinct")
+        ).alias("approx_ok"),
     )
     overall = per_nation.agg(
         F.hll_union_agg(F.col("__sk")).alias("__u"),
+        # c_custkey is globally unique, so the per-nation exact counts
+        # sum to the corpus distinct — what the merged sketch estimates
         F.sum("exact_distinct").alias("exact_distinct"),
     ).select(
         F.lit(-1).cast("long").alias("c_nationkey"),
         F.col("exact_distinct"),
-        F.hll_sketch_estimate(F.col("__u")).alias("approx_distinct"),
+        within(
+            F.hll_sketch_estimate(F.col("__u")), F.col("exact_distinct")
+        ).alias("approx_ok"),
     )
     return nations.unionByName(overall).orderBy("c_nationkey")
 
@@ -10625,8 +10873,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # SQL-wrapper first claims fn_sql_udf / fn_parameterized_sql, which
     # queue for r07 along with the late-r06 additions a29_welch_ttest,
     # j7_interval_overlap, dedup_prefix_longest, text_bpe_merges,
-    # text_bpe_tokenize, mm_*_native_decode's bench twins, and the other
-    # entries registered after this window froze) ---
+    # text_bpe_tokenize, mm_*_native_decode's bench twins, the six
+    # ex-rows-only entries that gained oracles after the freeze
+    # (agg_approx_distinct, agg_hll_union, o3_random_split,
+    # ml_pca_variance, simsearch_ivf_topk full-probe invariant,
+    # dedup_minhash_near ground-truth pair set), and the other entries
+    # registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",

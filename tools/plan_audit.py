@@ -70,6 +70,11 @@ NESTED_LOOP_OK = {
     "ml_ks_2sample",              # ECDF-totals 1-row agg x distinct values
     "text_bigram_logprob",        # token-total 1-row agg x scored bigrams
     "ml_lift_table",              # row/positive-totals 1-row agg x groups
+    # r06 rows-only→oracle conversions: property checks cross broadcast
+    # 1-row aggregates (split counts / closed-form correlation) into
+    # 1-row or 2-row frames — the same scalar-fold shape
+    "o3_random_split",            # total-count 1-row x split-count 1-row
+    "ml_pca_variance",            # closed-form |r| 1-row x 2 components
 }
 
 MAX_EXCHANGES = 9
