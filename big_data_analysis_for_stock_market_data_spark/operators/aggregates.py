@@ -716,3 +716,50 @@ def welch_ttest(
         t_stat.alias("t_stat"),
         df_w.alias("df_welch"),
     )
+
+
+def pareto_skyline_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """2-D Pareto skyline: the DISTINCT (max_col, min_col) points not
+    dominated by any other point, where a dominator is >= in ``max_col``,
+    <= in ``min_col``, and strictly better in at least one — the
+    multi-objective "best trade-offs" frontier (price-vs-quality,
+    latency-vs-cost).
+
+    Scale shape: skyline is DISTRIBUTIVE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so stage 1 sweeps a LOCAL frontier
+    inside each of ``n_buckets`` hash buckets (partitioned window: no
+    single-partition shuffle over the full data, the Q3 trap), and
+    stage 2 repeats the same sweep once over the surviving candidates,
+    whose count is bounded by the sum of per-bucket frontier sizes
+    (frontiers are tiny relative to inputs). The sweep itself: order by
+    (max_col DESC, min_col ASC); over distinct points, p is dominated
+    iff some EARLIER point in that order has min_col <= p's — i.e. the
+    running MIN(min_col) of the preceding frame beats it. One window,
+    no self-join."""
+    pts = df.select(max_col, min_col).dropDuplicates()
+
+    def sweep(d: DataFrame, part: str) -> DataFrame:
+        w = (
+            Window.partitionBy(part)
+            .orderBy(F.col(max_col).desc(), F.col(min_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        best = F.min(min_col).over(w)
+        return (
+            d.withColumn("__best", best)
+            .filter(F.col("__best").isNull() | (F.col("__best") > F.col(min_col)))
+            .drop("__best")
+        )
+
+    local = sweep(
+        pts.withColumn(
+            "__b", F.pmod(F.hash(max_col, min_col), F.lit(n_buckets))
+        ),
+        "__b",
+    ).drop("__b")
+    return sweep(local.withColumn("__g", F.lit(1)), "__g").drop("__g")

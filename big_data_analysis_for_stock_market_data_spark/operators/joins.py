@@ -292,6 +292,67 @@ def interval_overlap_join(
     )
 
 
+def grid_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_x: str,
+    left_y: str,
+    right_x: str,
+    right_y: str,
+    radius: float,
+) -> DataFrame:
+    """Planar RADIUS join: all (left, right) pairs within Euclidean
+    distance ``radius`` — the spatial companion to the 1-D
+    ``binned_range_join``. A raw distance theta join only plans as a
+    nested loop; gridding makes it an equi join that stays distributed:
+
+    - both sides snap to square cells of side ``radius``;
+    - the LEFT side explodes to its cell plus the 8 neighbors (fixed
+      fan-out 9 — any point within ``radius`` of a left point lies in
+      that 3x3 block, so the block is a complete candidate cover);
+    - the RIGHT side keeps exactly one row per point, so each candidate
+      pair meets at exactly ONE (cell_x, cell_y) key — no dedup pass;
+    - the exact squared-distance test rides as a residual predicate
+      (integer-exact when coordinates are integers).
+
+    Shuffle key is the 2-D cell id: at 100 TB the join partitions by
+    spatial locality, and density skew (urban cells) is AQE's skew-join
+    case or a salt on the cell key. Cost: 9x explode on one side + one
+    shuffle equi join versus |L|x|R| for the nested loop."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+
+    def cell(c):
+        return F.floor(c / F.lit(radius)).cast("long")
+
+    offsets = F.expr(
+        "array({})".format(
+            ", ".join(
+                f"struct({dx}L AS dx, {dy}L AS dy)"
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            )
+        )
+    )
+    l = (
+        left.withColumn("__o", F.explode(offsets))
+        .withColumn("__gx", cell(F.col(left_x)) + F.col("__o.dx"))
+        .withColumn("__gy", cell(F.col(left_y)) + F.col("__o.dy"))
+        .drop("__o")
+    )
+    r = right.withColumn("__gx", cell(F.col(right_x))).withColumn(
+        "__gy", cell(F.col(right_y))
+    )
+    dx = F.col(left_x) - F.col(right_x)
+    dy = F.col(left_y) - F.col(right_y)
+    within = (dx * dx + dy * dy) <= F.lit(radius) * F.lit(radius)
+    return (
+        l.join(r, on=["__gx", "__gy"], how="inner")
+        .filter(within)
+        .drop("__gx", "__gy")
+    )
+
+
 def _bloom_positions(key, num_bits: int, num_hashes: int):
     """k independent bit positions per key: xxhash64 seeded by the hash
     index, mod m. (Avoids Kirsch-Mitzenmacher h1+j*h2 arithmetic, which

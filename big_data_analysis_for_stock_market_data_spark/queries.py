@@ -10774,6 +10774,499 @@ def dedup_prefix_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j8_grid_radius_join",
+    # the grid plan (3x3 neighbor-cell explode -> shuffle equi join ->
+    # exact residual) must equal the plain distance theta join row-for-
+    # row; coordinates are synthesized by integer modular arithmetic so
+    # both engines derive identical points and the squared distance is
+    # integer-exact
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             (c_custkey * 48271) % 100000 AS x,
+             (c_custkey * 16807 + 12345) % 100000 AS y
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 69621) % 100000 AS x,
+             (s_suppkey * 40692 + 54321) % 100000 AS y
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST((c.x - s.x) * (c.x - s.x)
+                + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist_sq
+    FROM c JOIN s
+      ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 4000000
+    """,
+)
+def j8_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar radius join (operators/joins.grid_radius_join): customers
+    and suppliers placed on a synthetic 100k x 100k integer grid (modular
+    arithmetic on their keys — deterministic, engine-replayable), all
+    pairs within Euclidean distance 2000. Left side explodes to its 3x3
+    cell neighborhood, right side keeps one row per point, one shuffle
+    equi join on the 2-D cell id, exact integer residual — the spatial
+    join at its 100 TB shape (fixed fan-out 9, locality-partitioned
+    shuffle; density skew is AQE skew-join or a cell-key salt)."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 100000).alias("cx"),
+        ((F.col("c_custkey") * 16807 + 12345) % 100000).alias("cy"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 69621) % 100000).alias("sx"),
+        ((F.col("s_suppkey") * 40692 + 54321) % 100000).alias("sy"),
+    )
+    joined = join_ops.grid_radius_join(
+        cust, supp, "cx", "cy", "sx", "sy", radius=2000
+    )
+    dx = F.col("cx") - F.col("sx")
+    dy = F.col("cy") - F.col("sy")
+    return joined.select(
+        "c_custkey",
+        "s_suppkey",
+        (dx * dx + dy * dy).cast("long").alias("dist_sq"),
+    )
+
+
+@register(
+    "a30_pareto_skyline",
+    # the two-stage distributed sweep (bucket-local frontier -> global
+    # frontier over survivors) must reproduce the NOT EXISTS dominance
+    # definition exactly; inputs are raw parquet values so no arithmetic
+    # enters the hash
+    oracle="""
+    WITH pts AS (SELECT DISTINCT p_size, p_retailprice FROM part)
+    SELECT p_size, p_retailprice FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+)
+def a30_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (operators/aggregates.pareto_skyline_2d): the
+    distinct (p_size, p_retailprice) points where no other part is
+    larger-or-equal AND cheaper-or-equal with at least one strict — the
+    multi-objective trade-off frontier. Two partitioned window sweeps
+    (skyline is distributive: local frontiers union to a candidate set
+    the final sweep reduces), never a self-join and never a
+    single-partition global window over the full data."""
+    part = load(spark, sf_dir, "part")
+    return agg_ops.pareto_skyline_2d(part, "p_size", "p_retailprice")
+
+
+@register(
+    "text_url_canonical",
+    # the messy URL is synthesized from (source, doc_id, lang) by the
+    # SAME closed form in both engines; Spark must recover the canonical
+    # form through its parse_url machinery, the oracle states the
+    # expected result independently (params sorted, utm_* and fragment
+    # dropped, default port and www stripped, trailing slash removed)
+    oracle="""
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || doc_id
+             || '?a=1&b=2&ref=' || lang AS canonical_url
+    FROM documents
+    """,
+)
+def text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/text.canonicalize_url) — the
+    crawl-corpus dedup key: case, tracking params (utm_*), query-param
+    order, default port, leading www, trailing slash, and fragment are
+    all transport noise that must not split a URL's duplicate group.
+    Native parse_url column expressions, zero UDFs. The messy input is
+    synthesized deterministically so the oracle can state the expected
+    canonical form in closed form."""
+    from big_data_analysis_for_stock_market_data_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("lang"),
+        F.lit("&b=2&a=1#sec"),
+    )
+    return docs.select(
+        "doc_id", tx.canonicalize_url(messy).alias("canonical_url")
+    )
+
+
+@register(
+    "agg_percentile_sketch_bound",
+    # property oracle for the Greenwald-Khanna sketch surface
+    # (percentile_approx): the sketch's contract is a RANK guarantee —
+    # the returned element's exact rank lies within n/accuracy of the
+    # target rank n*phi. The exact ranks are recomputed against the full
+    # column and the contract enters as a boolean; n_total hashes the
+    # real corpus count. Deterministic: GK is a deterministic sketch.
+    oracle="""
+    SELECT CAST(0.25 AS DOUBLE) AS phi, TRUE AS rank_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_total FROM lineitem
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE), TRUE, CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE), TRUE, CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def agg_percentile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna) with its accuracy contract
+    oracle-checked: for each phi in {0.25, 0.5, 0.75} at accuracy=1000,
+    the returned element's exact rank interval [count(<v)+1, count(<=v)]
+    must intersect [n*phi - n/1000, n*phi + n/1000]. The sketch is the
+    100 TB path (mergeable, bounded memory — agg_percentiles' exact
+    interpolation shuffles every value); this entry pins that the speed
+    doesn't silently void the guarantee."""
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    apx = li.agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(1000),
+        ).alias("__vs")
+    )
+    vals = apx.select(F.posexplode("__vs").alias("__pos", "__v"))
+    v = F.col("l_extendedprice")
+    ranks = (
+        li.crossJoin(F.broadcast(vals))
+        .groupBy("__pos", "__v")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(v < F.col("__v"), 1).otherwise(0)).alias("__lt"),
+            F.sum(F.when(v <= F.col("__v"), 1).otherwise(0)).alias("__le"),
+        )
+    )
+    phi = (F.col("__pos").cast("double") + F.lit(1.0)) * F.lit(0.25)
+    n = F.col("n_total").cast("double")
+    eps_n = n / F.lit(1000.0)
+    rank_ok = (F.col("__le").cast("double") >= phi * n - eps_n) & (
+        F.col("__lt").cast("double") + F.lit(1.0) <= phi * n + eps_n
+    )
+    return ranks.select(
+        phi.alias("phi"), rank_ok.alias("rank_ok"), "n_total"
+    ).orderBy("phi")
+
+
+@register(
+    "g4_connected_components",
+    # min-label propagation fixpoint == min reachable node id; the
+    # recursive CTE (UNION dedup => terminates at the reachability
+    # fixpoint despite cycles) computes exactly that, all-integer
+    oracle="""
+    WITH RECURSIVE parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    eo AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS part, MIN(lbl) AS component
+    FROM reach GROUP BY node ORDER BY part
+    """,
+)
+def g4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the undirected co-purchase part graph
+    (operators/dedup.connected_components — the same iterative min-label
+    engine that clusters near-duplicates, exposed as the standalone
+    graph operator). Each round is one edge-key join + one grouped MIN,
+    co-partitioned at scale; rounds = graph diameter, lineage truncated
+    per round, convergence checked with a 1-row count. Component label =
+    min part key in the component."""
+    from big_data_analysis_for_stock_market_data_spark.operators.dedup import (
+        connected_components,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("v"))
+    eo = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components(eo, id_a="u", id_b="v", max_iter=50)
+    return cc.select(F.col("doc_id").alias("part"), "component").orderBy(
+        "part"
+    )
+
+
+@register(
+    "ml_quantile_normalize",
+    # classic quantile normalization (expression microarrays, feature
+    # alignment): rank within each group, replace by the cross-group
+    # mean at that rank. Groups are truncated to the min group size so
+    # ranks align exactly (the textbook equal-n form); the rank mean
+    # uses the exact-decimal sum pattern so engines agree bit-for-bit
+    oracle="""
+    WITH sized AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rk
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (
+      SELECT CAST(MIN(cnt) AS BIGINT) AS min_n
+      FROM (SELECT COUNT(*) AS cnt FROM sized GROUP BY event_type)
+    ),
+    trunc AS (
+      SELECT s.* FROM sized s, n WHERE s.rk <= n.min_n
+    ),
+    ref AS (
+      SELECT rk,
+             CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+               / COUNT(*) AS qnorm
+      FROM trunc GROUP BY rk
+    )
+    SELECT t.event_id, t.event_type, CAST(t.rk AS BIGINT) AS rk, r.qnorm
+    FROM trunc t JOIN ref r ON t.rk = r.rk
+    """,
+)
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across event-type groups: each group's
+    k-th order statistic is replaced by the mean of all groups' k-th
+    order statistics, forcing identical marginal distributions — the
+    batch-effect-removal transform. Plan: one ranking window per group
+    (partitioned — no global window), a broadcast 1-row min-group-size
+    aggregate, one grouped mean by rank, one rank-key join back. All
+    shuffles are on bounded keys (group, rank)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    # min group size needs only per-group counts — an independent branch
+    # off the scan, NOT a second pass over the ranked frame
+    min_n = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.min("__c").alias("__min_n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    trunc = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .filter(F.col("rk") <= F.col("__min_n"))
+    )
+    # rank mean as a window over rk — no groupBy + join-back (which
+    # would re-execute the ranking lineage a second time)
+    wq = Window.partitionBy("rk")
+    qnorm = (
+        F.sum(F.col("value").cast("decimal(28,8)")).over(wq).cast("double")
+        / F.count(F.lit(1)).over(wq)
+    )
+    return trunc.select(
+        "event_id",
+        "event_type",
+        F.col("rk").cast("long").alias("rk"),
+        qnorm.alias("qnorm"),
+    )
+
+
+@register(
+    "dq_table_fingerprint",
+    # order-invariant, MERGEABLE table fingerprint: sum of per-row
+    # 60-bit md5 values in exact decimal, reduced mod 1e18 — per-group
+    # partials plus a grand total whose sum-of-groups identity is
+    # emitted as a checked boolean (the property that lets 100 TB
+    # replicas compare checksums without a global sort or re-scan).
+    # Only integer/string/date columns enter the row string (double
+    # repr is engine-specific).
+    oracle="""
+    WITH h AS (
+      SELECT o_orderstatus,
+             CAST(('0x' || substr(md5(
+               o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+               o_orderstatus || '|' || o_orderdate::VARCHAR || '|' ||
+               o_orderpriority), 1, 15)) AS BIGINT) AS hv
+      FROM orders
+    ),
+    grp AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+                  % 1000000000000000000 AS BIGINT) AS fingerprint
+      FROM h GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_rows, fingerprint, TRUE AS merge_consistent
+    FROM grp
+    UNION ALL
+    SELECT '*', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+                % 1000000000000000000 AS BIGINT), TRUE
+    FROM h
+    """,
+)
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprint (anti-entropy checksum): sum of
+    per-row md5-60 hashes, exact-decimal accumulated, mod 1e18 — the
+    replica-comparison primitive. SUM makes it partition-order-free and
+    mergeable: per-group fingerprints combine into the table fingerprint
+    without re-scanning, and that identity ((Σ groups) mod m == total)
+    is emitted as a checked boolean on the '*' row."""
+    orders = load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    hv = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    h = orders.select("o_orderstatus", hv.alias("__hv"))
+    mod = F.lit(1000000000000000000).cast("decimal(38,0)")
+    grp = h.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__hv").alias("__s"),
+    )
+    groups = grp.select(
+        "o_orderstatus",
+        "n_rows",
+        (F.col("__s") % mod).cast("long").alias("fingerprint"),
+        F.lit(True).alias("merge_consistent"),
+    )
+    total = grp.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("__s").alias("__st"),
+        # mergeability identity: combining group partials must equal the
+        # direct total (exact decimal sums, so this is a hard equality)
+        (F.sum(F.col("__s") % mod) % mod == F.sum("__s") % mod).alias(
+            "merge_consistent"
+        ),
+    ).select(
+        F.lit("*").alias("o_orderstatus"),
+        "n_rows",
+        (F.col("__st") % mod).cast("long").alias("fingerprint"),
+        "merge_consistent",
+    )
+    return groups.unionByName(total)
+
+
+@register(
+    "fn_null_semantics",
+    # three-valued-logic parity suite: COUNT(col) vs COUNT(*),
+    # COUNT(DISTINCT) excluding nulls, GROUP BY forming a null group,
+    # null-safe equality (<=> / IS NOT DISTINCT FROM) matching null keys
+    # where = cannot, and the NOT IN trap (a NULL in the list empties
+    # the result) vs the NOT EXISTS form that keeps working — every
+    # count exact in both engines
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    ),
+    dim(v) AS (VALUES (1), (5), (NULL)),
+    counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(k) AS BIGINT) AS n_k_nonnull,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+      FROM base
+    ),
+    grp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups_incl_null
+      FROM (SELECT k FROM base GROUP BY k)
+    ),
+    nsj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nullsafe_join
+      FROM base b JOIN dim d ON b.k IS NOT DISTINCT FROM d.v
+    ),
+    eqj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_eq_join
+      FROM base b JOIN dim d ON b.k = d.v
+    ),
+    nin AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_not_in
+      FROM base WHERE k NOT IN (1, 5, NULL)
+    ),
+    nex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_not_exists
+      FROM base b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dim d WHERE d.v IS NOT NULL AND d.v = b.k)
+    )
+    SELECT * FROM counts, grp, nsj, eqj, nin, nex
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity suite over a deterministically nullified
+    key (o_orderkey % 7 = 0 → NULL): counts that skip nulls, the GROUP
+    BY null group, null-safe equality (eqNullSafe — joins null keys
+    where = returns UNKNOWN), and the NOT IN / NOT EXISTS divergence
+    under a NULL in the list (NOT IN goes empty — NOT EXISTS keeps
+    rows that include the null-keyed ones; note n_not_exists >
+    n_total − n_eq_join's matched keys precisely because the null-keyed
+    rows survive NOT EXISTS). One row of exact integers."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    dim = spark.createDataFrame([(1,), (5,), (None,)], "v bigint")
+    counts = base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("k").alias("n_k_nonnull"),
+        F.count_distinct("k").alias("n_distinct_k"),
+        # NOT IN with a NULL in the list: UNKNOWN for every row, so the
+        # conditional count is 0 — the trap itself, one scan with the
+        # other counters (the NOT IN *expression* is what's under test)
+        F.sum(
+            F.when(F.expr("k NOT IN (1, 5, NULL)"), 1).otherwise(0)
+        ).alias("n_not_in"),
+    )
+    grp = (
+        base.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("n_groups_incl_null"))
+    )
+    nsj = (
+        base.join(F.broadcast(dim), base["k"].eqNullSafe(dim["v"]))
+        .agg(F.count(F.lit(1)).alias("n_nullsafe_join"))
+    )
+    eqj = (
+        base.join(F.broadcast(dim), base["k"] == dim["v"])
+        .agg(F.count(F.lit(1)).alias("n_eq_join"))
+    )
+    nex = base.join(
+        dim.filter(F.col("v").isNotNull()),
+        base["k"] == dim["v"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_not_exists"))
+    out = counts
+    for piece in (grp, nsj, eqj, nex):
+        out = out.crossJoin(F.broadcast(piece))
+    return out.select(
+        "n_total", "n_k_nonnull", "n_distinct_k", "n_groups_incl_null",
+        "n_nullsafe_join", "n_eq_join", "n_not_in", "n_not_exists",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.

@@ -567,3 +567,29 @@ def test_welch_ttest_degenerate_group_nulls(spark):
     row = welch_ttest(spark.createDataFrame(pdf), "g", "v", "a", "b").collect()[0]
     assert row.n_a == 2 and row.n_b == 1
     assert row.t_stat is None and row.df_welch is None
+
+
+def test_pareto_skyline_matches_definition(spark):
+    """Two-stage distributed sweep == NOT-EXISTS dominance definition,
+    with duplicate points and ties on each axis."""
+    import itertools
+
+    pts = [(1, 10.0), (1, 10.0), (2, 10.0), (2, 12.0), (3, 11.0),
+           (3, 15.0), (5, 20.0), (5, 11.0), (4, 11.0)]
+    df = spark.createDataFrame(
+        [Row(sz=s, price=p) for s, p in pts]
+    )
+    got = {(r.sz, r.price) for r in
+           A.pareto_skyline_2d(df, "sz", "price", n_buckets=4).collect()}
+    distinct = set(pts)
+    want = {
+        p for p in distinct
+        if not any(
+            q[0] >= p[0] and q[1] <= p[1] and (q[0] > p[0] or q[1] < p[1])
+            for q in distinct
+        )
+    }
+    assert got == want
+    # ties: (4, 11.0) is dominated by (5, 11.0); (2, 10.0) dominates (1, 10.0)
+    assert (4, 11.0) not in got and (1, 10.0) not in got
+    assert {(2, 10.0), (5, 11.0)} <= got

@@ -245,3 +245,44 @@ def test_interval_overlap_join_exactly_once(spark):
         J.interval_overlap_join(
             ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=0
         )
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    """The 3x3 neighbor-cell plan must equal the plain distance theta
+    join, including points straddling cell boundaries and exact
+    on-the-circle distances."""
+    import itertools
+
+    left = spark.createDataFrame(
+        [Row(lid=i, lx=x, ly=y) for i, (x, y) in enumerate(
+            [(0, 0), (999, 999), (1000, 1000), (5000, 5000), (-3, -3)])]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=i, rx=x, ry=y) for i, (x, y) in enumerate(
+            [(0, 1000), (1999, 1999), (5000, 6000), (-1003, -3), (7, 7)])]
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in J.grid_radius_join(
+            left, right, "lx", "ly", "rx", "ry", radius=1000
+        ).collect()
+    }
+    lrows = left.collect()
+    rrows = right.collect()
+    want = {
+        (l.lid, r.rid)
+        for l, r in itertools.product(lrows, rrows)
+        if (l.lx - r.rx) ** 2 + (l.ly - r.ry) ** 2 <= 1000 * 1000
+    }
+    assert got == want
+    assert (0, 0) in got  # exactly on the radius (dist == 1000)
+    assert (4, 3) in got  # both negative coordinates (floor-div cells)
+
+
+def test_grid_radius_join_rejects_bad_radius(spark):
+    df = spark.createDataFrame([Row(x=0, y=0)])
+    try:
+        J.grid_radius_join(df, df, "x", "y", "x", "y", radius=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

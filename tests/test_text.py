@@ -301,3 +301,40 @@ def test_bpe_tokenize_counts_hand_case(spark):
     # after 2 merges every 'aaab' is at most 2 subwords
     assert got[2][1] <= 2
     assert got[1][1] <= 2 + 2 + 2
+
+
+def test_canonicalize_url_normalizations(spark):
+    """Every noise axis collapses: case, default port, www, trailing
+    slash, utm params, param order, fragment; non-default ports and
+    non-utm params survive."""
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://WWW.Ex.COM:443/a/?utm_source=x&b=2&a=1#f",
+         "https://ex.com/a?a=1&b=2"),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        ("https://ex.com/a/b/", "https://ex.com/a/b"),
+        ("https://ex.com/?z=1&y=2", "https://ex.com?y=2&z=1"),
+        ("https://ex.com/p?utm_source=a&utm_medium=b", "https://ex.com/p"),
+        ("https://ex.com", "https://ex.com"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(u, w) for u, w in cases], "url string, want string")
+    out = df.select("want", T.canonicalize_url(F.col("url")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, f"{r.got!r} != {r.want!r}"
+
+
+def test_canonicalize_url_dedups_variants(spark):
+    """Two transport-noise variants of one URL share a canonical key."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Ex.COM:443/p/?b=2&a=1#x",),
+         ("https://ex.com/p?a=1&b=2",)],
+        "url string",
+    )
+    n = (df.select(T.canonicalize_url(F.col("url")).alias("c"))
+           .distinct().count())
+    assert n == 1

@@ -75,6 +75,9 @@ NESTED_LOOP_OK = {
     # 1-row or 2-row frames — the same scalar-fold shape
     "o3_random_split",            # total-count 1-row x split-count 1-row
     "ml_pca_variance",            # closed-form |r| 1-row x 2 components
+    "agg_percentile_sketch_bound",  # 3-row sketch-values agg x rank scan
+    "ml_quantile_normalize",      # min-group-size 1-row agg x ranked rows
+    "fn_null_semantics",          # six 1-row fact aggregates crossed
 }
 
 MAX_EXCHANGES = 9
@@ -89,6 +92,7 @@ DRIVER_ACTION_OK = {
     # the loop-termination probe, not data movement
     "dedup_clusters",
     "h1_ancestor_closure",
+    "g4_connected_components",
     # the entry's RESULT is the two split sizes (rows-only by contract)
     "o3_random_split",
     # model TRAINING entries (fit + metrics collection is the product);
@@ -131,6 +135,12 @@ EXCHANGE_BUDGET = {
                                    # union + basket-count broadcast
     "dedup_exact_substring": 11,   # window index -> df filter -> pair
                                    # self-join (posting referenced 3x)
+    "fn_null_semantics": 15,       # a five-branch parity SUITE by design
+                                   # (base counters + null group + <=>
+                                   # join + = join + anti join), each
+                                   # branch a 1-row fact whose broadcast
+                                   # back into the single output row is
+                                   # counted as an Exchange
     "ml_ks_2sample": 10,           # distinct-value agg appears under both
                                    # the ECDF scan and the totals branch —
                                    # a ReusedExchange at runtime; the
