@@ -8,13 +8,14 @@ The container ships no media libraries (no PIL/librosa/ffmpeg). The
 - ``decode_backend='native'`` — REAL decode with the standard library
   only: PCM WAV samples (struct/numpy), 24-bit BMP pixels (raw rows,
   bottom-up flip, stride), 8-bit truecolor PNG pixels (stdlib zlib +
-  all five scanline unfilter algorithms), and GIF frames (pure-Python
-  variable-width LZW + palette resolution). JPEG (DCT+Huffman entropy
-  coding) is the one remaining library boundary — 'native' returns
-  null features for it and 'stub' names the dependency.
+  all five scanline unfilter algorithms), GIF frames (pure-Python
+  variable-width LZW + palette resolution), and baseline grayscale
+  JPEG (canonical Huffman entropy decode, DC prediction with restart
+  markers, zig-zag, dequantize, float IDCT). No codec is stubbed.
 - ``decode_backend='stub'`` raises ``NotImplementedError`` naming the
   missing dependency — the production placeholder for formats beyond
-  the native set.
+  the native set (progressive/chroma-subsampled JPEG, WebP, video
+  codecs).
 - ``decode_backend='fake'`` produces a deterministic feature vector from
   the payload bytes, so the Spark-side plumbing — schema evolution,
   partition-preserving mapInPandas, Arrow batch shapes, fixed-size float
@@ -497,7 +498,7 @@ def extract_features(
     mean, rms, peak, zero-crossing count, ...0-pad]; image: [width,
     height, mean R, mean G, mean B, pixel std, ...0-pad]; null for
     payloads outside the native codec set. ``decode_backend='stub'``
-    raises, naming the dependency a JPEG/GIF decode would need."""
+    raises, naming the dependency the non-native formats would need."""
     if decode_backend not in ("fake", "stub", "native"):
         raise ValueError("decode_backend must be 'fake', 'stub' or 'native'")
 
@@ -515,11 +516,7 @@ def extract_features(
             f[3] = float(np.abs(s).max())
             f[4] = float((np.signbit(s[1:]) != np.signbit(s[:-1])).sum())
             return f
-        px = decode_bmp_pixels(p)
-        if px is None:
-            px = decode_png_pixels(p)
-        if px is None:
-            px = decode_gif_pixels(p)
+        px = _decode_any_pixels(p)
         if px is not None:
             f = np.zeros(dim, dtype=np.float32)
             f[0], f[1] = px.shape[1], px.shape[0]
@@ -531,9 +528,10 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decode_backend == "stub":
             raise NotImplementedError(
-                "JPEG/GIF decode requires an image library (e.g. pillow) "
-                "which is not installed in this environment; WAV/BMP/PNG "
-                "decode is available via decode_backend='native'"
+                "decode beyond the native codec set (progressive/color "
+                "JPEG, WebP, video) requires an image library (e.g. "
+                "pillow), not installed in this environment; WAV/BMP/PNG/"
+                "GIF/baseline-JPEG decode via decode_backend='native'"
             )
         fn = _fake_feature if decode_backend == "fake" else (
             lambda p, _d: native_feature(p)
@@ -559,11 +557,11 @@ def resize_images(
     binary`` (exactly width*height*3 bytes) + ``resized_width``/
     ``resized_height``.
 
-    ``decode_backend='native'`` REALLY decodes BMP/PNG payloads and
-    nearest-neighbor resamples them (resize_pixels_nearest), emitting raw
-    top-down RGB bytes; undecodable payloads resize to null.
+    ``decode_backend='native'`` REALLY decodes BMP/PNG/GIF/baseline-JPEG
+    payloads and nearest-neighbor resamples them (resize_pixels_nearest),
+    emitting raw top-down RGB bytes; undecodable payloads resize to null.
     ``decode_backend='stub'`` marks the remaining integration point
-    (JPEG/GIF need an imaging library); 'fake' emits a deterministic
+    (non-native formats need an imaging library); 'fake' emits a deterministic
     sha256-keystream "bitmap" of the right SIZE and SHAPE so downstream
     stages (fixed-size binary handling, Arrow batch memory, partitioning)
     are exercised independent of any codec."""
@@ -588,11 +586,7 @@ def resize_images(
         return (digest * reps)[:n_bytes]
 
     def native_resize(p: bytes) -> "bytes | None":
-        px = decode_bmp_pixels(p)
-        if px is None:
-            px = decode_png_pixels(p)
-        if px is None:
-            px = decode_gif_pixels(p)
+        px = _decode_any_pixels(p)
         if px is None:
             return None
         return resize_pixels_nearest(px, width, height).tobytes()
@@ -600,9 +594,10 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decode_backend == "stub":
             raise NotImplementedError(
-                "JPEG/GIF resize requires an imaging library (e.g. "
-                "pillow) which is not installed in this environment; "
-                "BMP/PNG resize is available via decode_backend='native'"
+                "resize beyond the native codec set (progressive/color "
+                "JPEG, WebP, video) requires an imaging library (e.g. "
+                "pillow), not installed in this environment; BMP/PNG/GIF/"
+                "baseline-JPEG resize via decode_backend='native'"
             )
         fn = fake_bitmap if decode_backend == "fake" else native_resize
         for pdf in batches:
@@ -659,11 +654,27 @@ def frame_sample(
 # ---------------------------------------------------------------------------
 # NATIVE decode (r06): real sample/pixel decode with the standard library
 # only. The "decode is blocked on PIL/librosa" boundary was narrower than
-# documented: PCM WAV needs struct/numpy, BMP is raw pixels, and PNG needs
-# zlib (stdlib) plus the five scanline unfilter algorithms. JPEG (DCT +
-# Huffman) and GIF (LZW) stay behind the 'stub' backend — that is the
-# honest remaining library boundary.
+# documented: PCM WAV needs struct/numpy, BMP is raw pixels, PNG needs
+# zlib (stdlib) plus the five scanline unfilter algorithms, GIF is a
+# pure-Python variable-width LZW, and baseline JPEG is a canonical-
+# Huffman entropy decode + float IDCT (end of this module). No codec is
+# stubbed; 'stub' now marks only formats beyond the native set.
 # ---------------------------------------------------------------------------
+
+
+def _decode_any_pixels(p: bytes) -> "np.ndarray | None":
+    """Route a payload through the native pixel decoders (BMP, PNG, GIF,
+    baseline JPEG — grayscale expanded to RGB); None if undecodable."""
+    px = decode_bmp_pixels(p)
+    if px is None:
+        px = decode_png_pixels(p)
+    if px is None:
+        px = decode_gif_pixels(p)
+    if px is None:
+        j = decode_jpeg_baseline(p)
+        if j is not None:
+            px = np.repeat(j["pixels"][:, :, None], 3, axis=2)
+    return px
 
 
 def decode_wav_samples(payload: bytes) -> "np.ndarray | None":
@@ -1232,6 +1243,490 @@ def gif_roundtrip_stats(
                     "sum_b": int(dec[:, :, 2].sum()),
                     "rowweighted_r": int(
                         ((np.arange(h)[:, None] + 1) * dec[:, :, 0]).sum()
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(users.select(id_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81) — REAL entropy codec, stdlib + numpy only.
+# The encoder works in quantized-coefficient space (no forward DCT), so
+# the planted integers round-trip exactly: decode must recover the very
+# coefficients that were Huffman-coded, which pins marker parsing, DHT
+# canonical-code construction, the bit reader with 0xFF00 de-stuffing,
+# DC prediction (and its reset at restart markers), AC run-length /
+# ZRL / EOB handling, zig-zag order, and dequantization. The pixel path
+# (IDCT + level shift + clamp) is verified on flat DC-only blocks,
+# where the reconstruction is exactly the planted gray value.
+# With this, no media codec in the module is stubbed; see SURVEY §8.
+# (Reference anchor: the reference has no media path at all — this is
+# north-star training-pipeline surface, SURVEY §2.9.)
+# ---------------------------------------------------------------------------
+
+#: Annex-K luminance Huffman table specs (BITS counts per code length
+#: 1..16, then the symbol values in canonical order).
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+#: Zig-zag scan: raster index (row*8+col) of each zig-zag position.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_canonical_codes(bits, vals) -> dict:
+    """symbol -> (length, code) for a canonical JPEG Huffman spec."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with the mandatory 0x00 byte stuffed
+    after every emitted 0xFF (T.81 B.1.1.5)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush_align(self) -> None:
+        # pad the final partial byte with 1-bits (T.81 F.1.2.3)
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def build_jpeg_from_coeffs(
+    zz_blocks: "np.ndarray",
+    blocks_w: int,
+    blocks_h: int,
+    restart_interval: int = 0,
+    quant: "np.ndarray | None" = None,
+) -> bytes:
+    """REAL baseline-JPEG encoder over quantized coefficients: writes
+    SOI / JFIF APP0 / DQT / SOF0 (grayscale) / two DHTs (Annex-K
+    luminance DC+AC) / optional DRI / SOS, then Huffman entropy-codes
+    ``zz_blocks`` — shape (n_blocks, 64), zig-zag order, DC at [*, 0] —
+    with DC differential prediction, ZRL/EOB run-length AC coding,
+    0xFF00 byte stuffing, and RST0-7 markers every ``restart_interval``
+    MCUs. Roundtrip partner of ``decode_jpeg_baseline``."""
+    import struct
+
+    zz_blocks = np.asarray(zz_blocks, dtype=np.int64)
+    n_blocks = blocks_w * blocks_h
+    if zz_blocks.shape != (n_blocks, 64):
+        raise ValueError("zz_blocks must be (blocks_w*blocks_h, 64)")
+    q = np.ones(64, dtype=np.uint8) if quant is None else np.asarray(
+        quant, dtype=np.uint8
+    )
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density 1x1, no thumbnail
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q)
+    h_px, w_px = 8 * blocks_h, 8 * blocks_w
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h_px, w_px, 1)
+    out += bytes((1, 0x11, 0))  # component 1, 1x1 sampling, quant 0
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_AC_VALS))
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00))
+    out += bytes((0, 63, 0))  # Ss, Se, Ah/Al
+
+    bw = _JpegBitWriter()
+    pred = 0
+    rst = 0
+    for b in range(n_blocks):
+        if restart_interval and b and b % restart_interval == 0:
+            bw.flush_align()
+            out += bw.buf
+            bw = _JpegBitWriter()
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            pred = 0
+        zz = zz_blocks[b]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = abs(diff).bit_length()
+        ln, code = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]  # ZRL: run of 16 zeros
+                bw.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, code = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ln, code = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+    bw.flush_align()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: skips the stuffed
+    0x00 after 0xFF, stops at any other marker, and can byte-align +
+    consume an expected RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.at_marker = False
+
+    def _fill(self) -> bool:
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(
+                self.data
+            ) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.at_marker = True  # RST/EOI: caller decides
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def read_bit(self) -> "int | None":
+        if self.n == 0 and not self._fill():
+            return None
+        self.n -= 1
+        bit = (self.acc >> self.n) & 1
+        self.acc &= (1 << self.n) - 1
+        return bit
+
+    def receive(self, s: int) -> "int | None":
+        v = 0
+        for _ in range(s):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+    def sync_restart(self) -> bool:
+        self.acc = 0
+        self.n = 0
+        self.at_marker = False
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return True
+        return False
+
+
+def _jpeg_huff_decode(reader, table) -> "int | None":
+    length, code = 0, 0
+    while length < 16:
+        bit = reader.read_bit()
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _idct_matrix() -> "np.ndarray":
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+def decode_jpeg_baseline(payload: bytes) -> "dict | None":
+    """REAL baseline-JPEG decode, library-free: marker walk (DQT, SOF0,
+    DHT, DRI, SOS), canonical Huffman table construction, entropy decode
+    with 0xFF00 de-stuffing, DC prediction with restart-marker reset,
+    AC run-length / ZRL / EOB, zig-zag placement, dequantization, and
+    float IDCT to clamped uint8 pixels. Grayscale baseline only
+    (progressive / multi-component return None — out of native scope).
+    Returns {'zigzag': (n_blocks, 64) int64 dequantized coefficients in
+    MCU order, 'pixels': (h, w) uint8, 'width', 'height'}."""
+    import struct
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos = 2
+        quant = {}
+        huff = {}  # (class, id) -> {(length, code): symbol}
+        width = height = None
+        comp_q = 0
+        restart_interval = 0
+        scan_pos = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+            seg = payload[pos + 4: pos + 2 + seg_len]
+            if marker == 0xDB:
+                off = 0
+                while off < len(seg):
+                    pq_tq = seg[off]
+                    if pq_tq >> 4:  # 16-bit tables unsupported
+                        return None
+                    quant[pq_tq & 0x0F] = np.frombuffer(
+                        seg, dtype=np.uint8, count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 65
+            elif marker == 0xC0:
+                _, height, width, n_comp = struct.unpack_from(">BHHB", seg)
+                if n_comp != 1:
+                    return None
+                comp_q = seg[8]
+            elif marker in (0xC1, 0xC2, 0xC3):  # non-baseline SOF
+                return None
+            elif marker == 0xC4:
+                off = 0
+                while off < len(seg):
+                    tc_th = seg[off]
+                    bits = seg[off + 1: off + 17]
+                    n_vals = sum(bits)
+                    vals = seg[off + 17: off + 17 + n_vals]
+                    spec = _jpeg_canonical_codes(bits, vals)
+                    huff[(tc_th >> 4, tc_th & 0x0F)] = {
+                        (ln, code): sym for sym, (ln, code) in spec.items()
+                    }
+                    off += 17 + n_vals
+            elif marker == 0xDD:
+                restart_interval = struct.unpack_from(">H", seg)[0]
+            elif marker == 0xDA:
+                dc_id = seg[2] >> 4
+                ac_id = seg[2] & 0x0F
+                scan_pos = pos + 2 + seg_len
+                break
+            pos += 2 + seg_len
+        if scan_pos is None or width is None:
+            return None
+        dc_tab = huff.get((0, dc_id))
+        ac_tab = huff.get((1, ac_id))
+        q = quant.get(comp_q)
+        if dc_tab is None or ac_tab is None or q is None:
+            return None
+        blocks_w = (width + 7) // 8
+        blocks_h = (height + 7) // 8
+        n_blocks = blocks_w * blocks_h
+        reader = _JpegBitReader(payload, scan_pos)
+        zz_out = np.zeros((n_blocks, 64), dtype=np.int64)
+        pred = 0
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                if not reader.sync_restart():
+                    return None
+                pred = 0
+            s = _jpeg_huff_decode(reader, dc_tab)
+            if s is None:
+                return None
+            diff = 0
+            if s:
+                v = reader.receive(s)
+                if v is None:
+                    return None
+                diff = _jpeg_extend(v, s)
+            pred += diff
+            zz = zz_out[b]
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_decode(reader, ac_tab)
+                if rs is None:
+                    return None
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    return None
+                s = rs & 0x0F
+                v = reader.receive(s)
+                if v is None:
+                    return None
+                zz[k] = _jpeg_extend(v, s)
+                k += 1
+        deq = zz_out * q[None, :]
+        raster = np.zeros((n_blocks, 64), dtype=np.float64)
+        raster[:, list(_JPEG_ZIGZAG)] = deq
+        blocks = raster.reshape(n_blocks, 8, 8)
+        c = _idct_matrix()
+        pix = np.einsum("kn,bkl,lm->bnm", c, blocks, c) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        img = np.zeros((blocks_h * 8, blocks_w * 8), dtype=np.uint8)
+        for b in range(n_blocks):
+            r, col = divmod(b, blocks_w)
+            img[r * 8: r * 8 + 8, col * 8: col * 8 + 8] = pix[b]
+        return {
+            "zigzag": deq,
+            "pixels": img[:height, :width],
+            "width": int(width),
+            "height": int(height),
+        }
+    except (struct.error, IndexError):
+        return None
+
+
+#: Zig-zag positions carrying planted AC coefficients in the JPEG
+#: roundtrip fixture (33 -> 62 forces a ZRL + long-run AC symbol).
+_JPEG_FIXTURE_AC_POS = (1, 5, 17, 33, 62)
+
+
+def jpeg_roundtrip_stats(
+    users: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """Encode->container->NATIVE-decode JPEG verification stage: per id,
+    plant quantized coefficients — DC(b) = ((id*7 + b*13) % 401) - 200,
+    AC at zig-zag positions (1, 5, 17, 33, 62) of
+    ((id*3 + b*5 + k*11) % 31) - 15 — across a (1 + id%2) x (2 + id%3)
+    block grid (restart interval 2 on odd ids), entropy-code a real
+    baseline JPEG, decode it back, and emit exact integer coefficient
+    stats plus a flat-gray pixel sum (DC-only 16x8 image of gray
+    id%256, where IDCT + level shift reconstructs the value exactly).
+    Any defect in Huffman coding, zig-zag, DC prediction, restart
+    handling, bit (de)stuffing, or the IDCT shifts the stats against
+    the closed-form replay."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_dc", T.LongType(), True),
+        T.StructField("blockweighted_dc", T.LongType(), True),
+        T.StructField("sum_abs_ac", T.LongType(), True),
+        T.StructField("n_nonzero_ac", T.LongType(), True),
+        T.StructField("flat_pixel_sum", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uid in pdf[id_col]:
+                uid = int(uid)
+                bw_, bh_ = 2 + uid % 3, 1 + uid % 2
+                n = bw_ * bh_
+                zz = np.zeros((n, 64), dtype=np.int64)
+                for b in range(n):
+                    zz[b, 0] = ((uid * 7 + b * 13) % 401) - 200
+                    for k in _JPEG_FIXTURE_AC_POS:
+                        zz[b, k] = ((uid * 3 + b * 5 + k * 11) % 31) - 15
+                payload = build_jpeg_from_coeffs(
+                    zz, bw_, bh_, restart_interval=2 if uid % 2 else 0
+                )
+                dec = decode_jpeg_baseline(payload)
+                g = uid % 256
+                flat = np.zeros((2, 64), dtype=np.int64)
+                flat[:, 0] = 8 * (g - 128)
+                fdec = decode_jpeg_baseline(
+                    build_jpeg_from_coeffs(flat, 2, 1)
+                )
+                got = dec["zigzag"]
+                rows.append({
+                    id_col: uid,
+                    "width": dec["width"],
+                    "height": dec["height"],
+                    "sum_dc": int(got[:, 0].sum()),
+                    "blockweighted_dc": int(
+                        ((np.arange(n) + 1) * got[:, 0]).sum()
+                    ),
+                    "sum_abs_ac": int(np.abs(got[:, 1:]).sum()),
+                    "n_nonzero_ac": int((got[:, 1:] != 0).sum()),
+                    "flat_pixel_sum": int(
+                        fdec["pixels"].astype(np.int64).sum()
                     ),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])

@@ -10320,6 +10320,69 @@ def mm_gif_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_roundtrip_stats(users).orderBy("user_id")
 
 
+@register(
+    "mm_jpeg_native_decode",
+    # closed-form replay of the planted quantized coefficients: the
+    # Spark side entropy-codes a REAL baseline JPEG (Annex-K Huffman
+    # tables, DC prediction, ZRL/EOB, 0xFF00 stuffing, RST markers on
+    # odd ids) and natively decodes it back; the flat-gray pixel sum
+    # additionally pins the IDCT + level-shift path (DC-only blocks
+    # reconstruct the planted gray exactly)
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    blk AS (
+      SELECT u.user_id, t.i AS b,
+             ((u.user_id * 7 + t.i * 13) % 401) - 200 AS dc
+      FROM u,
+           unnest(range(0, (2 + u.user_id % 3) * (1 + u.user_id % 2)))
+             AS t(i)
+    ),
+    ac AS (
+      SELECT blk.user_id,
+             ((blk.user_id * 3 + blk.b * 5 + k.k * 11) % 31) - 15 AS v
+      FROM blk, (VALUES (1), (5), (17), (33), (62)) AS k(k)
+    ),
+    d AS (
+      SELECT user_id,
+             CAST(SUM(dc) AS BIGINT) AS sum_dc,
+             CAST(SUM((b + 1) * dc) AS BIGINT) AS blockweighted_dc
+      FROM blk GROUP BY user_id
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs_ac,
+             CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonzero_ac
+      FROM ac GROUP BY user_id
+    )
+    SELECT u.user_id,
+           CAST(8 * (2 + u.user_id % 3) AS BIGINT) AS width,
+           CAST(8 * (1 + u.user_id % 2) AS BIGINT) AS height,
+           d.sum_dc, d.blockweighted_dc, a.sum_abs_ac, a.n_nonzero_ac,
+           CAST(128 * (u.user_id % 256) AS BIGINT) AS flat_pixel_sum
+    FROM u JOIN d USING (user_id) JOIN a USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def mm_jpeg_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, library-free (operators/multimodal.
+    decode_jpeg_baseline — canonical Huffman construction, entropy
+    decode with 0xFF00 de-stuffing, DC prediction with restart reset,
+    ZRL/EOB run-length, zig-zag, dequantize, float IDCT): planted
+    quantized coefficients are entropy-coded into genuine baseline
+    JPEGs (restart interval 2 on odd ids) and decoded back; exact
+    coefficient stats plus a flat-gray pixel sum must equal the
+    oracle's closed-form replay. With this, NO media codec in the
+    module is stubbed — WAV, BMP, PNG, GIF, and baseline JPEG all
+    decode natively."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        jpeg_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return jpeg_roundtrip_stats(users).orderBy("user_id")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

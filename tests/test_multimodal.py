@@ -308,3 +308,63 @@ def test_native_gif_lzw_roundtrip():
     # corrupt streams never raise
     assert M.decode_gif_pixels(b"GIF89a\x00") is None
     assert M.decode_gif_pixels(None) is None
+
+
+def test_native_jpeg_entropy_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # dense random coefficients (every AC symbol class), sparse tail
+    # (ZRL + long runs), restart markers with DC predictor reset, and
+    # a DC staircase crossing every category up to 10
+    for trial in range(4):
+        bw, bh = 3, 2
+        n = bw * bh
+        zz = np.zeros((n, 64), dtype=np.int64)
+        if trial == 0:
+            zz[:, :] = rng.randint(-40, 41, size=(n, 64))
+        elif trial == 1:
+            zz[:, 0] = rng.randint(-200, 201, size=n)
+            zz[:, 62] = 9  # 61 leading zeros: 3 ZRLs + run
+        elif trial == 2:
+            zz[:, 0] = [0, 1000, -1000, 511, -512, 3]
+        else:
+            zz[:, 0] = rng.randint(-100, 101, size=n)
+            for k in (1, 5, 17, 33, 62):
+                zz[:, k] = rng.randint(-15, 16, size=n)
+        ri = 2 if trial % 2 else 0
+        p = M.build_jpeg_from_coeffs(zz, bw, bh, restart_interval=ri)
+        d = M.decode_jpeg_baseline(p)
+        assert d is not None
+        assert np.array_equal(d["zigzag"], zz)
+        assert d["width"] == 8 * bw and d["height"] == 8 * bh
+    # flat DC-only blocks reconstruct the planted gray exactly
+    for g in (0, 1, 127, 128, 200, 255):
+        flat = np.zeros((2, 64), dtype=np.int64)
+        flat[:, 0] = 8 * (g - 128)
+        fd = M.decode_jpeg_baseline(M.build_jpeg_from_coeffs(flat, 2, 1))
+        assert (fd["pixels"] == g).all()
+    # corrupt / non-baseline payloads never raise
+    assert M.decode_jpeg_baseline(b"\xff\xd8\xff\xd9") is None
+    assert M.decode_jpeg_baseline(None) is None
+    assert M.decode_jpeg_baseline(b"not a jpeg") is None
+    # the header-only synthetic JPEG (no scan data) degrades to None
+    assert M.decode_jpeg_baseline(M.build_jpeg(16, 8)) is None
+
+
+def test_native_backends_route_jpeg(spark):
+    import numpy as np
+
+    flat = np.zeros((2, 64), dtype=np.int64)
+    flat[:, 0] = 8 * (90 - 128)
+    payload = M.build_jpeg_from_coeffs(flat, 2, 1)
+    df = spark.createDataFrame([(1, bytearray(payload))], "id int, payload binary")
+    feats = M.extract_features(df, dim=8, decode_backend="native").collect()
+    f = feats[0]["features"]
+    assert f is not None and f[0] == 16.0 and f[1] == 8.0
+    assert abs(f[2] - 90.0) < 1e-6  # mean gray as mean R
+    rs = M.resize_images(
+        df, width=4, height=4, decode_backend="native"
+    ).collect()
+    raw = bytes(rs[0]["resized_payload"])
+    assert len(raw) == 4 * 4 * 3 and set(raw) == {90}
