@@ -11330,6 +11330,392 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_random_projection",
+    # Johnson-Lindenstrauss sign projection in INTEGER space: elements
+    # quantized to micros first, sign(j, c) = +1 iff the first hex
+    # nibble of md5('j_c') < '8' — both engines compute the identical
+    # hash and the identical integer sum, so the hash compare is exact
+    # by construction (no float summation order anywhere)
+    oracle="""
+    WITH el AS (
+      SELECT e.vec_id, t.i - 1 AS j,
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    sgn AS (
+      SELECT el.vec_id, el.q, c.c,
+             CASE WHEN substring(
+                    md5(CAST(el.j AS VARCHAR) || '_'
+                        || CAST(c.c AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE -1 END AS s
+      FROM el, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS c(c)
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN c = 0 THEN s * q END) AS BIGINT) AS proj_0,
+           CAST(SUM(CASE WHEN c = 1 THEN s * q END) AS BIGINT) AS proj_1,
+           CAST(SUM(CASE WHEN c = 2 THEN s * q END) AS BIGINT) AS proj_2,
+           CAST(SUM(CASE WHEN c = 3 THEN s * q END) AS BIGINT) AS proj_3,
+           CAST(SUM(CASE WHEN c = 4 THEN s * q END) AS BIGINT) AS proj_4,
+           CAST(SUM(CASE WHEN c = 5 THEN s * q END) AS BIGINT) AS proj_5,
+           CAST(SUM(CASE WHEN c = 6 THEN s * q END) AS BIGINT) AS proj_6,
+           CAST(SUM(CASE WHEN c = 7 THEN s * q END) AS BIGINT) AS proj_7
+    FROM sgn GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random sign projection (Achlioptas 2001):
+    64-dim embeddings down to 8 components with a DETERMINISTIC ±1
+    matrix derived from md5 of the (dimension, component) pair — the
+    standard seed-free way to share a projection across a fleet without
+    broadcasting a matrix. Computed entirely in integer micro space
+    (element quantized once, then ±1 sums), as a per-row JVM expression
+    — zip_with to pair elements with indices, aggregate per component —
+    so the plan is a pure map over the scan: zero shuffles, linear at
+    any scale, and exact by construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = F.zip_with(
+        F.col("embedding"),
+        F.sequence(F.lit(0), F.size("embedding") - 1),
+        lambda v, j: F.struct(v.alias("v"), j.alias("j")),
+    )
+    df = emb.select("vec_id", pairs.alias("__p"))
+
+    def proj(c: int):
+        def step(acc, p):
+            q = F.round(p["v"].cast("double") * F.lit(1000000.0)).cast(
+                "long"
+            )
+            sign_src = F.concat_ws(
+                "_", p["j"].cast("string"), F.lit(str(c))
+            )
+            s = F.when(
+                F.substring(F.md5(sign_src.cast("binary")), 1, 1) < "8",
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long"))
+            return acc + s * q
+
+        return F.aggregate(
+            F.col("__p"), F.lit(0).cast("long"), step
+        ).alias(f"proj_{c}")
+
+    return df.select("vec_id", *[proj(c) for c in range(8)]).orderBy(
+        "vec_id"
+    )
+
+
+@register(
+    "ml_winsorize_stats",
+    # rank-based winsorization: bounds are the values at integer ranks
+    # ceil(n/20) and ceil(19n/20) under a total (cents, key) order — no
+    # float percentile interpolation anywhere, so both engines pick the
+    # identical bound rows and the clipped integer sums agree exactly
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri, o_orderkey AS okey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT pri, okey, cents,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, okey)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM v
+    ),
+    b AS (
+      SELECT pri, CAST(MIN(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN rn = (n + 19) // 20 THEN cents END)
+                  AS BIGINT) AS lo_cents,
+             CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)
+                  AS BIGINT) AS hi_cents
+      FROM r GROUP BY pri
+    )
+    SELECT v.pri, b.n, b.lo_cents, b.hi_cents,
+           CAST(SUM(LEAST(GREATEST(v.cents, b.lo_cents), b.hi_cents))
+                AS BIGINT) AS sum_winsorized_cents,
+           CAST(SUM(CASE WHEN v.cents < b.lo_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN v.cents > b.hi_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high
+    FROM v JOIN b USING (pri)
+    GROUP BY v.pri, b.n, b.lo_cents, b.hi_cents
+    ORDER BY v.pri
+    """,
+)
+def ml_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (feature-cleaning stage): clip order
+    totals to the [p05, p95] BOUND ROWS chosen by integer rank —
+    lo = value at row ceil(n/20), hi = value at row ceil(19n/20) under
+    a total (cents, key) order — rather than interpolated percentiles,
+    so the operation is exact end-to-end. Plan: one window shuffle on
+    the group key to rank, a tiny per-group bounds table broadcast back
+    onto the scan, one hash aggregate — at 100 TB the bounds side is
+    |groups| rows, and the data side is never re-shuffled."""
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("pri").orderBy("cents", "okey")
+    wn = Window.partitionBy("pri")
+    r = v.select(
+        "pri", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_rank = ((F.col("n") + 19) / 20).cast("long")
+    hi_rank = ((19 * F.col("n") + 19) / 20).cast("long")
+    b = r.groupBy("pri").agg(
+        F.min("n").alias("n"),
+        F.max(F.when(F.col("rn") == lo_rank, F.col("cents"))).alias(
+            "lo_cents"
+        ),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("cents"))).alias(
+            "hi_cents"
+        ),
+    )
+    clipped = F.least(
+        F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+    )
+    return (
+        v.join(F.broadcast(b), "pri")
+        .groupBy("pri", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(clipped).alias("sum_winsorized_cents"),
+            F.sum(
+                F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+        )
+        .orderBy("pri")
+    )
+
+
+@register(
+    "a32_kaplan_meier",
+    # Kaplan-Meier survival table as exact integer sufficient
+    # statistics: per (group, time) the events, censorings, and the
+    # at-risk count n_i = total - all subjects leaving at earlier
+    # times — the estimator S(t) = prod(1 - d_i/n_i) is a determined
+    # function of these columns, kept out of the hash because a float
+    # cumulative product is the one engine-divergent piece
+    oracle="""
+    WITH subj AS (
+      SELECT event_type AS grp,
+             CAST(event_id % 365 + 1 AS BIGINT) AS t,
+             CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END AS observed
+      FROM events
+    ),
+    pt AS (
+      SELECT grp, t,
+             CAST(SUM(observed) AS BIGINT) AS n_events,
+             CAST(SUM(1 - observed) AS BIGINT) AS n_censored,
+             CAST(COUNT(*) AS BIGINT) AS n_leaving
+      FROM subj GROUP BY grp, t
+    )
+    SELECT grp, t, n_events, n_censored,
+           CAST(SUM(n_leaving) OVER (PARTITION BY grp)
+                - (SUM(n_leaving) OVER (
+                     PARTITION BY grp ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_leaving)
+                AS BIGINT) AS n_at_risk
+    FROM pt ORDER BY grp, t
+    """,
+)
+def a32_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival analysis over deterministic durations
+    (t = event_id % 365 + 1, 25% right-censored by event_id % 4 = 0),
+    grouped by event_type: per distinct time, the event count d_i,
+    censoring count c_i, and at-risk count n_i (subjects with duration
+    >= t). Emitting the exact integer sufficient statistics rather
+    than the float survival curve keeps the entry engine-exact; the
+    curve itself is prod(1 - d_i/n_i) over these rows. Plan: one hash
+    aggregate to (group, time) grain — tiny — then one window over the
+    per-time table; the raw-data shuffle is the aggregate's only one."""
+    subj = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.col("event_id") % 365 + 1).cast("long").alias("t"),
+        F.when(F.col("event_id") % 4 == 0, 0).otherwise(1).alias(
+            "observed"
+        ),
+    )
+    pt = subj.groupBy("grp", "t").agg(
+        F.sum("observed").alias("n_events"),
+        F.sum(1 - F.col("observed")).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_leaving"),
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    # at risk at t = total - leavers strictly before t
+    n_at_risk = (
+        F.sum("n_leaving").over(wall)
+        - (F.sum("n_leaving").over(wcum) - F.col("n_leaving"))
+    ).cast("long")
+    return pt.select(
+        "grp", "t", "n_events", "n_censored",
+        n_at_risk.alias("n_at_risk"),
+    ).orderBy("grp", "t")
+
+
+@register(
+    "a33_cusum_alarm",
+    # CUSUM drift detector WITHOUT recursion: the clamped-at-zero fold
+    # s_i = max(0, s_{i-1} + x_i - k) has the closed form
+    # s_i = p_i - min(0, min_{j<=i} p_j) over the prefix sums p of
+    # (x - k) — two windows, integer micros, exact in both engines
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) - 500000 AS d
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS pfx
+      FROM x
+    ),
+    s AS (
+      SELECT user_id,
+             pfx - LEAST(CAST(0 AS BIGINT),
+                         MIN(pfx) OVER (PARTITION BY user_id
+                                        ORDER BY event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)) AS cusum
+      FROM p
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum_micros,
+           CAST(CASE WHEN MAX(cusum) > 10000000 THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a33_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (Page 1954): the
+    classic recursive statistic s_i = max(0, s_{i-1} + (x_i - k)) is
+    NOT window-expressible as written, but has the exact closed form
+    s_i = p_i - min(0, running_min(p)) over prefix sums p of (x - k) —
+    so the whole detector is two cumulative windows plus a hash
+    aggregate, no recursion, no UDF, integer micros throughout
+    (k = 0.5 in micros, alarm threshold h = 10 in micros). Plan: one
+    shuffle on user_id shared by both windows and the aggregate."""
+    x = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (
+            F.round(F.col("value") * 1000000.0).cast("long") - 500000
+        ).alias("d"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = x.select(
+        "user_id", "event_id",
+        F.sum("d").over(wcum).alias("pfx"),
+    )
+    # running min over the SAME event-ordered frame: min(0, min pfx)
+    cusum = F.col("pfx") - F.least(
+        F.lit(0).cast("long"), F.min("pfx").over(wcum)
+    )
+    s = p.select("user_id", cusum.alias("cusum"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("cusum").alias("max_cusum_micros"),
+            F.when(F.max("cusum") > 10000000, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("alarm"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "s_compaction_rewrite",
+    # small-file compaction: the rewrite must be CONTENT-NEUTRAL (the
+    # oracle aggregates the source directly) while the Spark side also
+    # checks the file-count contract maxRecordsPerFile implies — the
+    # boolean is emitted as a hashed column, so a compaction that
+    # splits wrong or drops rows goes red
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(1 AS BIGINT) AS file_contract_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def s_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the table-maintenance primitive a 100 TB
+    lake runs continuously): rewrite lineitem into size-bounded files —
+    coalesced to one writer task, split by maxRecordsPerFile=25000 —
+    then read the compacted layout back and prove (a) content equality
+    via the oracle's source-side aggregate and (b) the file-count
+    contract n_files == ceil(rows / maxRecordsPerFile), emitted as a
+    hashed boolean. At fleet scale the same rewrite runs per partition
+    directory with AQE-coalesced writer tasks instead of coalesce(1)
+    (single-task form keeps the count contract deterministic here)."""
+    import tempfile
+
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_compact_")
+    (
+        src.coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 25000)
+        .parquet(out_dir)
+    )
+    # file count is filesystem METADATA (no Spark action); the row-count
+    # side of the contract stays in-plan as a broadcast 1-row aggregate
+    n_files = len([
+        f for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ])
+    back = spark.read.parquet(out_dir)
+    contract = (
+        back.agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            (
+                F.lit(n_files)
+                == F.ceil(F.col("__n") / F.lit(25000.0)).cast("long")
+            )
+            .cast("long")
+            .alias("file_contract_ok")
+        )
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+        .crossJoin(F.broadcast(contract))
+        .select(
+            "l_returnflag", "n_rows", "sum_price", "file_contract_ok"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -11433,8 +11819,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ex-rows-only entries that gained oracles after the freeze
     # (agg_approx_distinct, agg_hll_union, o3_random_split,
     # ml_pca_variance, simsearch_ivf_topk full-probe invariant,
-    # dedup_minhash_near ground-truth pair set), and the other entries
-    # registered after this window froze) ---
+    # dedup_minhash_near ground-truth pair set), the post-freeze batch
+    # mm_jpeg_native_decode / ml_random_projection / ml_winsorize_stats
+    # / a32_kaplan_meier / a33_cusum_alarm / s_compaction_rewrite, and
+    # the other entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",

@@ -78,6 +78,8 @@ NESTED_LOOP_OK = {
     "agg_percentile_sketch_bound",  # 3-row sketch-values agg x rank scan
     "ml_quantile_normalize",      # min-group-size 1-row agg x ranked rows
     "fn_null_semantics",          # six 1-row fact aggregates crossed
+    "s_compaction_rewrite",       # file-count contract: 1-row count agg
+                                  # crossed into the per-flag aggregate
 }
 
 MAX_EXCHANGES = 9
