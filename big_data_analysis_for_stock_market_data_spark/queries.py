@@ -11716,6 +11716,281 @@ def s_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_target_encoding",
+    # leave-one-out target encoding emitted as exact integer
+    # (numerator, denominator) pairs — the encoded value is their
+    # ratio, kept out of the hash so no float division is compared;
+    # singleton categories surface den = 0 (the caller's global-mean
+    # fallback case) instead of a NULL-hiding ratio
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(cents) OVER (PARTITION BY o_custkey) - cents
+                AS BIGINT) AS loo_num_cents,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) - 1
+                AS BIGINT) AS loo_den
+    FROM v ORDER BY o_orderkey
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the leakage-safe categorical
+    encoder): each order's customer category is encoded by the mean
+    target of the OTHER orders in the category — numerator
+    sum(category) - own target, denominator n - 1, both exact integers
+    (cents). Plan: one window shuffle on the category key; at 100 TB
+    this is the same one-shuffle shape as any per-key normalization,
+    and hot categories salt like any skewed window key."""
+    v = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+            "cents"
+        ),
+    )
+    w = Window.partitionBy("o_custkey")
+    return v.select(
+        "o_orderkey", "o_custkey",
+        (F.sum("cents").over(w) - F.col("cents")).alias("loo_num_cents"),
+        (F.count(F.lit(1)).over(w) - 1).alias("loo_den"),
+    ).orderBy("o_orderkey")
+
+
+#: Poisson(1) CDF thresholds as 8-hex-digit strings (floor(cdf * 2^32)):
+#: weight(u) = #{t : u >= t} over the first 8 md5 hex digits — lowercase
+#: hex compares identically to the integer in BOTH engines, so the
+#: bootstrap weights are deterministic and engine-exact.
+_POISSON_HEX = (
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71",
+)
+
+
+@register(
+    "a34_bootstrap_resamples",
+    # Poisson bootstrap (the distributed bootstrap: per-row Poisson(1)
+    # weights replace global sampling-with-replacement, so no pass
+    # needs the full dataset): 16 deterministic resamples from md5
+    # thresholds, each emitting exact integer sufficient statistics —
+    # the CI is a determined function of these 16 rows
+    oracle=f"""
+    WITH b AS (SELECT unnest(range(0, 16)) AS b),
+    w AS (
+      SELECT b.b,
+             CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS cents,
+             {" + ".join(
+                 f"CASE WHEN substring(md5(CAST(o.o_orderkey AS VARCHAR)"
+                 f" || '_' || CAST(b.b AS VARCHAR)), 1, 8) >= '{t}'"
+                 f" THEN 1 ELSE 0 END"
+                 for t in _POISSON_HEX
+             )} AS wt
+      FROM orders o, b
+    )
+    SELECT b,
+           CAST(SUM(wt) AS BIGINT) AS n_drawn,
+           CAST(SUM(wt * cents) AS BIGINT) AS sum_wx_cents,
+           CAST(SUM(CASE WHEN wt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM w GROUP BY b ORDER BY b
+    """,
+)
+def a34_bootstrap_resamples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy 2012 — the bootstrap that scales:
+    each row independently draws a Poisson(1) replication weight per
+    resample, so resampling is a stateless per-row map instead of
+    global sampling-with-replacement): 16 resamples with weights
+    derived from md5 hex thresholds of the Poisson CDF — fully
+    deterministic, engine-exact. Emits each resample's integer
+    sufficient statistics (draw count, weighted target sum, zero-weight
+    count); the percentile CI over resample means is a determined
+    function of the 16 rows. Plan: one 16-way row explode fused into
+    the scan, one hash aggregate to 16 rows — embarrassingly linear."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+            "cents"
+        ),
+        # 16-way resample fan-out as a generator fused into the scan —
+        # no join operator, each task expands its own rows locally
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(16)])
+        ).alias("b"),
+    )
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.col("o_orderkey").cast("string"),
+                F.col("b").cast("string"),
+            ).cast("binary")
+        ),
+        1, 8,
+    )
+    wt = sum(
+        F.when(u >= t, 1).otherwise(0) for t in _POISSON_HEX
+    ).alias("wt")
+    w = o.select("b", "cents", wt)
+    return (
+        w.groupBy("b")
+        .agg(
+            F.sum("wt").alias("n_drawn"),
+            F.sum(F.col("wt") * F.col("cents")).alias("sum_wx_cents"),
+            F.sum(F.when(F.col("wt") == 0, 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("b")
+    )
+
+
+@register(
+    "ml_feature_hashing",
+    # hashing-trick featurizer: token -> bucket via the first two md5
+    # hex nibbles (char-position lookup, portable to any engine),
+    # sign via the third nibble; corpus-level bucket aggregates are
+    # exact integers
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    h AS (
+      SELECT tok,
+             ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1)
+               * 16
+              + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1
+             ) % 64 AS bucket,
+             CASE WHEN substring(md5(tok), 3, 1) < '8' THEN 1 ELSE -1 END
+               AS sgn
+      FROM toks
+    )
+    SELECT bucket,
+           CAST(SUM(sgn) AS BIGINT) AS signed_count,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+    FROM h GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger 2009, the hashing trick): tokens map
+    to a fixed 64-bucket space via md5 nibbles with a ±1 sign nibble —
+    no vocabulary pass, no dictionary broadcast, the property that
+    makes it THE featurizer for unbounded token spaces at 100 TB.
+    Bucket ids come from character-position lookups on the hex digest
+    (portable across engines, no hex->int builtin needed). Emits exact
+    corpus-level bucket aggregates: signed count (what a linear model
+    sees), token count, distinct-token count (collision visibility).
+    Plan: tokenize-explode fused into the scan, one hash aggregate."""
+    hexpos = "0123456789abcdef"
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
+        )
+    )
+    digest = F.md5(F.col("tok").cast("binary"))
+    v1 = F.instr(F.lit(hexpos), F.substring(digest, 1, 1)) - 1
+    v2 = F.instr(F.lit(hexpos), F.substring(digest, 2, 1)) - 1
+    bucket = ((v1 * 16 + v2) % 64).alias("bucket")
+    sgn = (
+        F.when(F.substring(digest, 3, 1) < "8", 1).otherwise(-1)
+    ).alias("sgn")
+    return (
+        toks.select(bucket, sgn, "tok")
+        .groupBy("bucket")
+        .agg(
+            F.sum("sgn").alias("signed_count"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("tok").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "g5_degree_assortativity",
+    # degree assortativity as exact integer sufficient statistics over
+    # the co-purchase graph (same edge rule as g1): per undirected edge
+    # counted in both directions, the sums Pearson's r is built from —
+    # the coefficient itself is a determined float function of one row
+    oracle="""
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ),
+    dir_edges AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM dir_edges GROUP BY u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+           CAST(SUM(du.d) AS BIGINT) AS sum_src_deg,
+           CAST(SUM(du.d * dv.d) AS BIGINT) AS sum_deg_prod,
+           CAST(SUM(du.d * du.d) AS BIGINT) AS sum_src_deg_sq
+    FROM dir_edges e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    """,
+)
+def g5_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-purchase graph:
+    do high-degree parts co-occur with high-degree parts? Emits the
+    exact integer sufficient statistics of Pearson's r over directed
+    edge endpoints (both directions of each undirected edge, so source
+    and target marginals coincide); r = (M*Sxy - Sx^2/..) is a
+    determined function of the one output row. Plan: the g1 edge build
+    (checkpointed once), a tiny degree table joined twice — degree
+    tables are |V|-sized, broadcastable at any realistic scale."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+    )
+    # same lineage-truncation rationale as g1_triangle_count: three
+    # readers of the expensive self-join build
+    edges = edges.localCheckpoint(eager=True)
+    dir_edges = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = dir_edges.groupBy("u").agg(
+        F.count(F.lit(1)).alias("d")
+    ).withColumnRenamed("u", "node")
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    return (
+        dir_edges.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_directed_edges"),
+            F.sum("du").alias("sum_src_deg"),
+            F.sum(F.col("du") * F.col("dv")).alias("sum_deg_prod"),
+            F.sum(F.col("du") * F.col("du")).alias("sum_src_deg_sq"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -11821,8 +12096,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ml_pca_variance, simsearch_ivf_topk full-probe invariant,
     # dedup_minhash_near ground-truth pair set), the post-freeze batch
     # mm_jpeg_native_decode / ml_random_projection / ml_winsorize_stats
-    # / a32_kaplan_meier / a33_cusum_alarm / s_compaction_rewrite, and
-    # the other entries registered after this window froze) ---
+    # / a32_kaplan_meier / a33_cusum_alarm / s_compaction_rewrite /
+    # ml_target_encoding / a34_bootstrap_resamples / ml_feature_hashing
+    # / g5_degree_assortativity, and the other entries registered after
+    # this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
