@@ -75,8 +75,10 @@ def as_of_join(
 ) -> DataFrame:
     """As-of join (J3 extension — natural for time series, absent in the
     reference). For each left row, attach the most recent right row at or
-    before ``left_time`` (direction='backward') or the earliest at or after
-    (direction='forward'), within the same ``on`` partition keys.
+    before ``left_time`` (direction='backward'), the earliest at or after
+    (direction='forward'), or the closer of the two with ties to backward
+    (direction='nearest', pandas merge_asof semantics), within the same
+    ``on`` partition keys.
 
     ``tolerance`` (an INTERVAL string, e.g. ``'1 hour'``) bounds the
     lookback/lookahead like pandas ``merge_asof(tolerance=...)``: a match
@@ -94,8 +96,52 @@ def as_of_join(
     """
     if isinstance(on, str):
         on = [on]
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'"
+        )
+    if direction == "nearest":
+        # pandas merge_asof(direction='nearest'): the closer of the
+        # backward and forward matches, ties to backward. Composed from
+        # one backward and one forward pass, each carrying its match
+        # time; with a tolerance both passes null out-of-range matches
+        # first, so the choice logic just prefers whichever survives.
+        reserved = {"__asof_bt", "__asof_ft"}
+        if reserved & set(left.columns) or reserved & set(right.columns):
+            raise ValueError(
+                "as_of_join(direction='nearest') reserves column names "
+                "'__asof_bt'/'__asof_ft'; rename those columns"
+            )
+        b_vals = [f"{v}__asof_b" for v in right_values]
+        f_vals = [f"{v}__asof_f" for v in right_values]
+        rb = right.select(
+            *on, right_time,
+            *[F.col(v).alias(b) for v, b in zip(right_values, b_vals)],
+        ).withColumn("__asof_bt", F.col(right_time))
+        rf = right.select(
+            *on, right_time,
+            *[F.col(v).alias(fv) for v, fv in zip(right_values, f_vals)],
+        ).withColumn("__asof_ft", F.col(right_time))
+        step = as_of_join(
+            left, rb, on, left_time, right_time,
+            [*b_vals, "__asof_bt"], "backward", tolerance,
+        )
+        step = as_of_join(
+            step, rf, on, left_time, right_time,
+            [*f_vals, "__asof_ft"], "forward", tolerance,
+        )
+        lt_c = F.col(left_time).cast("timestamp")
+        bt_c = F.col("__asof_bt").cast("timestamp")
+        ft_c = F.col("__asof_ft").cast("timestamp")
+        choose_b = ft_c.isNull() | (
+            bt_c.isNotNull() & ((lt_c - bt_c) <= (ft_c - lt_c))
+        )
+        out = step
+        for v, b, fv in zip(right_values, b_vals, f_vals):
+            out = out.withColumn(
+                v, F.when(choose_b, F.col(b)).otherwise(F.col(fv))
+            )
+        return out.drop(*b_vals, *f_vals, "__asof_bt", "__asof_ft")
     if tolerance is not None:
         if "__match_t" in right.columns:
             raise ValueError(

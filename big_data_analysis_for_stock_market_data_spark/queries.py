@@ -11991,6 +11991,203 @@ def g5_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j9_asof_nearest",
+    # nearest-direction as-of (pandas merge_asof direction='nearest'):
+    # the closer of the backward/forward purchase, ties to backward —
+    # the oracle runs DuckDB's native ASOF both ways and applies the
+    # same interval-comparison choice rule
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS ref_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT l.event_id, r.ts AS bt, r.ref_value AS bv
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    f AS (
+      SELECT l.event_id, r.ts AS ft, r.ref_value AS fv
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           CASE WHEN f.ft IS NULL THEN b.bv
+                WHEN b.bt IS NULL THEN f.fv
+                WHEN (l.ts - b.bt) <= (f.ft - l.ts) THEN b.bv
+                ELSE f.fv END AS ref_value
+    FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+    ORDER BY event_id
+    """,
+)
+def j9_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each non-purchase event attaches the
+    purchase value CLOSEST in time — before or after — with ties going
+    to the backward match. Engine composes one backward and one
+    forward union+carry pass (operators/joins.as_of_join
+    direction='nearest'), each the single-shuffle no-range-explosion
+    plan, then a projection picks the closer match time."""
+    events = load(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("ref_value")
+    )
+    out = join_ops.as_of_join(
+        left, right, on="user_id", left_time="ts", right_time="ts",
+        right_values=["ref_value"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "ref_value"
+    ).orderBy("event_id")
+
+
+@register(
+    "w_rolling_ols_slope",
+    # rolling least-squares trend WITHOUT per-frame recomputation: with
+    # x = position 0..6 inside the 7-row frame, Sxy over the frame is
+    # Sum(j*y) - (rn-6)*Sum(y) for absolute row number j — two plain
+    # rolling sums. slope = slope_num / 196, intercept = icpt_num / 196
+    # (n*Sxx - Sx^2 = 7*91 - 441 = 196, a constant), so the hashed
+    # outputs are exact integers
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             SUM(y) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS sy,
+             SUM(rn * y) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS sjy
+      FROM v
+    )
+    SELECT user_id, event_id,
+           CAST(7 * (sjy - (rn - 6) * sy) - 21 * sy AS BIGINT)
+             AS slope_num_micros,
+           CAST(91 * sy - 21 * (sjy - (rn - 6) * sy) AS BIGINT)
+             AS icpt_num_micros
+    FROM s WHERE rn >= 7 ORDER BY user_id, event_id
+    """,
+)
+def w_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-observation least-squares trend per user (the windowed
+    regression behind trend-following indicators): slope and intercept
+    numerators over the frame's relative positions 0..6, derived from
+    TWO plain rolling sums — Sum(y) and Sum(j*y) with j the absolute
+    row number — via Sxy = Sjy - (frame_start)*Sy, instead of
+    re-scanning each frame. Denominator n*Sxx - Sx^2 = 196 is constant,
+    so outputs are exact integer micros. Plan: one window shuffle on
+    user_id shared by the ranking and both rolling sums."""
+    v = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("y"),
+    )
+    wrank = Window.partitionBy("user_id").orderBy("event_id")
+    v = v.withColumn("rn", F.row_number().over(wrank))
+    wroll = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = v.select(
+        "user_id", "event_id", "rn",
+        F.sum("y").over(wroll).alias("sy"),
+        F.sum(F.col("rn") * F.col("y")).over(wroll).alias("sjy"),
+    )
+    sxy = F.col("sjy") - (F.col("rn") - 6) * F.col("sy")
+    return (
+        s.filter(F.col("rn") >= 7)
+        .select(
+            "user_id", "event_id",
+            (7 * sxy - 21 * F.col("sy")).alias("slope_num_micros"),
+            (91 * F.col("sy") - 21 * sxy).alias("icpt_num_micros"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "s_csv_multiline_quoted",
+    # CSV hard mode: planted fields carry embedded newlines, commas and
+    # double quotes; the write quotes/escapes them, the read uses
+    # multiLine=true to reassemble records across line breaks. The
+    # oracle replays the planted content straight from the source
+    # table, so any quoting/escaping/reassembly defect shifts the stats
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             'note-' || CAST(o_orderkey AS VARCHAR) || chr(10) || 'p='
+               || o_orderpriority || ',"x"' AS note
+      FROM orders
+    )
+    SELECT pri,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(note)) AS BIGINT) AS sum_note_len,
+           CAST(SUM(CASE WHEN contains(note, chr(10)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_multiline
+    FROM v GROUP BY pri ORDER BY pri
+    """,
+)
+def s_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source with embedded newlines, delimiters and quotes
+    inside quoted fields: planted notes ('note-<key>\\np=<pri>,"x"')
+    survive a CSV write (quote-on-demand, escaped inner quotes) and a
+    multiLine=true read that reassembles records across raw line
+    breaks — the corner that breaks naive line-splitting CSV readers.
+    NOTE for 100 TB: multiLine CSV is NOT splittable (a file is one
+    record stream), so the engine keeps many moderate files rather
+    than few huge ones; columnar formats remain the real scale path."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.concat(
+            F.lit("note-"), F.col("o_orderkey").cast("string"),
+            F.lit("\n"), F.lit("p="), F.col("o_orderpriority"),
+            F.lit(',"x"'),
+        ).alias("note"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_csv_ml_")
+    src.write.mode("overwrite").option("header", True).csv(out_dir)
+    schema = T.StructType([
+        T.StructField("pri", T.StringType()),
+        T.StructField("note", T.StringType()),
+    ])
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out_dir)
+    )
+    return (
+        back.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("note")).alias("sum_note_len"),
+            F.sum(
+                F.when(F.col("note").contains("\n"), 1).otherwise(0)
+            ).alias("n_multiline"),
+        )
+        .orderBy("pri")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -12098,7 +12295,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # mm_jpeg_native_decode / ml_random_projection / ml_winsorize_stats
     # / a32_kaplan_meier / a33_cusum_alarm / s_compaction_rewrite /
     # ml_target_encoding / a34_bootstrap_resamples / ml_feature_hashing
-    # / g5_degree_assortativity, and the other entries registered after
+    # / g5_degree_assortativity / j9_asof_nearest / w_rolling_ols_slope
+    # / s_csv_multiline_quoted, and the other entries registered after
     # this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",

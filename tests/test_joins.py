@@ -286,3 +286,39 @@ def test_grid_radius_join_rejects_bad_radius(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_asof_nearest_choice_ties_and_tolerance(spark):
+    t = dt.datetime
+    left = spark.createDataFrame([
+        Row(k=1, lt=t(2024, 1, 1, 12, 0), lid=0),   # nearer backward
+        Row(k=1, lt=t(2024, 1, 1, 12, 50), lid=1),  # nearer forward
+        Row(k=1, lt=t(2024, 1, 1, 12, 30), lid=2),  # exact tie -> backward
+        Row(k=2, lt=t(2024, 1, 1, 9, 0), lid=3),    # only forward exists
+        Row(k=3, lt=t(2024, 1, 1, 9, 0), lid=4),    # no match at all
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, rt=t(2024, 1, 1, 11, 55), rv=10),
+        Row(k=1, rt=t(2024, 1, 1, 13, 5), rv=20),
+        Row(k=2, rt=t(2024, 1, 1, 10, 0), rv=30),
+    ])
+    got = {
+        r.lid: r.rv
+        for r in J.as_of_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_values=["rv"], direction="nearest",
+        ).collect()
+    }
+    # lid=2 sits 35 min from both sides (11:55 and 13:05)? backward gap
+    # 35 min, forward gap 35 min -> tie goes backward
+    assert got == {0: 10, 1: 20, 2: 10, 3: 30, 4: None}
+    # tolerance bounds both directions: 30 min drops the 35-min tie pair
+    got_tol = {
+        r.lid: r.rv
+        for r in J.as_of_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_values=["rv"], direction="nearest",
+            tolerance="30 minutes",
+        ).collect()
+    }
+    assert got_tol == {0: 10, 1: 20, 2: None, 3: None, 4: None}
