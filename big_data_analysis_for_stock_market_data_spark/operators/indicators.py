@@ -364,6 +364,61 @@ def ema(df: DataFrame, spans: Iterable[int], partition_by="symbol",
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    partition_by="symbol",
+    order_by="date",
+    col="close",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing — the TWO-state
+    recurrence (level, trend) the single-state EMA family can't express:
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = be*(l_t - l_{t-1}) + (1-be)*b_{t-1}
+
+    seeded l_1 = y_1, b_1 = 0. Adds ``holt_level``, ``holt_trend`` and
+    the one-step-ahead forecast ``holt_fc1`` = l_t + b_t. The fold
+    evaluates ``a*y + oma*(l + b)`` and ``be*(l' - l) + omb*b`` with
+    oma = 1-a, omb = 1-be computed once — mirror the same expression
+    order in any recursive-CTE twin for bit-exact comparison (the
+    ind_parabolic_sar pattern). Per-key applyInPandas like the other
+    recursive indicators; a degenerate keyspace routes to the
+    block-parallel scan engine only for the AFFINE single-state family —
+    this two-state recurrence is matrix-affine and stays sequential."""
+    oma = 1.0 - alpha
+    omb = 1.0 - beta
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = pdf[col].astype("float64").to_list()
+        n = len(y)
+        lev = [0.0] * n
+        tr = [0.0] * n
+        if n:
+            lev[0], tr[0] = y[0], 0.0
+            l_prev, b_prev = y[0], 0.0
+            for i in range(1, n):
+                l_new = alpha * y[i] + oma * (l_prev + b_prev)
+                b_new = beta * (l_new - l_prev) + omb * b_prev
+                lev[i], tr[i] = l_new, b_new
+                l_prev, b_prev = l_new, b_new
+        pdf["holt_level"] = lev
+        pdf["holt_trend"] = tr
+        pdf["holt_fc1"] = [a + b for a, b in zip(lev, tr)]
+        return pdf
+
+    return _recursive_apply(
+        df, partition_by, order_by,
+        {
+            "holt_level": T.DoubleType(),
+            "holt_trend": T.DoubleType(),
+            "holt_fc1": T.DoubleType(),
+        },
+        fn,
+    )
+
+
 def macd(df: DataFrame, pairs: Iterable[tuple[int, int]] = ((12, 26),),
          partition_by="symbol", order_by="date", col="close") -> DataFrame:
     """MACD_{a,b} = EMA_a - EMA_b (reference consumed macd510..macd1226 and

@@ -12188,6 +12188,209 @@ def s_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_holt_linear",
+    # recursive-CTE twin of the two-state Holt recurrence: the level
+    # expression is repeated verbatim inside the trend update so both
+    # engines evaluate the identical float ops in the identical order
+    # (bit-exact, the ind_parabolic_sar pattern); constants enter as
+    # CAST(decimal AS DOUBLE), equal to the Python literals
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, ts, event_id, x, rn,
+             x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b2.user_id, b2.ts, b2.event_id, b2.x, b2.rn,
+             CAST(0.3 AS DOUBLE) * b2.x
+               + CAST(0.7 AS DOUBLE) * (r.l + r.b) AS l,
+             CAST(0.2 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * b2.x
+                   + CAST(0.7 AS DOUBLE) * (r.l + r.b)) - r.l)
+               + CAST(0.8 AS DOUBLE) * r.b AS b
+      FROM rec r
+      JOIN base b2 ON b2.user_id = r.user_id AND b2.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ts,
+           l AS holt_level, b AS holt_trend, l + b AS holt_fc1
+    FROM rec
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per user
+    (operators/indicators.holt_linear, alpha=0.3 beta=0.2): the
+    TWO-state (level, trend) recurrence beyond the EMA family, with the
+    one-step-ahead forecast level+trend — the classic streaming
+    forecaster. Per-key applyInPandas fold, hash-verified bit-exact
+    against a recursive-CTE twin that repeats the level expression
+    verbatim inside the trend update."""
+    from big_data_analysis_for_stock_market_data_spark.operators import indicators as ind
+
+    ev = load(spark, sf_dir, "events")
+    d = ind.holt_linear(
+        ev, alpha=0.3, beta=0.2, partition_by="user_id",
+        order_by="ts", col="value",
+    )
+    return d.select(
+        "event_id", "user_id", "ts",
+        "holt_level", "holt_trend", "holt_fc1",
+    )
+
+
+@register(
+    "dq_benford_firstdigit",
+    # Benford's-law first-digit audit via string ops (no log10 in the
+    # hashed columns — the expected Benford share is a determined
+    # function of the digit): digit counts plus the chi-square
+    # NUMERATOR pieces as exact integers
+    oracle="""
+    WITH d AS (
+      SELECT substring(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+    FROM d GROUP BY digit ORDER BY digit
+    """,
+)
+def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (the classic fraud / synthetic-
+    data scan): the leading digit of each positive order total in
+    cents, counted per digit with the corpus total alongside — the
+    Benford deviation statistic sum((n/N - log10(1+1/d))^2) is a
+    determined function of these 9 exact-integer rows. Digit extraction
+    is pure string arithmetic (no float log in hashed output). Plan:
+    one hash aggregate plus a 9-row window for the total."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100.0)
+                .cast("long")
+                .cast("string"),
+                1, 1,
+            ).alias("digit")
+        )
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "digit", "n",
+        F.sum("n").over(Window.partitionBy()).alias("n_total"),
+    ).orderBy("digit")
+
+
+@register(
+    "fn_bitwise_suite",
+    # bitwise function-surface parity: per-row shifts/masks feeding
+    # bit_and / bit_or / bit_xor aggregates plus a popcount sum — all
+    # exact integers in both engines
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(BIT_AND(o_custkey) AS BIGINT) AS and_key,
+           CAST(BIT_OR(o_custkey) AS BIGINT) AS or_key,
+           CAST(BIT_XOR(o_custkey) AS BIGINT) AS xor_key,
+           CAST(SUM(bit_count(CAST(o_custkey AS BIGINT))) AS BIGINT)
+             AS popcount_sum,
+           CAST(SUM((o_custkey << 3) & 1023) AS BIGINT) AS shifted_mask,
+           CAST(SUM(o_custkey >> 2) AS BIGINT) AS rshift_sum,
+           CAST(SUM(xor(o_custkey, 1365)) AS BIGINT) AS xor_const_sum
+    FROM orders GROUP BY pri ORDER BY pri
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (F-ext): shiftleft/shiftright with masks,
+    per-row XOR against a constant, popcount (bit_count), and the
+    BIT_AND / BIT_OR / BIT_XOR aggregates — the bit-fiddling surface
+    bitmap indexes and bloom filters are built from, verified exact per
+    priority group. Single hash aggregate; every expression
+    whole-stage-codegen JVM-side."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_custkey")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.bit_and(k).alias("and_key"),
+            F.bit_or(k).alias("or_key"),
+            F.bit_xor(k).alias("xor_key"),
+            F.sum(F.bit_count(k.cast("long"))).cast("long").alias(
+                "popcount_sum"
+            ),
+            F.sum(
+                F.shiftleft(k, 3).bitwiseAND(F.lit(1023))
+            ).alias("shifted_mask"),
+            F.sum(F.shiftright(k, 2)).alias("rshift_sum"),
+            F.sum(k.bitwiseXOR(F.lit(1365))).alias("xor_const_sum"),
+        )
+        .orderBy("pri")
+    )
+
+
+@register(
+    "text_sentence_split",
+    # regex sentence segmentation parity: the split pattern
+    # [.!?]+\\s+ is dialect-portable (character class + quantifiers
+    # only); per-doc sentence counts and length sums are exact integers
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(text, '[.!?]+\\s+'),
+               x -> trim(x) <> ''
+             ) AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_sum(
+             list_transform(sents, x -> length(trim(x)))), 0) AS BIGINT)
+             AS sum_sentence_chars,
+           CAST(COALESCE(list_max(
+             list_transform(sents, x -> length(trim(x)))), 0) AS BIGINT)
+             AS max_sentence_chars
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (the chunking primitive upstream of context
+    packing): split on terminal-punctuation runs followed by
+    whitespace — a regex subset (character class + quantifier) that
+    parses identically in Java and RE2 dialects — then per-doc
+    sentence count, total and max trimmed sentence length, all exact
+    integers. Pure per-row array expressions fused into the scan; zero
+    shuffles beyond the final sort."""
+    s = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+\s+"),
+            lambda x: F.trim(x) != "",
+        ).alias("sents"),
+    )
+    lens = F.transform(F.col("sents"), lambda x: F.length(F.trim(x)))
+    return s.select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(
+                lens, F.lit(0).cast("long"), lambda a, x: a + x
+            ),
+            F.lit(0),
+        ).alias("sum_sentence_chars"),
+        F.coalesce(F.array_max(lens).cast("long"), F.lit(0)).alias(
+            "max_sentence_chars"
+        ),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -12296,8 +12499,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / a32_kaplan_meier / a33_cusum_alarm / s_compaction_rewrite /
     # ml_target_encoding / a34_bootstrap_resamples / ml_feature_hashing
     # / g5_degree_assortativity / j9_asof_nearest / w_rolling_ols_slope
-    # / s_csv_multiline_quoted, and the other entries registered after
-    # this window froze) ---
+    # / s_csv_multiline_quoted / ts_holt_linear / dq_benford_firstdigit
+    # / fn_bitwise_suite / text_sentence_split, and the other entries
+    # registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
