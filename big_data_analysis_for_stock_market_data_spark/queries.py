@@ -12391,6 +12391,220 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "g6_common_neighbors",
+    # link prediction by common-neighbor count: wedges a-w-b enumerate
+    # candidate pairs (one wedge join), the existing-edge flag comes
+    # from a left join back to the edge list; the support-2 edge rule
+    # keeps the wedge fan-out bounded
+    oracle="""
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ),
+    dir_edges AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    cn AS (
+      SELECT d1.v AS a, d2.v AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM dir_edges d1 JOIN dir_edges d2
+        ON d1.u = d2.u AND d1.v < d2.v
+      GROUP BY d1.v, d2.v
+    )
+    SELECT cn.a, cn.b, cn.n_common,
+           CAST(CASE WHEN e.u IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS linked
+    FROM cn LEFT JOIN edges e ON e.u = cn.a AND e.v = cn.b
+    ORDER BY cn.a, cn.b
+    """,
+)
+def g6_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph: for
+    every node pair sharing >= 3 neighbors (one wedge self-join through
+    the shared endpoint — the triangle join WITHOUT the closing-edge
+    requirement), the common-neighbor count plus whether the pair is
+    already linked — the classic candidate-edge score. At scale the
+    wedge join fans out quadratically in the max degree; the standard
+    mitigation (cap or sample high-degree wedge centers) applies, noted
+    because this graph's degrees are moderate. Edge build checkpointed
+    once, same as g1/g5."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    dir_edges = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    d1 = dir_edges.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    d2 = dir_edges.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    cn = (
+        d1.join(d2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    linked = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b"),
+        F.lit(1).cast("long").alias("linked"),
+    )
+    return (
+        cn.join(linked, ["a", "b"], "left")
+        .select(
+            "a", "b", "n_common",
+            F.coalesce(F.col("linked"), F.lit(0).cast("long")).alias(
+                "linked"
+            ),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "a37_weighted_median",
+    # exact weighted median by the deterministic rule "smallest value
+    # whose doubled cumulative weight reaches the total", cumulated in
+    # (value, key) order — pure integer window arithmetic, no
+    # interpolation, engine-exact
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+             CAST(o_orderkey % 5 + 1 AS BIGINT) AS wt,
+             o_orderkey AS okey
+      FROM orders
+    ),
+    c AS (
+      SELECT pri, cents, wt,
+             SUM(wt) OVER (PARTITION BY pri ORDER BY cents, okey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY pri) AS tw
+      FROM v
+    )
+    SELECT pri,
+           CAST(MIN(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM c GROUP BY pri ORDER BY pri
+    """,
+)
+def a37_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group (robust location under unequal
+    row importance — sample weights here are deterministic okey%5+1):
+    the smallest value whose doubled cumulative weight reaches the
+    group total, cumulated under a total (value, key) order — integer
+    arithmetic end to end, no percentile interpolation. Plan: one
+    window shuffle on the group key, then a hash aggregate; same
+    single-shuffle shape as any per-group rank statistic."""
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+            "cents"
+        ),
+        (F.col("o_orderkey") % 5 + 1).cast("long").alias("wt"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    wcum = (
+        Window.partitionBy("pri")
+        .orderBy("cents", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = v.select(
+        "pri", "cents", "wt",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("pri")).alias("tw"),
+    )
+    return (
+        c.groupBy("pri")
+        .agg(
+            F.min("tw").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
+            ).alias("weighted_median_cents"),
+        )
+        .orderBy("pri")
+    )
+
+
+@register(
+    "a38_ratio_metric_stats",
+    # delta-method sufficient statistics for ratio metrics (the A/B
+    # analysis staple: metric = sum(x_u) / sum(n_u) over users, with
+    # variance from the per-user (x, n) moments): per arm, the exact
+    # integer sums the variance formula consumes
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 3 AS BIGINT) AS arm,
+             CAST(SUM(CAST(round(value * 1000.0) AS BIGINT))
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(n) AS BIGINT) AS sum_n,
+           CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+           CAST(SUM(n * n) AS BIGINT) AS sum_nn,
+           CAST(SUM(x * n) AS BIGINT) AS sum_xn
+    FROM per_user GROUP BY arm ORDER BY arm
+    """,
+)
+def a38_ratio_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method inputs for ratio metrics (Deng et al. — the
+    unit-of-randomization problem in A/B tests: metric = sum(x)/sum(n)
+    over USERS, so row-level variance is wrong): per experiment arm
+    (deterministic user_id % 3), the exact integer sufficient
+    statistics — user count, sums, second moments and the cross
+    moment — from which the delta-method variance is a determined
+    function. Plan: two hash aggregates (user grain, then arm grain),
+    the second over a tiny frame."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 1000.0).cast("long").alias(
+                "millis"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("millis").alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            (F.col("user_id") % 3).cast("long").alias("arm"), "x", "n"
+        )
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("x").alias("sum_x"),
+            F.sum("n").alias("sum_n"),
+            F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+            F.sum(F.col("n") * F.col("n")).alias("sum_nn"),
+            F.sum(F.col("x") * F.col("n")).alias("sum_xn"),
+        )
+        .orderBy("arm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -12500,8 +12714,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ml_target_encoding / a34_bootstrap_resamples / ml_feature_hashing
     # / g5_degree_assortativity / j9_asof_nearest / w_rolling_ols_slope
     # / s_csv_multiline_quoted / ts_holt_linear / dq_benford_firstdigit
-    # / fn_bitwise_suite / text_sentence_split, and the other entries
-    # registered after this window froze) ---
+    # / fn_bitwise_suite / text_sentence_split / g6_common_neighbors /
+    # a37_weighted_median / a38_ratio_metric_stats, and the other
+    # entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
