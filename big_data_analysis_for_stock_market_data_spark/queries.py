@@ -12605,6 +12605,171 @@ def a38_ratio_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Convex test polygons as directed edge lists (poly_id, x1, y1, x2, y2)
+#: — literal integers shared verbatim by the Spark side and the oracle,
+#: so the inside test is exact integer arithmetic in both engines.
+_POLY_EDGES: tuple[tuple[int, int, int, int, int], ...] = (
+    # P1: axis-aligned square
+    (1, 0, 0, 200, 0), (1, 200, 0, 200, 200),
+    (1, 200, 200, 0, 200), (1, 0, 200, 0, 0),
+    # P2: diamond centered (500, 500)
+    (2, 500, 200, 800, 500), (2, 800, 500, 500, 800),
+    (2, 500, 800, 200, 500), (2, 200, 500, 500, 200),
+    # P3: triangle in the negative quadrant
+    (3, -900, -900, -400, -900), (3, -400, -900, -650, -400),
+    (3, -650, -400, -900, -900),
+    # P4: hexagon centered (-500, 500)
+    (4, -700, 500, -600, 330), (4, -600, 330, -400, 330),
+    (4, -400, 330, -300, 500), (4, -300, 500, -400, 670),
+    (4, -400, 670, -600, 670), (4, -600, 670, -700, 500),
+    # P5: wide flat rectangle crossing the origin
+    (5, -800, -100, 800, -100), (5, 800, -100, 800, 100),
+    (5, 800, 100, -800, 100), (5, -800, 100, -800, -100),
+)
+
+
+def _poly_edges_sql() -> str:
+    rows = ", ".join(
+        f"({p}, {x1}, {y1}, {x2}, {y2})"
+        for p, x1, y1, x2, y2 in _POLY_EDGES
+    )
+    return (
+        f"(VALUES {rows}) AS pe(poly_id, x1, y1, x2, y2)"
+    )
+
+
+@register(
+    "j10_point_in_polygon",
+    # point-in-convex-polygon join with EXACT integer cross products:
+    # inside = all edge cross products share a sign (orientation-free
+    # convex rule, boundary counts as inside). The polygon edge table
+    # is a broadcast literal; the oracle carries the identical VALUES
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey AS pid,
+             CAST((o_orderkey * 7919) % 2001 - 1000 AS BIGINT) AS px,
+             CAST((o_orderkey * 104729) % 2001 - 1000 AS BIGINT) AS py
+      FROM orders
+    ),
+    crossed AS (
+      SELECT pts.pid, pts.px, pts.py, pe.poly_id,
+             (pe.x2 - pe.x1) * (pts.py - pe.y1)
+               - (pe.y2 - pe.y1) * (pts.px - pe.x1) AS cr
+      FROM pts, {_poly_edges_sql()}
+    ),
+    verdict AS (
+      SELECT pid, px, py, poly_id,
+             CASE WHEN MIN(cr) >= 0 OR MAX(cr) <= 0 THEN 1 ELSE 0 END
+               AS inside
+      FROM crossed GROUP BY pid, px, py, poly_id
+    )
+    SELECT poly_id,
+           CAST(SUM(inside) AS BIGINT) AS n_inside,
+           CAST(SUM(inside * px) AS BIGINT) AS sum_x_inside,
+           CAST(SUM(inside * py) AS BIGINT) AS sum_y_inside
+    FROM verdict GROUP BY poly_id ORDER BY poly_id
+    """,
+)
+def j10_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon spatial join against a broadcast polygon table
+    (the dimension-side geofence shape: points are the 100 TB side,
+    polygons the small side): deterministic integer points tested
+    against five convex polygons via the all-cross-products-one-sign
+    rule — exact integer arithmetic, boundary-inclusive, orientation-
+    free. Plan: broadcast the literal edge table, one cross-product
+    expansion fused into the scan (|edges| = 21 rows), one hash
+    aggregate per (point, polygon), one per polygon. For concave or
+    many polygons the grid-cell pre-filter of j8_grid_radius_join
+    composes in front."""
+    pts = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pid"),
+        ((F.col("o_orderkey") * 7919) % 2001 - 1000).alias("px"),
+        ((F.col("o_orderkey") * 104729) % 2001 - 1000).alias("py"),
+    )
+    pe = spark.createDataFrame(
+        list(_POLY_EDGES), "poly_id long, x1 long, y1 long, x2 long, y2 long"
+    )
+    cr = (
+        (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1"))
+        - (F.col("y2") - F.col("y1")) * (F.col("px") - F.col("x1"))
+    ).alias("cr")
+    crossed = pts.join(F.broadcast(pe)).select(
+        "pid", "px", "py", "poly_id", cr
+    )
+    verdict = (
+        crossed.groupBy("pid", "px", "py", "poly_id")
+        .agg(
+            F.when(
+                (F.min("cr") >= 0) | (F.max("cr") <= 0), 1
+            ).otherwise(0).alias("inside")
+        )
+    )
+    return (
+        verdict.groupBy("poly_id")
+        .agg(
+            F.sum("inside").alias("n_inside"),
+            F.sum(F.col("inside") * F.col("px")).alias("sum_x_inside"),
+            F.sum(F.col("inside") * F.col("py")).alias("sum_y_inside"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+@register(
+    "w_time_weighted_avg",
+    # TWAP-style time-weighted average as exact integer (numerator,
+    # denominator): each observation holds until the next one, so its
+    # weight is the integer-second gap to the successor (last
+    # observation carries no duration) — the ratio is a determined
+    # function, kept out of the hash
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_s,
+             CAST(round(value * 1000.0) AS BIGINT) AS x_milli
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, x_milli,
+             LEAD(t_s) OVER (PARTITION BY user_id
+                             ORDER BY t_s, event_id) - t_s AS dt_s
+      FROM v
+    )
+    SELECT user_id,
+           CAST(COUNT(dt_s) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_s * x_milli) AS BIGINT) AS twa_num,
+           CAST(SUM(dt_s) AS BIGINT) AS twa_den_ms
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the TWAP / uptime-metric
+    primitive: an observation counts for how LONG it held, not how
+    often it was sampled): each value is weighted by the integer-millisecond
+    gap to the next observation, emitted as exact integer numerator and
+    denominator. Plan: one window shuffle on user_id for the LEAD, then
+    a hash aggregate on the same key — single-shuffle."""
+    v = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_millis(F.col("ts")).alias("t_s"),
+        F.round(F.col("value") * 1000.0).cast("long").alias("x_milli"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+    g = v.select(
+        "user_id", "x_milli",
+        (F.lead("t_s").over(w) - F.col("t_s")).alias("dt_s"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("dt_s").alias("n_intervals"),
+            F.sum(F.col("dt_s") * F.col("x_milli")).alias("twa_num"),
+            F.sum("dt_s").alias("twa_den_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -12715,7 +12880,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / g5_degree_assortativity / j9_asof_nearest / w_rolling_ols_slope
     # / s_csv_multiline_quoted / ts_holt_linear / dq_benford_firstdigit
     # / fn_bitwise_suite / text_sentence_split / g6_common_neighbors /
-    # a37_weighted_median / a38_ratio_metric_stats, and the other
+    # a37_weighted_median / a38_ratio_metric_stats /
+    # j10_point_in_polygon / w_time_weighted_avg, and the other
     # entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",

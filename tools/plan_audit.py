@@ -80,6 +80,9 @@ NESTED_LOOP_OK = {
     "fn_null_semantics",          # six 1-row fact aggregates crossed
     "s_compaction_rewrite",       # file-count contract: 1-row count agg
                                   # crossed into the per-flag aggregate
+    "j10_point_in_polygon",       # broadcast cross vs the 21-row literal
+                                  # polygon-edge table — the intended
+                                  # spatial dimension-join shape
 }
 
 MAX_EXCHANGES = 9
