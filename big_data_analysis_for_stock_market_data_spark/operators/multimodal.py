@@ -1738,3 +1738,63 @@ def jpeg_roundtrip_stats(
     return ensure_parallelism(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
+
+
+def resize_roundtrip_stats(
+    users: DataFrame, id_col: str = "user_id", out_w: int = 4,
+    out_h: int = 4,
+) -> DataFrame:
+    """Encode->decode->RESIZE verification stage: per id, the PNG pixel
+    fixture (same planted formula as png_roundtrip_stats) is encoded,
+    natively decoded, and nearest-neighbor resampled to (out_h, out_w);
+    the emitted channel sums are closed-form replayable because the
+    source index of output (i, j) is exactly ((i*h)//out_h,
+    (j*w)//out_w) — integer arithmetic, no float grid."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("src_w", T.LongType(), True),
+        T.StructField("src_h", T.LongType(), True),
+        T.StructField("rs_sum_r", T.LongType(), True),
+        T.StructField("rs_sum_g", T.LongType(), True),
+        T.StructField("rs_sum_b", T.LongType(), True),
+        T.StructField("rs_corner_sum", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uid in pdf[id_col]:
+                uid = int(uid)
+                w, h = 8 + uid % 9, 5 + uid % 7
+                r_ix = np.arange(h)[:, None]
+                c_ix = np.arange(w)[None, :]
+                base = (uid * 7 + r_ix * 31 + c_ix * 13) % 256
+                px = np.stack(
+                    [base, (base + 71) % 256, (base + 142) % 256], axis=2
+                ).astype(np.uint8)
+                dec = decode_png_pixels(
+                    encode_png_pixels(px, filter_mode="row_cycle")
+                )
+                rs = resize_pixels_nearest(dec, out_w, out_h).astype(
+                    np.int64
+                )
+                rows.append({
+                    id_col: uid,
+                    "src_w": w,
+                    "src_h": h,
+                    "rs_sum_r": int(rs[:, :, 0].sum()),
+                    "rs_sum_g": int(rs[:, :, 1].sum()),
+                    "rs_sum_b": int(rs[:, :, 2].sum()),
+                    "rs_corner_sum": int(
+                        rs[0, 0, 0] + rs[out_h - 1, out_w - 1, 0]
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(users.select(id_col)).mapInPandas(
+        run, schema=schema
+    )

@@ -12770,6 +12770,132 @@ def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_resize_nearest_native",
+    # closed-form replay of the nearest-neighbor RESIZE: output pixel
+    # (i, j) of the 4x4 resample reads source ((i*h)//4, (j*w)//4) —
+    # integer index arithmetic the oracle replays directly on the
+    # planted pixel formula, so the whole encode->decode->resize chain
+    # is verified, not just decode
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    rs AS (
+      SELECT u.user_id,
+             8 + u.user_id % 9 AS w, 5 + u.user_id % 7 AS h,
+             i.i, j.i AS j,
+             (u.user_id * 7
+              + ((i.i * (5 + u.user_id % 7)) // 4) * 31
+              + ((j.i * (8 + u.user_id % 9)) // 4) * 13) % 256 AS red
+      FROM u,
+           unnest(range(0, 4)) AS i(i),
+           unnest(range(0, 4)) AS j(i)
+    )
+    SELECT user_id,
+           CAST(MIN(w) AS BIGINT) AS src_w,
+           CAST(MIN(h) AS BIGINT) AS src_h,
+           CAST(SUM(red) AS BIGINT) AS rs_sum_r,
+           CAST(SUM((red + 71) % 256) AS BIGINT) AS rs_sum_g,
+           CAST(SUM((red + 142) % 256) AS BIGINT) AS rs_sum_b,
+           CAST(SUM(CASE WHEN (i = 0 AND j = 0) OR (i = 3 AND j = 3)
+                         THEN red ELSE 0 END) AS BIGINT)
+             AS rs_corner_sum
+    FROM rs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_resize_nearest_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE image resize verification (operators/multimodal.
+    resize_roundtrip_stats): planted pixels are PNG-encoded (every
+    filter type), natively decoded, and nearest-neighbor resampled to
+    4x4; the resampled channel sums plus a corner probe must equal the
+    oracle's closed-form replay of the integer index map
+    src = (dst * src_len) // dst_len. Completes the native media
+    story: decode (mm_*_native_decode) AND the downstream transform
+    are both oracle-checked."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        resize_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return resize_roundtrip_stats(users).orderBy("user_id")
+
+
+@register(
+    "a39_mannwhitney_u",
+    # Mann-Whitney U with midrank tie handling in DOUBLED integer units
+    # (avg rank of value v = #less + (ties+1)/2, so 2*rank is always
+    # integer): rank sums from a cumulative window over the value-grain
+    # table, never the raw rows; the tie-correction cube sum rides along
+    oracle="""
+    WITH x AS (
+      SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    g AS (
+      SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM x GROUP BY v
+    ),
+    c AS (
+      SELECT v, ca, cnt,
+             SUM(cnt) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - cnt AS less
+      FROM g
+    )
+    SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cnt - ca) AS BIGINT) AS n_b,
+           CAST(SUM(ca * (2 * less + cnt + 1)) AS BIGINT)
+             AS ranksum_a_doubled,
+           CAST(SUM(ca * (2 * less + cnt + 1))
+                - SUM(ca) * (SUM(ca) + 1) AS BIGINT) AS u_a_doubled,
+           CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cube_sum
+    FROM c
+    """,
+)
+def a39_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (the nonparametric two-sample location test)
+    between click and purchase values: midrank-of-ties rank sum and the
+    U statistic in DOUBLED units so everything stays exact integer, plus
+    the tie-correction cube sum the normal approximation needs — the
+    z-score is a determined function of this one row. Plan: hash
+    aggregate to value grain, ONE cumulative window over that (distinct
+    values, not raw rows — the a23_gini pattern), one final aggregate."""
+    x = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.round(F.col("value") * 1000000.0).cast("long").alias("v"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("is_a"),
+        )
+    )
+    g = x.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "v", "ca", "cnt",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("less"),
+    )
+    ranksum2 = F.sum(
+        F.col("ca") * (2 * F.col("less") + F.col("cnt") + 1)
+    )
+    na = F.sum("ca")
+    return c.agg(
+        na.alias("n_a"),
+        F.sum(F.col("cnt") - F.col("ca")).alias("n_b"),
+        ranksum2.alias("ranksum_a_doubled"),
+        (ranksum2 - na * (na + 1)).alias("u_a_doubled"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_cube_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -12881,7 +13007,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / s_csv_multiline_quoted / ts_holt_linear / dq_benford_firstdigit
     # / fn_bitwise_suite / text_sentence_split / g6_common_neighbors /
     # a37_weighted_median / a38_ratio_metric_stats /
-    # j10_point_in_polygon / w_time_weighted_avg, and the other
+    # j10_point_in_polygon / w_time_weighted_avg /
+    # mm_resize_nearest_native / a39_mannwhitney_u, and the other
     # entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
