@@ -12896,6 +12896,190 @@ def a39_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_roc_points",
+    # the full ROC curve as exact integer step points: per distinct
+    # score (descending), cumulative true/false positives when
+    # thresholding at >= that score — AUC, F1-optimal threshold, and
+    # any operating point are determined functions of these rows
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 1000000.0) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY s
+    )
+    SELECT s AS threshold_micros,
+           CAST(SUM(pos) OVER (ORDER BY s DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS tp,
+           CAST(SUM(cnt - pos) OVER (ORDER BY s DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS fp
+    FROM g ORDER BY threshold_micros DESC
+    """,
+)
+def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact ROC curve of value as a purchase predictor: one integer
+    (tp, fp) step point per distinct score threshold — the evaluator
+    output ml_auc_exact summarizes, materialized in full so any
+    operating point (Youden J, fixed-FPR recall, F1-optimal cut) reads
+    off directly. Plan: hash aggregate to score grain, one cumulative
+    window over distinct scores (the a23_gini pattern — never the raw
+    rows)."""
+    g = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.round(F.col("value") * 1000000.0).cast("long").alias("s"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("pos").alias("pos"), F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    wcum = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        F.col("s").alias("threshold_micros"),
+        F.sum("pos").over(wcum).alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wcum).alias("fp"),
+    ).orderBy(F.col("threshold_micros").desc())
+
+
+@register(
+    "text_pmi_pairs",
+    # collocation mining as exact integer sufficient statistics: for
+    # the 100 most frequent adjacent bigrams (total order: count desc,
+    # then words), the bigram count and both unigram counts — PMI
+    # = log(N * c_xy / (c_x * c_y)) is a determined function kept out
+    # of the hash (no libm)
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS ws FROM documents
+    ),
+    bi AS (
+      SELECT ws[i.i] AS w1, ws[i.i + 1] AS w2
+      FROM toks, unnest(range(1, len(ws))) AS i(i)
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM bi GROUP BY w1, w2
+      ORDER BY c_xy DESC, w1, w2 LIMIT 100
+    ),
+    uni AS (
+      SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, unnest(ws) AS u(w) GROUP BY u.w
+    )
+    SELECT bc.w1, bc.w2, bc.c_xy,
+           u1.c AS c_x, u2.c AS c_y
+    FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2
+    ORDER BY bc.c_xy DESC, bc.w1, bc.w2
+    """,
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (the phrase-detection primitive behind
+    word2phrase / tokenizer merges): the top-100 adjacent bigrams under
+    a total order, each with its bigram count and both unigram counts —
+    the exact integer sufficient statistics of PMI, which stays out of
+    the hashed output (no cross-engine libm). Plan: bigram explode
+    fused into the scan, two hash aggregates, the tiny top-100 joined
+    to the unigram table (broadcast)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        ).alias("ws"),
+    )
+    n = F.size("ws")
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, n - 1).alias("w1"),
+                F.slice(F.col("ws"), 2, n - 1).alias("w2"),
+            )
+        ).alias("t")
+    ).select(F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"))
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .orderBy(F.col("c_xy").desc(), "w1", "w2")
+        .limit(100)
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", "c_xy", "c_x", "c_y")
+        .orderBy(F.col("c_xy").desc(), "w1", "w2")
+    )
+
+
+@register(
+    "dq_rule_violations",
+    # declarative data-quality rule audit (the Deequ/contract-check
+    # shape): N predicates evaluated in ONE scan via conditional
+    # counts — never one job per rule
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                     OR l_shipdate >= TIMESTAMP '1999-01-01' THEN 1
+               ELSE 0 END) AS BIGINT) AS v_shipdate_bounds,
+      CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1
+               ELSE 0 END) AS BIGINT) AS v_discount_range,
+      CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1
+               ELSE 0 END) AS BIGINT) AS v_quantity_range,
+      CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS v_nonpositive_price,
+      CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1
+               ELSE 0 END) AS BIGINT) AS v_returnflag_domain,
+      CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+           AS BIGINT) AS v_tax_range
+    FROM lineitem
+    """,
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract audit (the Deequ-check shape):
+    six rules — a date-bounds rule, numeric ranges, positivity, and a
+    value-domain rule — evaluated as conditional
+    counts in ONE scan and one 1-row aggregate, never a job per rule.
+    At 100 TB this is the difference between auditing a table once and
+    auditing it six times."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def v(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        v(
+            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")),
+            "v_shipdate_bounds",
+        ),
+        v((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+          "v_discount_range"),
+        v((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+          "v_quantity_range"),
+        v(F.col("l_extendedprice") <= 0, "v_nonpositive_price"),
+        v(~F.col("l_returnflag").isin("A", "N", "R"),
+          "v_returnflag_domain"),
+        v((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08), "v_tax_range"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -13008,8 +13192,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / fn_bitwise_suite / text_sentence_split / g6_common_neighbors /
     # a37_weighted_median / a38_ratio_metric_stats /
     # j10_point_in_polygon / w_time_weighted_avg /
-    # mm_resize_nearest_native / a39_mannwhitney_u, and the other
-    # entries registered after this window froze) ---
+    # mm_resize_nearest_native / a39_mannwhitney_u / ml_roc_points /
+    # text_pmi_pairs / dq_rule_violations, and the other entries
+    # registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
