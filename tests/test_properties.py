@@ -463,3 +463,97 @@ def test_temperature_mix_formula_and_binding_group(spark):
     assert got == expected
     # tau=1 keeps natural proportions: nothing is dropped
     assert sp.temperature_mix(df, "g", "k", tau=1.0, seed=7).count() == 425
+
+
+# ---- pure-algebra guards for the closed forms used by r06 entries ----
+# These validate the ALGEBRA both the Spark plan and the SQL oracle
+# implement (queries.py a33_cusum_alarm, w_rolling_ols_slope,
+# a37_weighted_median, a39_mannwhitney_u), independent of any engine.
+
+ints = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+)
+
+
+@given(xs=ints)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_equals_recursive_fold(xs):
+    # closed form: s_i = p_i - min(0, running_min(p))  (a33_cusum_alarm)
+    s, naive = 0, []
+    for x in xs:
+        s = max(0, s + x)
+        naive.append(s)
+    p, rmin, closed = 0, 0, []
+    for x in xs:
+        p += x
+        rmin = min(rmin, p)
+        closed.append(p - min(0, rmin))
+    assert closed == naive
+
+
+@given(ys=st.lists(st.integers(-10**6, 10**6), min_size=7, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_rolling_ols_sxy_identity(ys):
+    # Sxy over the frame == Sjy - frame_start*Sy  (w_rolling_ols_slope)
+    for end in range(6, len(ys)):
+        frame = ys[end - 6: end + 1]
+        sxy = sum(j * y for j, y in enumerate(frame))
+        rn = end + 1  # 1-based absolute row number
+        sy = sum(frame)
+        sjy = sum((end - 6 + k + 1) * y for k, y in enumerate(frame))
+        assert sxy == sjy - (rn - 6) * sy
+        # slope numerator 7*Sxy - 21*Sy over constant denominator 196
+        n, sx, sxx = 7, 21, 91
+        assert n * sxx - sx * sx == 196
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(-100, 100), st.integers(1, 9)),
+    min_size=1, max_size=50,
+))
+@settings(max_examples=200, deadline=None)
+def test_weighted_median_rule_matches_expansion(rows):
+    # smallest v with 2*cumweight >= total == classic weighted median
+    # (lower) on the weight-expanded multiset  (a37_weighted_median)
+    ordered = sorted(
+        [(v, i, w) for i, (v, w) in enumerate(rows)],
+        key=lambda t: (t[0], t[1]),
+    )
+    total = sum(w for _, _, w in ordered)
+    cum, rule = 0, None
+    for v, _, w in ordered:
+        cum += w
+        if rule is None and 2 * cum >= total:
+            rule = v
+    expanded = sorted(v for v, _, w in ordered for _ in range(w))
+    # lower weighted median = element at the first position where the
+    # expanded cumulative count reaches half the total (ceil division)
+    lower = expanded[(total - 1) // 2] if total % 2 else expanded[
+        total // 2 - 1
+    ]
+    assert rule == lower
+
+
+@given(
+    a=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    b=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_mannwhitney_doubled_ranks_match_bruteforce(a, b):
+    # U_A = #{(x, y): x > y} + 0.5 * #{x == y}; the doubled-rank
+    # formulation must equal the doubled brute-force count
+    # (a39_mannwhitney_u)
+    from collections import Counter
+
+    u2_brute = sum(
+        2 * (x > y) + (x == y) for x in a for y in b
+    )
+    cnt = Counter(a + b)
+    ca = Counter(a)
+    less = 0
+    r2 = 0
+    for v in sorted(cnt):
+        r2 += ca[v] * (2 * less + cnt[v] + 1)
+        less += cnt[v]
+    na = len(a)
+    assert r2 - na * (na + 1) == u2_brute
