@@ -13080,6 +13080,174 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_scaler_fit_params",
+    # the FIT half of a distributed MinMax/Standard scaler over an
+    # array-typed feature column: per dimension, exact integer min /
+    # max / sum / count in micro units — transform parameters are a
+    # determined function; one posexplode + one hash aggregate
+    oracle="""
+    WITH el AS (
+      SELECT t.i - 1 AS dim,
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(q) AS BIGINT) AS min_micros,
+           CAST(MAX(q) AS BIGINT) AS max_micros,
+           CAST(SUM(q) AS BIGINT) AS sum_micros
+    FROM el GROUP BY dim ORDER BY dim
+    """,
+)
+def ml_scaler_fit_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-scaler FIT over the embedding array column: per
+    dimension, exact integer min/max/sum/count in micro units — the
+    parameters a MinMaxScaler (and, with the second moment from
+    a6_moments' pattern, a StandardScaler) applies at transform time.
+    Plan: posexplode fused into the scan, one hash aggregate to
+    |dims| = 64 rows — the fit is one pass at any corpus size."""
+    el = load(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        el.select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("v").cast("double") * 1000000.0)
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("q").alias("min_micros"),
+            F.max("q").alias("max_micros"),
+            F.sum("q").alias("sum_micros"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "w_longest_streak",
+    # gaps-and-islands on SIGN RUNS (not time gaps): island id = rank
+    # minus sign-partitioned rank, the classic two-window identity;
+    # longest positive streak per user is an exact integer
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CASE WHEN value >= 0.5 THEN 1 ELSE 0 END AS up
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, up,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, up
+                                  ORDER BY event_id) AS grp
+      FROM v
+    ),
+    runs AS (
+      SELECT user_id, up, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY user_id, up, grp
+    )
+    SELECT user_id,
+           CAST(MAX(CASE WHEN up = 1 THEN run_len ELSE 0 END) AS BIGINT)
+             AS longest_up_streak,
+           CAST(MAX(CASE WHEN up = 0 THEN run_len ELSE 0 END) AS BIGINT)
+             AS longest_down_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest streak per user (gaps-and-islands on VALUE RUNS, the
+    sibling of time-gap sessionization): consecutive events on the same
+    side of 0.5 form an island via the rank-difference identity
+    row_number() - row_number() within side; per user, the longest
+    up-run, longest down-run, and run count. Plan: two window ranks
+    over the same user_id shuffle, then two hash aggregates."""
+    v = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.when(F.col("value") >= 0.5, 1).otherwise(0).alias("up"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("event_id")
+    w_side = Window.partitionBy("user_id", "up").orderBy("event_id")
+    isl = v.select(
+        "user_id", "up",
+        (
+            F.row_number().over(w_all) - F.row_number().over(w_side)
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "up", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("up") == 1, F.col("run_len")).otherwise(0)
+            ).alias("longest_up_streak"),
+            F.max(
+                F.when(F.col("up") == 0, F.col("run_len")).otherwise(0)
+            ).alias("longest_down_streak"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "fn_regexp_suite",
+    # regexp function-surface parity on dialect-portable patterns
+    # (character classes + quantifiers only): replace, match count,
+    # first-match extract, boolean match — counts and lengths exact
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[aeiou]', '*', 'g'))
+               AS len_replaced,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs,
+             CASE WHEN regexp_matches(text, '[A-Z][a-z]+') THEN 1
+                  ELSE 0 END AS has_capitalized,
+             length(regexp_extract(text, '[a-z]+')) AS first_word_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len_replaced AS BIGINT) AS len_replaced,
+           CAST(n_number_runs AS BIGINT) AS n_number_runs,
+           CAST(has_capitalized AS BIGINT) AS has_capitalized,
+           CAST(first_word_len AS BIGINT) AS first_word_len
+    FROM r ORDER BY doc_id
+    """,
+)
+def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family (F-ext beyond fn_string_suite's extract):
+    global regexp_replace, match counting (regexp_count), boolean match,
+    and first-match extraction — all on character-class + quantifier
+    patterns that parse identically in Java and RE2 dialects, emitted as
+    exact integer lengths/counts. Pure per-row expressions fused into
+    the scan."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(
+            F.regexp_replace(F.col("text"), "[aeiou]", "*")
+        ).cast("long").alias("len_replaced"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+"))
+        .cast("long")
+        .alias("n_number_runs"),
+        F.when(F.col("text").rlike("[A-Z][a-z]+"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("has_capitalized"),
+        F.length(F.regexp_extract(F.col("text"), "([a-z]+)", 1))
+        .cast("long")
+        .alias("first_word_len"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -13193,7 +13361,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # a37_weighted_median / a38_ratio_metric_stats /
     # j10_point_in_polygon / w_time_weighted_avg /
     # mm_resize_nearest_native / a39_mannwhitney_u / ml_roc_points /
-    # text_pmi_pairs / dq_rule_violations, and the other entries
+    # text_pmi_pairs / dq_rule_violations / ml_scaler_fit_params /
+    # w_longest_streak / fn_regexp_suite, and the other entries
     # registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
