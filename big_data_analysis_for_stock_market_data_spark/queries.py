@@ -13248,6 +13248,210 @@ def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "ml_psi_drift",
+    # Population Stability Index inputs: bin edges are the BASELINE
+    # period's deciles by integer rank (value at rank ceil(k*n/10),
+    # no interpolation), both periods counted per bin — PSI
+    # = sum((a% - b%) * ln(a%/b%)) is a determined function of these
+    # exact integer rows
+    oracle="""
+    WITH x AS (
+      SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v,
+             CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS period,
+             event_id
+      FROM events
+    ),
+    base AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM x WHERE period = 0
+    ),
+    edges AS (
+      SELECT k.k AS bin,
+             MAX(CASE WHEN rn = (k.k * n + 9) // 10 THEN v END) AS hi
+      FROM base, unnest(range(1, 10)) AS k(k)
+      GROUP BY k.k
+    ),
+    binned AS (
+      SELECT x.period,
+             COALESCE(
+               (SELECT MIN(e.bin) FROM edges e WHERE x.v <= e.hi), 10)
+               AS bin
+      FROM x
+    )
+    SELECT bin,
+           CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_baseline,
+           CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index inputs (the model-monitoring drift
+    check): decile bin edges fitted on the baseline period by integer
+    rank (value at rank ceil(k*n/10) — no float interpolation), then
+    both periods histogrammed into those bins as exact integer counts;
+    PSI's log-ratio sum is a determined function of the 10 rows and
+    stays out of the hash. Plan: one window rank over the baseline to
+    get a 9-row edge table, broadcast range-join of both periods onto
+    the edges, one hash aggregate."""
+    x = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 1000000.0).cast("long").alias("v"),
+        (F.col("event_id") % 2).cast("int").alias("period"),
+        "event_id",
+    )
+    base = x.filter(F.col("period") == 0)
+    wr = Window.orderBy("v", "event_id")
+    ranked = base.select(
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("bin"))
+    edges = (
+        ranked.join(
+            F.broadcast(ks),
+            F.col("rn") == ((F.col("bin") * F.col("n") + 9) / 10)
+            .cast("long"),
+        )
+        .groupBy("bin")
+        .agg(F.max("v").alias("hi"))
+    )
+    # bin assignment: smallest edge with v <= hi, else overflow bin 10
+    asgn = (
+        x.join(
+            F.broadcast(edges), F.col("v") <= F.col("hi"), "left"
+        )
+        .groupBy("v", "period", "event_id")
+        .agg(F.coalesce(F.min("bin"), F.lit(10)).alias("bin"))
+    )
+    return (
+        asgn.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias(
+                "n_baseline"
+            ),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias(
+                "n_current"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "fn_try_suite",
+    # error-safe arithmetic/cast parity: division by zero, integer
+    # overflow, and malformed casts all degrade to NULL instead of
+    # failing the job — counted exactly
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             o_orderkey / NULLIF(o_orderkey % 7, 0) AS safe_div,
+             TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                           ELSE CAST(o_orderkey AS VARCHAR) END
+                      AS BIGINT) AS mixed_num
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN safe_div IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_null,
+           CAST(SUM(CASE WHEN mixed_num IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_badcast,
+           CAST(SUM(mixed_num) AS BIGINT) AS sum_mixed_num,
+           CAST(SUM(CAST(FLOOR(safe_div) AS BIGINT)) AS BIGINT)
+             AS sum_div_floor
+    FROM r
+    """,
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe function family (try_divide / try_to_number semantics):
+    division by a sometimes-zero denominator and casts of a
+    mixed numeric/non-numeric string column degrade to NULL row-locally
+    instead of failing the 100 TB job — the difference between a poisoned batch
+    and a quarantined row. Null counts and the surviving aggregates are
+    exact; float division results enter the hash only through FLOOR."""
+    o = load(spark, sf_dir, "orders")
+    denom = F.col("o_orderkey") % 7
+    safe_div = F.try_divide(
+        F.col("o_orderkey"), F.nullif(denom, F.lit(0))
+    )
+    mixed = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderstatus")
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    r = o.select(
+        "o_orderkey",
+        safe_div.alias("safe_div"),
+        mixed.try_cast("long").alias("mixed_num"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("safe_div").isNull(), 1).otherwise(0)
+        ).alias("n_div_null"),
+        F.sum(
+            F.when(F.col("mixed_num").isNull(), 1).otherwise(0)
+        ).alias("n_badcast"),
+        F.sum("mixed_num").alias("sum_mixed_num"),
+        F.sum(F.floor("safe_div").cast("long")).alias("sum_div_floor"),
+    )
+
+
+@register(
+    "ts_seasonal_indices",
+    # additive seasonal decomposition at day-of-week grain: per-dow
+    # exact-decimal mean and the deviation from the global mean — the
+    # seasonal index table a seasonal-naive forecaster consumes
+    oracle="""
+    WITH v AS (
+      SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow, value
+      FROM events
+    ),
+    g AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(value) AS gmean
+      FROM v
+    )
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(value) AS dow_mean,
+           CAST(round((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(value) - g.gmean) * 1e9) AS BIGINT)
+             AS seasonal_index_nano
+    FROM v, g
+    GROUP BY dow, g.gmean ORDER BY dow
+    """,
+)
+def ts_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal index table at day-of-week grain (the
+    decomposition the seasonal-naive backtest consumes): per-dow mean
+    and its deviation from the global mean, exact-decimal sums with the
+    deviation shipped in nano units (double-to-integer rounding is
+    engine-portable). Plan: one hash aggregate to 7 rows, the global
+    mean crossed in as a broadcast 1-row aggregate."""
+    v = load(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts")).alias("dow"), "value"
+    )
+    g = v.agg(davg(F.col("value"), "gmean"))
+    dow = v.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(F.col("value"), "dow_mean"),
+    )
+    return (
+        dow.crossJoin(F.broadcast(g))
+        .select(
+            "dow", "n", "dow_mean",
+            F.round((F.col("dow_mean") - F.col("gmean")) * 1e9, 0)
+            .cast("long")
+            .alias("seasonal_index_nano"),
+        )
+        .orderBy("dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -13362,8 +13566,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # j10_point_in_polygon / w_time_weighted_avg /
     # mm_resize_nearest_native / a39_mannwhitney_u / ml_roc_points /
     # text_pmi_pairs / dq_rule_violations / ml_scaler_fit_params /
-    # w_longest_streak / fn_regexp_suite, and the other entries
-    # registered after this window froze) ---
+    # w_longest_streak / fn_regexp_suite / ml_psi_drift / fn_try_suite
+    # / ts_seasonal_indices, and the other entries registered after
+    # this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",

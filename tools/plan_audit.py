@@ -83,6 +83,10 @@ NESTED_LOOP_OK = {
     "j10_point_in_polygon",       # broadcast cross vs the 21-row literal
                                   # polygon-edge table — the intended
                                   # spatial dimension-join shape
+    "ml_psi_drift",               # rank-pick + range-bin joins against
+                                  # the broadcast 9-row decile-edge table
+    "ts_seasonal_indices",        # global-mean 1-row agg crossed into
+                                  # the 7-row dow table
 }
 
 MAX_EXCHANGES = 9
