@@ -13452,6 +13452,208 @@ def ts_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_chi2_select_stats",
+    # chi-square feature selection over the embedding dimensions:
+    # per dim, the 2x2 contingency counts of (above the dim's
+    # rank-median) x (label = 1) — the chi2 score is a determined
+    # function; the median is the value at integer rank ceil(n/2)
+    # under a (value, vec_id) total order, no interpolation
+    oracle="""
+    WITH el AS (
+      SELECT e.vec_id, t.i - 1 AS dim,
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS q,
+             CASE WHEN e.label = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    r AS (
+      SELECT dim, q, y,
+             ROW_NUMBER() OVER (PARTITION BY dim ORDER BY q, vec_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY dim) AS n
+      FROM el
+    ),
+    med AS (
+      SELECT dim,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN q END) AS med_q
+      FROM r GROUP BY dim
+    )
+    SELECT el.dim,
+           CAST(SUM(CASE WHEN el.q > m.med_q AND el.y = 1 THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_hi_pos,
+           CAST(SUM(CASE WHEN el.q > m.med_q AND el.y = 0 THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_hi_neg,
+           CAST(SUM(CASE WHEN el.q <= m.med_q AND el.y = 1 THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_lo_pos,
+           CAST(SUM(CASE WHEN el.q <= m.med_q AND el.y = 0 THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_lo_neg
+    FROM el JOIN med m ON m.dim = el.dim
+    GROUP BY el.dim ORDER BY el.dim
+    """,
+)
+def ml_chi2_select_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection over embedding dimensions: each
+    dim's 2x2 contingency table of (above the dim's rank-median) vs the
+    label — the exact integer inputs of the chi2 score ranking that
+    picks features at scale. Median by integer rank (value at
+    ceil(n/2), no interpolation). Plan: posexplode, one window shuffle
+    on dim for ranks, the 64-row median table broadcast back, one hash
+    aggregate."""
+    el = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.when(F.col("label") == 1, 1).otherwise(0).alias("y"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .select(
+            "vec_id", "y",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("v").cast("double") * 1000000.0)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    wr = Window.partitionBy("dim").orderBy("q", "vec_id")
+    wn = Window.partitionBy("dim")
+    r = el.select(
+        "dim", "q",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.groupBy("dim").agg(
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") + 1) / 2).cast("long"),
+                F.col("q"),
+            )
+        ).alias("med_q")
+    )
+    j = el.join(F.broadcast(med), "dim")
+    hi = F.col("q") > F.col("med_q")
+    pos = F.col("y") == 1
+    return (
+        j.groupBy("dim")
+        .agg(
+            F.sum(F.when(hi & pos, 1).otherwise(0)).alias("n_hi_pos"),
+            F.sum(F.when(hi & ~pos, 1).otherwise(0)).alias("n_hi_neg"),
+            F.sum(F.when(~hi & pos, 1).otherwise(0)).alias("n_lo_pos"),
+            F.sum(F.when(~hi & ~pos, 1).otherwise(0)).alias("n_lo_neg"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "ind_local_extrema",
+    # swing-point detection: strict local maxima/minima against both
+    # neighbors (series endpoints excluded by the non-null lag/lead),
+    # counted per user as exact integers
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS q,
+             LAG(CAST(round(value * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
+             LEAD(CAST(round(value * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN q > prev AND q > nxt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_peaks,
+           CAST(SUM(CASE WHEN q < prev AND q < nxt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_troughs,
+           CAST(SUM(CASE WHEN q > prev AND q > nxt THEN q ELSE 0 END)
+                AS BIGINT) AS peak_micros_sum
+    FROM v GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ind_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swing-point (local extrema) detection per user — the pivot-point
+    primitive behind zigzag/support-resistance indicators: strict peaks
+    and troughs against both neighbors in event order, counted with the
+    peak-level sum as exact integer micros. Plan: one window shuffle
+    shared by LAG and LEAD, one hash aggregate."""
+    q = F.round(F.col("value") * 1000000.0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    v = load(spark, sf_dir, "events").select(
+        "user_id",
+        q.alias("q"),
+        F.lag(q).over(w).alias("prev"),
+        F.lead(q).over(w).alias("nxt"),
+    )
+    peak = (F.col("q") > F.col("prev")) & (F.col("q") > F.col("nxt"))
+    trough = (F.col("q") < F.col("prev")) & (F.col("q") < F.col("nxt"))
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.sum(F.when(peak, 1).otherwise(0)).alias("n_peaks"),
+            F.sum(F.when(trough, 1).otherwise(0)).alias("n_troughs"),
+            F.sum(F.when(peak, F.col("q")).otherwise(0)).alias(
+                "peak_micros_sum"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "a40_mode_stats",
+    # deterministic mode: the value with the highest count, ties broken
+    # by smallest value — engines' built-in mode() differs on ties, so
+    # the entry pins the (count DESC, value ASC) rule explicitly
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice / 1000.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY pri, bucket
+    ),
+    r AS (
+      SELECT pri, bucket, cnt,
+             ROW_NUMBER() OVER (PARTITION BY pri
+                                ORDER BY cnt DESC, bucket) AS rn
+      FROM c
+    )
+    SELECT pri, bucket AS modal_bucket, cnt AS modal_count
+    FROM r WHERE rn = 1 ORDER BY pri
+    """,
+)
+def a40_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group (built-in mode() is tie-arbitrary in
+    both engines, so the (count DESC, value ASC) rule is pinned
+    explicitly): the modal thousand-dollar bucket of order totals per
+    priority. Plan: hash aggregate to (group, value) grain, a window
+    top-1 over that small table — the WindowGroupLimit shape."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") / 1000.0)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("pri", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("pri").orderBy(
+        F.col("cnt").desc(), F.col("bucket")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pri",
+            F.col("bucket").alias("modal_bucket"),
+            F.col("cnt").alias("modal_count"),
+        )
+        .orderBy("pri")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -13567,8 +13769,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # mm_resize_nearest_native / a39_mannwhitney_u / ml_roc_points /
     # text_pmi_pairs / dq_rule_violations / ml_scaler_fit_params /
     # w_longest_streak / fn_regexp_suite / ml_psi_drift / fn_try_suite
-    # / ts_seasonal_indices, and the other entries registered after
-    # this window froze) ---
+    # / ts_seasonal_indices / ml_chi2_select_stats / ind_local_extrema
+    # / a40_mode_stats, and the other entries registered after this
+    # window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",

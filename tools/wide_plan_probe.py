@@ -60,6 +60,12 @@ ENTRIES = (
     # contributes one explode+count pass (checkpointed), so 10x docs with
     # per-replica token renaming (10x vocab too) must stay ~linear
     "text_bpe_merges",
+    # late r06: the wedge self-join is THE quadratic-risk plan of the
+    # common-neighbor entry; l_partkey shifting keeps each replica's
+    # co-purchase graph disjoint, so 10x data = 10 independent graphs —
+    # the honest growth shape (without the shift, fixed part dims
+    # densify the graph, which measures densification, not scaling)
+    "g6_common_neighbors",
 )
 #: 10x data on fixed cores is linear at ratio <= 10; headroom for shuffle
 #: constants before we call it superlinear.
@@ -69,7 +75,7 @@ SHIFTS = {
     # table -> (id columns to shift, shift stride per replica)
     "events": ({"event_id": 10_000_000, "user_id": 1_000_000}, None),
     "orders": ({"o_orderkey": 10_000_000, "o_custkey": 1_000_000}, None),
-    "lineitem": ({"l_orderkey": 10_000_000}, None),
+    "lineitem": ({"l_orderkey": 10_000_000, "l_partkey": 10_000_000}, None),
     "documents": ({"doc_id": 1_000_000}, "text"),
 }
 COPY_AS_IS = (
