@@ -13654,6 +13654,144 @@ def a40_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ind_wma_closed_form",
+    # linearly-weighted moving average WITHOUT per-frame recomputation:
+    # with absolute row number j, the weighted frame sum is
+    # n*Sy_cum_diff trick — concretely WMA numerator over a 5-row frame
+    # = Sjy - (rn - 5)*Sy with weights 1..5, the same two-rolling-sums
+    # identity as w_rolling_ols_slope; denominator 15 constant
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             SUM(y) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS sy,
+             SUM(rn * y) OVER (PARTITION BY user_id ORDER BY rn
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS sjy
+      FROM v
+    )
+    SELECT user_id, event_id,
+           CAST(sjy - (rn - 5) * sy AS BIGINT) AS wma_num_micros
+    FROM s WHERE rn >= 5 ORDER BY user_id, event_id
+    """,
+)
+def ind_wma_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average (the WMA indicator, weights
+    1..5 over a 5-observation frame) from TWO plain rolling sums via
+    the same identity as the rolling OLS: weighted numerator
+    = Sum(j*y) - (frame_start)*Sum(y) for absolute row number j —
+    never a per-frame weighted rescan. Constant denominator 15, so the
+    hashed output is the exact integer numerator. One window shuffle."""
+    v = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("y"),
+    )
+    wrank = Window.partitionBy("user_id").orderBy("event_id")
+    v = v.withColumn("rn", F.row_number().over(wrank))
+    wroll = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    s = v.select(
+        "user_id", "event_id", "rn",
+        F.sum("y").over(wroll).alias("sy"),
+        F.sum(F.col("rn") * F.col("y")).over(wroll).alias("sjy"),
+    )
+    return (
+        s.filter(F.col("rn") >= 5)
+        .select(
+            "user_id", "event_id",
+            (F.col("sjy") - (F.col("rn") - 5) * F.col("sy")).alias(
+                "wma_num_micros"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "ind_hist_var95",
+    # historical 95% Value-at-Risk by integer rank over per-user value
+    # CHANGES: the loss at rank ceil(n/20) under a (diff, key) total
+    # order — the rank-statistic pattern (no interpolation), plus the
+    # expected-shortfall numerator as an exact integer sum
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT)
+               - LAG(CAST(round(value * 1000000.0) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS chg
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, chg,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY chg, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM d WHERE chg IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(MIN(n) AS BIGINT) AS n_changes,
+           CAST(MAX(CASE WHEN rn = (n + 19) // 20 THEN chg END)
+                AS BIGINT) AS var95_micros,
+           CAST(SUM(CASE WHEN rn <= (n + 19) // 20 THEN chg ELSE 0 END)
+                AS BIGINT) AS es_num_micros,
+           CAST((MIN(n) + 19) // 20 AS BIGINT) AS es_den
+    FROM r GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ind_hist_var95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk and expected-shortfall inputs per
+    user: the 5th-percentile value change by integer rank (the loss
+    threshold), plus the exact integer sum and count of the tail beyond
+    it (ES = es_num / es_den is a determined function). Rank
+    statistics, never interpolated percentiles. Plan: one window
+    shuffle on user_id shared by the LAG, the ranking, and the
+    aggregate."""
+    q = F.round(F.col("value") * 1000000.0).cast("long")
+    wlag = Window.partitionBy("user_id").orderBy("event_id")
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id",
+            (q - F.lag(q).over(wlag)).alias("chg"),
+        )
+        .filter(F.col("chg").isNotNull())
+    )
+    wr = Window.partitionBy("user_id").orderBy("chg", "event_id")
+    wn = Window.partitionBy("user_id")
+    r = d.select(
+        "user_id", "chg",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cut = ((F.col("n") + 19) / 20).cast("long")
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.min("n").alias("n_changes"),
+            F.max(
+                F.when(F.col("rn") == cut, F.col("chg"))
+            ).alias("var95_micros"),
+            F.sum(
+                F.when(F.col("rn") <= cut, F.col("chg")).otherwise(0)
+            ).alias("es_num_micros"),
+            ((F.min("n") + 19) / 20).cast("long").alias("es_den"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -13770,8 +13908,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # text_pmi_pairs / dq_rule_violations / ml_scaler_fit_params /
     # w_longest_streak / fn_regexp_suite / ml_psi_drift / fn_try_suite
     # / ts_seasonal_indices / ml_chi2_select_stats / ind_local_extrema
-    # / a40_mode_stats, and the other entries registered after this
-    # window froze) ---
+    # / a40_mode_stats / ind_wma_closed_form / ind_hist_var95, and the
+    # other entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
