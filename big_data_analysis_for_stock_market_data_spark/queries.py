@@ -13792,6 +13792,89 @@ def ind_hist_var95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_exact_median_scalable",
+    # the SCALABLE exact median: no global sort, no full-table
+    # single-partition window. Pass 1 histograms values into 1024
+    # integer buckets; the bucket containing rank ceil(n/2) is found on
+    # the 1024-row table; pass 2 ranks ONLY inside that bucket (~n/1024
+    # rows). The oracle computes the same order statistic directly —
+    # value-identical by construction
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             COUNT(*) OVER () AS n
+      FROM v
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                AS BIGINT) AS median_cents
+    FROM r
+    """,
+)
+def agg_exact_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median without a global sort — the two-pass
+    histogram-narrowing algorithm that stays distributed at 100 TB
+    where a rank window would serialize: (1) one aggregate for
+    (min, max, n); (2) integer-bucket histogram (1024 buckets, pure
+    long arithmetic); (3) locate the bucket holding rank ceil(n/2) on
+    the 1024-row table; (4) rank only within that bucket (~n/1024 rows)
+    and pick the residual rank. Emits the identical order statistic a
+    full-sort median would. The same narrowing recurses for 100 TB
+    (1024^2 shrinks any corpus to row scale in two rounds); one level
+    suffices at bench scale."""
+    v = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+            "cents"
+        )
+    )
+    mm = v.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = v.crossJoin(F.broadcast(mm)).select(
+        "cents", "lo", "n",
+        (
+            (F.col("cents") - F.col("lo")) * 1024
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("long").alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "bucket", "cnt",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("before"),
+    )
+    target = (
+        cum.crossJoin(F.broadcast(mm.select((
+            (F.col("n") + 1) / 2).cast("long").alias("k"))))
+        .filter(
+            (F.col("before") < F.col("k"))
+            & (F.col("k") <= F.col("before") + F.col("cnt"))
+        )
+        .select("bucket", "before", "k")
+    )
+    inside = b.join(F.broadcast(target), "bucket")
+    wrank = Window.orderBy("cents")
+    ranked = inside.select(
+        "cents", "before", "k", "n",
+        F.row_number().over(wrank).alias("rn"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.col("k") - F.col("before")
+    ).select(
+        F.col("n").alias("n_rows"),
+        F.col("cents").alias("median_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -13908,8 +13991,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # text_pmi_pairs / dq_rule_violations / ml_scaler_fit_params /
     # w_longest_streak / fn_regexp_suite / ml_psi_drift / fn_try_suite
     # / ts_seasonal_indices / ml_chi2_select_stats / ind_local_extrema
-    # / a40_mode_stats / ind_wma_closed_form / ind_hist_var95, and the
-    # other entries registered after this window froze) ---
+    # / a40_mode_stats / ind_wma_closed_form / ind_hist_var95 /
+    # agg_exact_median_scalable, and the other entries registered after
+    # this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",

@@ -78,6 +78,8 @@ NESTED_LOOP_OK = {
     "agg_percentile_sketch_bound",  # 3-row sketch-values agg x rank scan
     "ml_quantile_normalize",      # min-group-size 1-row agg x ranked rows
     "fn_null_semantics",          # six 1-row fact aggregates crossed
+    "agg_exact_median_scalable",  # (min,max,n) 1-row agg crossed into
+                                  # the bucket pass and the rank pick
     "s_compaction_rewrite",       # file-count contract: 1-row count agg
                                   # crossed into the per-flag aggregate
     "j10_point_in_polygon",       # broadcast cross vs the 21-row literal
@@ -144,6 +146,9 @@ EXCHANGE_BUDGET = {
                                    # union + basket-count broadcast
     "dedup_exact_substring": 11,   # window index -> df filter -> pair
                                    # self-join (posting referenced 3x)
+    "agg_exact_median_scalable": 10,  # two-pass narrowing: histogram
+                                   # pass + bucket-local rank pass, the
+                                   # (min,max,n) fold crossed into both
     "fn_null_semantics": 15,       # a five-branch parity SUITE by design
                                    # (base counters + null group + <=>
                                    # join + = join + anti join), each
