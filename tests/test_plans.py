@@ -263,3 +263,36 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     ).groupBy("s_name").agg(F.sum("l_quantity").alias("qty"))
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_jl_projection_is_pure_map(spark):
+    # ml_random_projection: per-row expressions only — zero shuffles,
+    # the plan that stays linear at any corpus size
+    df = q(spark, "ml_random_projection")
+    # the final orderBy adds a range exchange; everything upstream of it
+    # must be shuffle-free, so total shuffles == 1 (the presentation sort)
+    assert P.count_shuffles(df) <= 1
+
+
+def test_cusum_and_rolling_ols_single_user_shuffle(spark):
+    # both windows + the aggregate reuse ONE hash partitioning on the key
+    for name in ("a33_cusum_alarm", "w_rolling_ols_slope",
+                 "ind_wma_closed_form"):
+        df = q(spark, name)
+        # one key shuffle + one presentation sort
+        assert P.count_shuffles(df) <= 2, name
+
+
+def test_rule_audit_single_scan(spark):
+    # dq_rule_violations: six rules, ONE file scan, no shuffle beyond
+    # the 1-row aggregate
+    df = q(spark, "dq_rule_violations")
+    assert len(P.read_schemas(df)) == 1
+    assert P.count_shuffles(df) <= 1
+
+
+def test_point_in_polygon_broadcasts_edges(spark):
+    # the 21-row polygon edge table must broadcast; the big point side
+    # never shuffles before the per-point aggregate
+    df = q(spark, "j10_point_in_polygon")
+    assert not P.has_sort_merge_join(df)
