@@ -13875,6 +13875,97 @@ def agg_exact_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j12_star_denorm",
+    # snowflake denormalization: the fact table joined through the
+    # customer -> nation -> region dimension chain, every hop a
+    # broadcast (dims don't grow at data scale) — the fact side never
+    # shuffles until the final rollup
+    oracle="""
+    SELECT r.r_name AS region, o.o_orderpriority AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY region, pri ORDER BY region, pri
+    """,
+)
+def j12_star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-schema denormalization (the warehouse staple behind
+    every 'sales by region' dashboard): the orders fact joined through
+    customer -> nation -> region, each dimension hop a BROADCAST hash
+    join — dimension tables don't grow with data volume, so at 100 TB
+    the fact side streams through three map-side joins and shuffles
+    exactly once, for the final rollup."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("region", "pri")
+    )
+
+
+@register(
+    "fn_mod_semantics",
+    # the modulo-sign parity trap pinned: % takes the DIVIDEND's sign in
+    # both engines, pmod is always non-negative — counts and sums over
+    # negative dividends make any divergence loud
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             (CAST(o_orderkey AS BIGINT) - 7500) AS x
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(x % 7) AS BIGINT) AS sum_mod,
+           CAST(SUM(CASE WHEN x % 7 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative_mod,
+           CAST(SUM(((x % 7) + 7) % 7) AS BIGINT) AS sum_pmod,
+           CAST(SUM(CASE WHEN ((x % 7) + 7) % 7 < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_negative_pmod
+    FROM v
+    """,
+)
+def fn_mod_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modulo sign semantics pinned (a classic cross-engine parity
+    trap): `%` follows the dividend's sign — negative results exist —
+    while `pmod` is always non-negative; bucketing by `%` of a signed
+    key silently splits one logical bucket into two. Counts and sums
+    over a deliberately sign-mixed key make any divergence loud. Single
+    scan, one 1-row aggregate."""
+    v = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") - 7500).alias("x")
+    )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("x") % 7).alias("sum_mod"),
+        F.sum(F.when(F.col("x") % 7 < 0, 1).otherwise(0)).alias(
+            "n_negative_mod"
+        ),
+        F.sum(F.pmod(F.col("x"), F.lit(7))).alias("sum_pmod"),
+        F.sum(
+            F.when(F.pmod(F.col("x"), F.lit(7)) < 0, 1).otherwise(0)
+        ).alias("n_negative_pmod"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -13992,8 +14083,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # w_longest_streak / fn_regexp_suite / ml_psi_drift / fn_try_suite
     # / ts_seasonal_indices / ml_chi2_select_stats / ind_local_extrema
     # / a40_mode_stats / ind_wma_closed_form / ind_hist_var95 /
-    # agg_exact_median_scalable, and the other entries registered after
-    # this window froze) ---
+    # agg_exact_median_scalable / j12_star_denorm / fn_mod_semantics,
+    # and the other entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
