@@ -1116,3 +1116,147 @@ def sequence_pattern_match(
             (n_matches > 0).alias("matched"),
         )
     )
+
+
+def holt_scan(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    partition_by: str | Sequence[str] = "symbol",
+    order_by: str = "date",
+    col: str = "close",
+    num_buckets: int | None = None,
+    cuts: "list[float] | None" = None,
+) -> DataFrame:
+    """Holt's linear-trend smoothing via a 2x2 MATRIX-affine block scan —
+    the two-state generalization of ``linear_recurrence`` (which carries a
+    scalar). The (level, trend) state evolves as s_t = M s_{t-1} + u_t
+    with constant
+
+        M = [[1-a,        1-a      ],
+             [be*(1-a)-be, be*(1-a)+(1-be)]]
+        u_t = (a*y_t, be*a*y_t)
+
+    and the per-key seed row encoded as an absorbing step (M_1 = 0,
+    u_1 = (y_1, 0)), so no block needs to know whether it holds the key's
+    first row — the zero matrix annihilates any carried state. Matrix
+    products compose associatively, so the same three-stage plan as
+    ``linear_recurrence`` applies: per-(key, bucket) local fold emitting
+    per-row prefix products P (4 doubles) and zero-seed partials B (2
+    doubles); one summary row per bucket; tiny per-key sequential combine
+    over bucket summaries; rowwise finalize s = P @ s_start + B.
+    Parallelism = rows/num_buckets, independent of |keys|.
+
+    Float caveat (same as linear_recurrence): re-association is
+    numerically equivalent (rel err ~1e-12, test-pinned), not
+    bit-identical to ``indicators.holt_linear`` — the sequential engine
+    remains the bit-exact default and the oracle-checked one."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from pyspark import StorageLevel
+    from pyspark.sql import types as T
+
+    keys = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    oma, omb = 1.0 - alpha, 1.0 - beta
+    m11, m12 = oma, oma
+    m21, m22 = beta * oma - beta, beta * oma + omb
+
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_bkt = num_buckets or npart
+    mins = df.groupBy(*keys).agg(F.min(order_by).alias("__min_ord"))
+    d = df.join(mins, on=keys, how="left")
+    first = F.col(order_by) == F.col("__min_ord")
+    d = d.withColumn("__first", first.cast("int"))
+    d = d.withColumn("__y", F.col(col).cast("double"))
+    d = d.withColumn("__bkt", _quantile_buckets(d, order_by, n_bkt, cuts=cuts))
+
+    part_cols = ["__p11", "__p12", "__p21", "__p22", "__q1", "__q2"]
+    block_schema = T.StructType(
+        d.schema.fields
+        + [T.StructField(c, T.DoubleType(), True) for c in part_cols]
+    )
+
+    def blockfn(pdf):
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        y = pdf["__y"].to_numpy(dtype="float64")
+        fr = pdf["__first"].to_numpy()
+        n = len(y)
+        out = {c: np.empty(n) for c in part_cols}
+        # P = identity, B = 0 before the block starts
+        p = np.eye(2)
+        b1 = b2 = 0.0
+        for j in range(n):
+            if fr[j]:
+                mj = np.zeros((2, 2))
+                u1, u2 = y[j], 0.0
+            else:
+                mj = np.array([[m11, m12], [m21, m22]])
+                u1, u2 = alpha * y[j], beta * alpha * y[j]
+            with np.errstate(under="ignore"):
+                p = mj @ p
+                nb1 = mj[0, 0] * b1 + mj[0, 1] * b2 + u1
+                nb2 = mj[1, 0] * b1 + mj[1, 1] * b2 + u2
+            b1, b2 = nb1, nb2
+            out["__p11"][j], out["__p12"][j] = p[0, 0], p[0, 1]
+            out["__p21"][j], out["__p22"][j] = p[1, 0], p[1, 1]
+            out["__q1"][j], out["__q2"][j] = b1, b2
+        for c in part_cols:
+            pdf[c] = out[c]
+        return pdf
+
+    d = d.repartition(npart, *[F.col(c) for c in keys], F.col("__bkt"))
+    scanned = d.groupBy(*keys, "__bkt").applyInPandas(
+        blockfn, schema=block_schema
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    ordk = F.col(order_by)
+    summaries = scanned.groupBy(*keys, "__bkt").agg(
+        *[F.max_by(F.col(c), ordk).alias(c) for c in part_cols]
+    )
+
+    start_schema = T.StructType(
+        summaries.schema.fields
+        + [T.StructField("__ss1", T.DoubleType(), True),
+           T.StructField("__ss2", T.DoubleType(), True)]
+    )
+
+    def combine(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("__bkt", kind="mergesort")
+        s1 = s2 = 0.0
+        ss1 = np.empty(len(pdf))
+        ss2 = np.empty(len(pdf))
+        for j in range(len(pdf)):
+            ss1[j], ss2[j] = s1, s2
+            r = pdf.iloc[j]
+            with np.errstate(under="ignore"):
+                n1 = r["__p11"] * s1 + r["__p12"] * s2 + r["__q1"]
+                n2 = r["__p21"] * s1 + r["__p22"] * s2 + r["__q2"]
+            s1, s2 = n1, n2
+        pdf["__ss1"] = ss1
+        pdf["__ss2"] = ss2
+        return pdf
+
+    offsets = (
+        summaries.groupBy(*keys)
+        .applyInPandas(combine, schema=start_schema)
+        .select(*keys, "__bkt", "__ss1", "__ss2")
+    )
+
+    joined = scanned.join(offsets, on=[*keys, "__bkt"], how="left")
+    ss1 = F.coalesce(F.col("__ss1"), F.lit(0.0))
+    ss2 = F.coalesce(F.col("__ss2"), F.lit(0.0))
+    joined = joined.withColumn(
+        "holt_level",
+        F.col("__p11") * ss1 + F.col("__p12") * ss2 + F.col("__q1"),
+    ).withColumn(
+        "holt_trend",
+        F.col("__p21") * ss1 + F.col("__p22") * ss2 + F.col("__q2"),
+    ).withColumn("holt_fc1", F.col("holt_level") + F.col("holt_trend"))
+    return joined.drop(
+        "__bkt", "__first", "__y", "__min_ord", *part_cols, "__ss1", "__ss2"
+    )

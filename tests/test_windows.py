@@ -152,3 +152,40 @@ def test_sequence_pattern_match_crafted(spark):
     assert out[2]["n_matches"] == 2
     assert out[3]["n_matches"] == 0 and not out[3]["matched"]
     assert out[3]["event_chain"] == "view>click>purchase"
+
+
+def test_holt_scan_matches_sequential_fold(spark):
+    # 2x2 matrix-affine block scan vs the bit-exact sequential engine:
+    # numerically equivalent (re-association only), rel err pinned
+    import math
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        indicators as ind,
+    )
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        windows as win,
+    )
+
+    rows = [
+        (k, t, math.sin(0.7 * t + k) * 50 + t * 0.3 + k * 10)
+        for k in range(3)
+        for t in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    seq = {
+        (r.k, r.t): (r.holt_level, r.holt_trend)
+        for r in ind.holt_linear(
+            df, partition_by="k", order_by="t", col="x"
+        ).collect()
+    }
+    scan = win.holt_scan(
+        df, partition_by="k", order_by="t", col="x", num_buckets=7
+    ).collect()
+    assert len(scan) == len(seq)
+    for r in scan:
+        el, et = seq[(r.k, r.t)]
+        assert abs(r.holt_level - el) <= 1e-9 * max(1.0, abs(el)), (
+            r.k, r.t
+        )
+        assert abs(r.holt_trend - et) <= 1e-9 * max(1.0, abs(et))
+        assert abs(r.holt_fc1 - (r.holt_level + r.holt_trend)) < 1e-12
