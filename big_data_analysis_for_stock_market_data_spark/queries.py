@@ -13966,6 +13966,107 @@ def fn_mod_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_csv_gzip_roundtrip",
+    # compressed text sink/source: values must survive a gzip CSV write
+    # and schema-pinned read; the oracle aggregates the source directly
+    # (content neutrality). NOTE: gzip text files are NOT splittable —
+    # the entry exists to pin the roundtrip, the docstring pins the
+    # scale caveat
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY status ORDER BY status
+    """,
+)
+def s_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV sink/source roundtrip: write with
+    codec=gzip, read back schema-pinned, aggregate — values survive the
+    compression hop byte-exactly. 100 TB caveat pinned here: gzip text
+    is NOT splittable (one stream per file = one task per file), so at
+    scale the engine writes MANY moderate files (the write side below
+    inherits the input partitioning) or uses a splittable codec;
+    columnar formats remain the real scale path."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_csv_gz_")
+    (
+        src.write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(out_dir)
+    )
+    schema = T.StructType([
+        T.StructField("status", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    back = (
+        spark.read.schema(schema).option("header", True).csv(out_dir)
+    )
+    return (
+        back.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price"), "sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "fn_boolean_agg_suite",
+    # conditional/boolean aggregate surface: count_if, bool_and,
+    # bool_or, and FILTERed aggregates — all exact integers per group
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000)
+                AS BIGINT) AS n_big,
+           CAST(CASE WHEN BOOL_AND(o_totalprice > 900) THEN 1 ELSE 0 END
+                AS BIGINT) AS all_over_900,
+           CAST(CASE WHEN BOOL_OR(o_orderstatus = 'F') THEN 1 ELSE 0 END
+                AS BIGINT) AS any_finished,
+           CAST(SUM(CAST(o_orderkey AS BIGINT))
+                  FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+             AS keysum_open
+    FROM orders GROUP BY pri ORDER BY pri
+    """,
+)
+def fn_boolean_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family (F-ext): count_if, bool_and
+    / every, bool_or / any, and FILTER-clause aggregates — the
+    predicate-aggregation surface dashboards and DQ checks lean on,
+    exact per priority group, one hash aggregate."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.when(F.bool_and(F.col("o_totalprice") > 900), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("all_over_900"),
+            F.when(F.bool_or(F.col("o_orderstatus") == "F"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("any_finished"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O", F.col("o_orderkey")
+                )
+            ).alias("keysum_open"),
+        )
+        .orderBy("pri")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -14083,8 +14184,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # w_longest_streak / fn_regexp_suite / ml_psi_drift / fn_try_suite
     # / ts_seasonal_indices / ml_chi2_select_stats / ind_local_extrema
     # / a40_mode_stats / ind_wma_closed_form / ind_hist_var95 /
-    # agg_exact_median_scalable / j12_star_denorm / fn_mod_semantics,
-    # and the other entries registered after this window froze) ---
+    # agg_exact_median_scalable / j12_star_denorm / fn_mod_semantics /
+    # s_csv_gzip_roundtrip / fn_boolean_agg_suite, and the other
+    # entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
