@@ -14067,6 +14067,107 @@ def fn_boolean_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_frame_semantics",
+    # the ROWS vs RANGE window-frame trap pinned: with duplicate order
+    # keys, RANGE (the SQL default) includes ALL peers of the current
+    # row while ROWS counts physical rows — the two cumulative sums
+    # diverge exactly on ties. ROWS gets a unique (key, okey) order so
+    # it is deterministic; RANGE is deterministic by definition
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey AS okey,
+             CAST(o_orderkey % 100 AS BIGINT) AS k,
+             CAST(o_orderkey % 7 AS BIGINT) AS x
+      FROM orders
+    )
+    SELECT okey,
+           CAST(SUM(x) OVER (ORDER BY k
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS range_cum,
+           CAST(SUM(x) OVER (ORDER BY k, okey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS rows_cum
+    FROM v ORDER BY okey
+    """,
+)
+def fn_frame_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS vs RANGE window-frame semantics pinned (the cumulative-sum
+    trap: SQL's default RANGE frame includes every PEER of the current
+    order key, so ties make 'running total' mean two different things):
+    both cumulative sums over a deliberately tie-heavy key, RANGE
+    peers-inclusive vs ROWS with a unique tiebreak. Exact integers;
+    any engine disagreement on peer handling is loud. One global-ish
+    window over a 100-key order — at scale the same pin applies
+    per-partition."""
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_orderkey") % 100).alias("k"),
+        (F.col("o_orderkey") % 7).alias("x"),
+    )
+    wrange = Window.orderBy("k").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wrows = Window.orderBy("k", "okey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return v.select(
+        "okey",
+        F.sum("x").over(wrange).alias("range_cum"),
+        F.sum("x").over(wrows).alias("rows_cum"),
+    ).orderBy("okey")
+
+
+@register(
+    "s_ignore_corrupt_files",
+    # resilience to corrupt inputs: a directory holding one good
+    # parquet file and one garbage file reads cleanly under
+    # ignoreCorruptFiles=true, surviving rows only — the oracle
+    # aggregates the same planted subset straight from the source
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 4 = 0
+    GROUP BY pri ORDER BY pri
+    """,
+)
+def s_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience (the 100 TB reality: one bad object in a
+    million-file prefix must not kill the job): a read directory holds
+    one good parquet file (the planted orderkey%4=0 subset) and one
+    file of garbage bytes; with spark.sql.files.ignoreCorruptFiles the
+    scan skips the bad member and returns exactly the good rows, which
+    the oracle replays from the source table. The flag is the PER-READ
+    data source option (not a session conf mutation — the plan executes
+    lazily, after this function returns)."""
+    import os as _os
+    import tempfile
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_corrupt_")
+    src.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    with open(_os.path.join(out_dir, "part-garbage.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer or page ")
+    back = (
+        spark.read.schema(src.schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(out_dir)
+    )
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("pri")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -14185,8 +14286,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / ts_seasonal_indices / ml_chi2_select_stats / ind_local_extrema
     # / a40_mode_stats / ind_wma_closed_form / ind_hist_var95 /
     # agg_exact_median_scalable / j12_star_denorm / fn_mod_semantics /
-    # s_csv_gzip_roundtrip / fn_boolean_agg_suite, and the other
-    # entries registered after this window froze) ---
+    # s_csv_gzip_roundtrip / fn_boolean_agg_suite / fn_frame_semantics
+    # / s_ignore_corrupt_files, and the other entries registered after
+    # this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
