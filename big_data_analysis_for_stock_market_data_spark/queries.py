@@ -14168,6 +14168,143 @@ def s_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a41_largest_remainder_alloc",
+    # exact integer apportionment (largest-remainder / Hamilton
+    # method): floor shares first, then one extra unit to the rows with
+    # the largest remainders (ties by key) until the budget is spent —
+    # allocations per group MUST sum exactly to the budget, emitted as
+    # a checked column
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri, o_orderkey AS okey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS w
+      FROM orders
+    ),
+    t AS (
+      SELECT pri, okey, w,
+             SUM(w) OVER (PARTITION BY pri) AS tw,
+             (w * 1000000) // SUM(w) OVER (PARTITION BY pri) AS base,
+             (w * 1000000) % SUM(w) OVER (PARTITION BY pri) AS rem
+      FROM v
+    ),
+    r AS (
+      SELECT pri, okey, base, rem,
+             ROW_NUMBER() OVER (PARTITION BY pri
+                                ORDER BY rem DESC, okey) AS rr,
+             1000000 - SUM(base) OVER (PARTITION BY pri) AS leftover
+      FROM t
+    ),
+    alloc AS (
+      SELECT pri, okey,
+             base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS a
+      FROM r
+    )
+    SELECT pri,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(a) AS BIGINT) AS alloc_total,
+           CAST(MAX(a) AS BIGINT) AS max_alloc,
+           CAST(SUM(a * (okey % 97)) AS BIGINT) AS alloc_checksum
+    FROM alloc GROUP BY pri ORDER BY pri
+    """,
+)
+def a41_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer apportionment (the Hamilton largest-remainder
+    method — budget splitting, seat allocation, cost attribution):
+    1,000,000 units per priority group allocated proportionally to
+    order value with floor shares plus one extra unit to the largest
+    remainders (ties by key) — alloc_total lands EXACTLY on the budget,
+    hashed so a rounding drift anywhere breaks the entry. Pure integer
+    arithmetic: two windows on the group key, one rank on remainders.
+    Plan: one group-key shuffle shared by the sums and the rank."""
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("w"),
+    )
+    wp = Window.partitionBy("pri")
+    # exact integer division (DIV), never double-divide-then-truncate:
+    # a quotient landing within one ulp of an integer would floor wrong
+    t = v.withColumn("tw", F.sum("w").over(wp)).select(
+        "pri", "okey",
+        F.expr("(w * 1000000L) DIV tw").alias("base"),
+        F.expr("(w * 1000000L) % tw").alias("rem"),
+    )
+    wr = Window.partitionBy("pri").orderBy(
+        F.col("rem").desc(), F.col("okey")
+    )
+    r = t.select(
+        "pri", "okey", "base",
+        F.row_number().over(wr).alias("rr"),
+        (F.lit(1000000) - F.sum("base").over(wp)).alias("leftover"),
+    )
+    alloc = r.select(
+        "pri", "okey",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("a"),
+    )
+    return (
+        alloc.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("a").alias("alloc_total"),
+            F.max("a").alias("max_alloc"),
+            F.sum(F.col("a") * (F.col("okey") % 97)).alias(
+                "alloc_checksum"
+            ),
+        )
+        .orderBy("pri")
+    )
+
+
+@register(
+    "dq_id_gap_audit",
+    # sequence-gap audit over an id column: missing-count from the
+    # span-vs-count identity, gap RUNS from the islands trick (id minus
+    # dense rank is constant within a contiguous run), both exact
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_id AS id FROM events
+               WHERE event_id % 37 <> 0),
+    isl AS (
+      SELECT id, id - ROW_NUMBER() OVER (ORDER BY id) AS grp
+      FROM d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT)
+             AS n_missing,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_contiguous_runs
+    FROM isl
+    """,
+)
+def dq_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit (the completeness check for any
+    monotonically-assigned id: kafka offsets, invoice numbers, batch
+    ids): over a deliberately holed sequence (every 37th id dropped),
+    the missing count via the span-minus-count identity and the number
+    of contiguous runs via the id-minus-rank islands trick — one
+    ordered window over DISTINCT ids, exact integers."""
+    d = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 37 != 0)
+        .select(F.col("event_id").alias("id"))
+        .distinct()
+    )
+    w = Window.orderBy("id")
+    isl = d.select(
+        "id",
+        (F.col("id") - F.row_number().over(w)).cast("long").alias("grp"),
+    )
+    return isl.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        (F.max("id") - F.min("id") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_missing"),
+        F.count_distinct("grp").alias("n_contiguous_runs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -14287,8 +14424,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / a40_mode_stats / ind_wma_closed_form / ind_hist_var95 /
     # agg_exact_median_scalable / j12_star_denorm / fn_mod_semantics /
     # s_csv_gzip_roundtrip / fn_boolean_agg_suite / fn_frame_semantics
-    # / s_ignore_corrupt_files, and the other entries registered after
-    # this window froze) ---
+    # / s_ignore_corrupt_files / a41_largest_remainder_alloc /
+    # dq_id_gap_audit, and the other entries registered after this
+    # window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
