@@ -14305,6 +14305,137 @@ def dq_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_dynamic_partition_overwrite",
+    # dynamic partition overwrite: rewriting ONE partition must replace
+    # exactly that partition and leave every other partition byte-
+    # untouched — the oracle replays the expected post-overwrite state
+    # from the source (click rows doubled-value, all else original)
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(
+             CASE WHEN event_type = 'click' THEN value * 2.0
+                  ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (the lakehouse backfill primitive:
+    re-run one day/source without touching the rest): events written
+    partitioned by event_type, then ONLY the 'click' partition is
+    overwritten with recomputed rows (value doubled) under
+    partitionOverwriteMode=dynamic — untouched partitions must survive
+    byte-exactly, the rewritten one must show the new values. The mode
+    is set on the writer via the per-write option, not session conf."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="engine_dynpart_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    clicks2 = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2.0
+    )
+    (
+        clicks2.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "text_bm25_stats",
+    # BM25 as exact integer sufficient statistics: per (term, doc) of
+    # the 50 highest-df terms, term frequency, the term's document
+    # frequency, the doc length, plus corpus totals — the BM25 score
+    # (k1, b constants) is a determined function kept out of the hash
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS ws FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, u.w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(MIN(len(ws)) AS BIGINT) AS doclen
+      FROM toks, unnest(ws) AS u(w)
+      GROUP BY doc_id, u.w
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY term
+      ORDER BY df DESC, term LIMIT 50
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(ws)) AS BIGINT) AS total_len
+      FROM toks
+    )
+    SELECT tf.term, tf.doc_id, tf.tf, df.df, tf.doclen,
+           c.n_docs, c.total_len
+    FROM tf JOIN df USING (term), corpus c
+    ORDER BY tf.term, tf.doc_id
+    """,
+)
+def text_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring as exact integer sufficient statistics
+    (the lexical-search baseline next to the embedding ANN family): per
+    (term, doc) for the 50 highest-df terms under a total order — term
+    frequency, document frequency, doc length, corpus size and total
+    length; BM25(k1, b) is a determined float function of each row,
+    kept out of the hash. Plan: tokenize-explode, (doc, term) hash
+    aggregate, the tiny df top-50 broadcast back, corpus totals crossed
+    as a broadcast 1-row aggregate."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        ).alias("ws"),
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("ws").alias("doclen"),
+            F.explode("ws").alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.min("doclen").alias("doclen"),
+        )
+    )
+    df_top = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )
+    corpus = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("total_len"),
+    )
+    return (
+        tf.join(F.broadcast(df_top), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "term", "doc_id", "tf", "df", "doclen",
+            "n_docs", "total_len",
+        )
+        .orderBy("term", "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -14425,8 +14556,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # agg_exact_median_scalable / j12_star_denorm / fn_mod_semantics /
     # s_csv_gzip_roundtrip / fn_boolean_agg_suite / fn_frame_semantics
     # / s_ignore_corrupt_files / a41_largest_remainder_alloc /
-    # dq_id_gap_audit, and the other entries registered after this
-    # window froze) ---
+    # dq_id_gap_audit / s_dynamic_partition_overwrite / text_bm25_stats,
+    # and the other entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",

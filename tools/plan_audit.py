@@ -80,6 +80,8 @@ NESTED_LOOP_OK = {
     "fn_null_semantics",          # six 1-row fact aggregates crossed
     "agg_exact_median_scalable",  # (min,max,n) 1-row agg crossed into
                                   # the bucket pass and the rank pick
+    "text_bm25_stats",            # corpus-totals 1-row agg crossed into
+                                  # the (term, doc) stats
     "s_compaction_rewrite",       # file-count contract: 1-row count agg
                                   # crossed into the per-flag aggregate
     "j10_point_in_polygon",       # broadcast cross vs the 21-row literal
