@@ -14436,6 +14436,163 @@ def text_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a42_anova_twoway_stats",
+    # two-way ANOVA sufficient statistics: per (factor A = priority,
+    # factor B = status) cell, n / exact-decimal sum / sum of squares
+    # in integer cents — every F-statistic (main effects, interaction)
+    # is a determined function of these cells plus the margins the
+    # reader derives by summing them
+    oracle="""
+    SELECT o_orderpriority AS fa, o_orderstatus AS fb,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)
+                    * CAST(round(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS sumsq_cents
+    FROM orders GROUP BY fa, fb ORDER BY fa, fb
+    """,
+)
+def a42_anova_twoway_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA inputs (the factorial-experiment workhorse beyond
+    the one-way chi2/t/U/KS family already here): per (priority,
+    status) cell — count, exact integer-cents sum, and sum of squares;
+    main-effect and interaction F statistics are determined functions
+    of these cells and their margins. One hash aggregate, map-side
+    partials, 15 output rows at any scale."""
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("fa"),
+            F.col("o_orderstatus").alias("fb"),
+            cents.alias("c"),
+        )
+        .groupBy("fa", "fb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sum_cents"),
+            F.sum(F.col("c") * F.col("c")).alias("sumsq_cents"),
+        )
+        .orderBy("fa", "fb")
+    )
+
+
+@register(
+    "fn_date_interval_suite",
+    # calendar-arithmetic parity: month addition CLAMPS to month end
+    # (Jan 31 + 1 month = Feb 28/29) in both engines, last_day, quarter
+    # truncation, and day diffs — dates and exact integers only
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS plus_month,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                AS DATE) AS quarter_start,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_95
+    FROM orders GROUP BY d ORDER BY d
+    """,
+)
+def fn_date_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic parity (F-ext beyond
+    fn_datetime_suite): add_months with its month-end CLAMP (Jan 31 +
+    1 month = Feb 28 — silently different from +30 days), last_day,
+    quarter truncation, and signed day differences — per distinct
+    order date, all DATE or exact-integer outputs. Pure per-row
+    expressions plus one hash aggregate on the date grain."""
+    d = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    return (
+        d.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "d", "n",
+            F.add_months(F.col("d"), 1).alias("plus_month"),
+            F.last_day(F.col("d")).alias("month_end"),
+            F.date_trunc("quarter", F.col("d"))
+            .cast("date")
+            .alias("quarter_start"),
+            F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_95"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "ml_ndcg_stats",
+    # NDCG inputs as exact integers: the top-20 ranking per group under
+    # a total (price DESC, key) order paired with the IDEAL ordering of
+    # the same 20 relevance grades — DCG's log2 position discount is a
+    # determined function of (pos, rel, ideal_rel) and stays out of
+    # the hash
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS grp,
+             CAST(o_orderkey % 4 AS BIGINT) AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS pos
+      FROM orders
+    ),
+    top AS (SELECT * FROM ranked WHERE pos <= 20),
+    ideal AS (
+      SELECT grp, rel AS ideal_rel,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY rel DESC, pos) AS pos
+      FROM top
+    )
+    SELECT t.grp, t.pos,
+           CAST(t.rel AS BIGINT) AS rel,
+           CAST(i.ideal_rel AS BIGINT) AS ideal_rel
+    FROM top t JOIN ideal i ON i.grp = t.grp AND i.pos = t.pos
+    ORDER BY t.grp, t.pos
+    """,
+)
+def ml_ndcg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 inputs (the ranking-quality metric for search and
+    recommenders): per group, the top-20 ranking under a total
+    (price DESC, key) order with deterministic relevance grades,
+    JOINED position-by-position to the ideal (relevance-sorted)
+    permutation of the same grades — NDCG's log2 discount sum is a
+    determined function of the 100 exact-integer rows. Plan: one
+    window top-k per group (WindowGroupLimit), a second rank over the
+    100-row survivor set only."""
+    w = Window.partitionBy("grp").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            (F.col("o_orderkey") % 4).cast("long").alias("rel"),
+            "o_totalprice", "o_orderkey",
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 20)
+        .select("grp", "rel", "pos")
+    )
+    wi = Window.partitionBy("grp").orderBy(
+        F.col("rel").desc(), F.col("pos")
+    )
+    ideal = ranked.select(
+        "grp",
+        F.col("rel").alias("ideal_rel"),
+        F.row_number().over(wi).alias("pos"),
+    )
+    return (
+        ranked.join(ideal, ["grp", "pos"])
+        .select("grp", "pos", "rel", "ideal_rel")
+        .orderBy("grp", "pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -14556,7 +14713,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # agg_exact_median_scalable / j12_star_denorm / fn_mod_semantics /
     # s_csv_gzip_roundtrip / fn_boolean_agg_suite / fn_frame_semantics
     # / s_ignore_corrupt_files / a41_largest_remainder_alloc /
-    # dq_id_gap_audit / s_dynamic_partition_overwrite / text_bm25_stats,
+    # dq_id_gap_audit / s_dynamic_partition_overwrite / text_bm25_stats
+    # / a42_anova_twoway_stats / fn_date_interval_suite / ml_ndcg_stats,
     # and the other entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
