@@ -14593,6 +14593,87 @@ def ml_ndcg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_hash_digest_suite",
+    # cryptographic digest parity: md5 / sha256 hex and base64
+    # round-trips over utf8 strings — the content-addressing functions
+    # dedup keys and cache keys are built from, compared as exact
+    # strings per row
+    oracle="""
+    SELECT o_orderkey,
+           md5(o_orderpriority) AS d_md5,
+           sha256(o_orderpriority) AS d_sha256,
+           to_base64(CAST(o_orderpriority AS BLOB)) AS b64,
+           CAST(length(md5(o_orderpriority || CAST(o_orderkey AS VARCHAR)))
+                AS BIGINT) AS keyed_len
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_hash_digest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest function family (the content-addressing surface dedup
+    keys, cache keys, and shard routers are built from): md5 / sha256
+    lowercase hex and base64 encoding, byte-compared per row
+    across engines, plus a salted-digest length probe. Pure per-row
+    JVM expressions."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.md5(p.cast("binary")).alias("d_md5"),
+        F.sha2(p.cast("binary"), 256).alias("d_sha256"),
+        F.base64(p.cast("binary")).alias("b64"),
+        F.length(
+            F.md5(
+                F.concat(p, F.col("o_orderkey").cast("string")).cast(
+                    "binary"
+                )
+            )
+        ).cast("long").alias("keyed_len"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "s_schema_projection_null",
+    # schema-on-read contract: asking a parquet scan for a column the
+    # files don't have yields NULLs (not an error) while present
+    # columns read normally — the forward-compatibility behavior
+    # consumers rely on during rolling schema upgrades
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(NULL) AS BIGINT) AS n_future_col,
+           CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s_schema_projection_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read forward compatibility: the events parquet is read
+    with a schema declaring a column the files don't contain
+    (`future_col string`) — the scan returns NULLs for it and real data
+    for everything else, exactly the contract that lets readers deploy
+    a new schema before writers backfill it. The oracle replays the
+    all-NULL column as COUNT(NULL)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("future_col", T.StringType()),
+    ])
+    back = spark.read.schema(schema).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("future_col").alias("n_future_col"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -14714,8 +14795,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # s_csv_gzip_roundtrip / fn_boolean_agg_suite / fn_frame_semantics
     # / s_ignore_corrupt_files / a41_largest_remainder_alloc /
     # dq_id_gap_audit / s_dynamic_partition_overwrite / text_bm25_stats
-    # / a42_anova_twoway_stats / fn_date_interval_suite / ml_ndcg_stats,
-    # and the other entries registered after this window froze) ---
+    # / a42_anova_twoway_stats / fn_date_interval_suite / ml_ndcg_stats
+    # / fn_hash_digest_suite / s_schema_projection_null, and the other
+    # entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
