@@ -14674,6 +14674,104 @@ def s_schema_projection_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_lastvalue_frame_trap",
+    # the LAST_VALUE default-frame trap pinned: with ORDER BY, the
+    # default frame ends AT CURRENT ROW, so last_value returns the
+    # current row's value — the explicit UNBOUNDED FOLLOWING frame
+    # returns the partition's true last. Both emitted per row, exact
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS q
+      FROM events
+    )
+    SELECT user_id, event_id,
+           LAST_VALUE(q) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS last_default_frame,
+           LAST_VALUE(q) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+             AS last_full_frame,
+           FIRST_VALUE(q) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS first_val
+    FROM v ORDER BY user_id, event_id
+    """,
+)
+def fn_lastvalue_frame_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST_VALUE default-frame trap pinned (the single most-asked
+    window-function bug: with ORDER BY, the default frame is RANGE
+    UNBOUNDED PRECEDING..CURRENT ROW, so last_value(x) is just x): the
+    default-frame and explicit-full-frame results side by side per row,
+    plus first_value (which the default frame does NOT break). Exact
+    integer micros; one window shuffle on user_id serves all three."""
+    v = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("q"),
+    )
+    wdef = Window.partitionBy("user_id").orderBy("event_id")
+    wfull = wdef.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return v.select(
+        "user_id", "event_id",
+        F.last("q").over(wdef).alias("last_default_frame"),
+        F.last("q").over(wfull).alias("last_full_frame"),
+        F.first("q").over(wdef).alias("first_val"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "ind_median3_smooth",
+    # rolling median-of-three WITHOUT a sort or percentile: median3 =
+    # a + b + c - max3 - min3, pure integer expressions over LAG/LEAD —
+    # the classic impulse-noise filter as a closed form
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS q,
+             LAG(CAST(round(value * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS a,
+             LEAD(CAST(round(value * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS c
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(a + q + c - GREATEST(a, q, c) - LEAST(a, q, c)
+                AS BIGINT) AS median3_micros
+    FROM v WHERE a IS NOT NULL AND c IS NOT NULL
+    ORDER BY user_id, event_id
+    """,
+)
+def ind_median3_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-three smoothing (the classic impulse/despike filter —
+    removes single-tick outliers a moving average would smear): the
+    rolling median over (prev, current, next) via the closed form
+    sum - max - min, pure integer expressions over one LAG/LEAD window
+    — no per-frame sort, no percentile machinery. Series endpoints
+    (no neighbor) are excluded."""
+    q = F.round(F.col("value") * 1000000.0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    v = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        q.alias("q"),
+        F.lag(q).over(w).alias("a"),
+        F.lead(q).over(w).alias("c"),
+    )
+    med3 = (
+        F.col("a") + F.col("q") + F.col("c")
+        - F.greatest("a", "q", "c")
+        - F.least("a", "q", "c")
+    )
+    return (
+        v.filter(F.col("a").isNotNull() & F.col("c").isNotNull())
+        .select(
+            "user_id", "event_id", med3.alias("median3_micros")
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -14796,7 +14894,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / s_ignore_corrupt_files / a41_largest_remainder_alloc /
     # dq_id_gap_audit / s_dynamic_partition_overwrite / text_bm25_stats
     # / a42_anova_twoway_stats / fn_date_interval_suite / ml_ndcg_stats
-    # / fn_hash_digest_suite / s_schema_projection_null, and the other
+    # / fn_hash_digest_suite / s_schema_projection_null /
+    # fn_lastvalue_frame_trap / ind_median3_smooth, and the other
     # entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
