@@ -14772,6 +14772,187 @@ def ind_median3_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_outlier_iqr_fences",
+    # Tukey IQR fences with rank-based quartiles (values at ranks
+    # ceil(n/4) and ceil(3n/4), no interpolation) and DOUBLED-cents
+    # fences so 1.5*IQR stays integer: lo2 = 2*q1 - 3*iqr, hi2 = 2*q3
+    # + 3*iqr compared against 2*value — all exact
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri, o_orderkey AS okey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT pri, okey, cents,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, okey)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM v
+    ),
+    q AS (
+      SELECT pri,
+             MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+             MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3
+      FROM r GROUP BY pri
+    )
+    SELECT v.pri,
+           CAST(MIN(q.q1) AS BIGINT) AS q1_cents,
+           CAST(MIN(q.q3) AS BIGINT) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * v.cents
+                              < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(SUM(CASE WHEN 2 * v.cents
+                              > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM v JOIN q ON q.pri = v.pri
+    GROUP BY v.pri ORDER BY v.pri
+    """,
+)
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier audit (the boxplot rule, the third
+    member of the robust-outlier family beside z-score and MAD):
+    quartiles by integer rank, fences at q1 - 1.5*IQR and q3 + 1.5*IQR
+    evaluated in DOUBLED cents so the half stays integer — outlier
+    counts per group, exact. Plan: one window shuffle for ranks, the
+    tiny quartile table broadcast back, one hash aggregate."""
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
+            "cents"
+        ),
+    )
+    wr = Window.partitionBy("pri").orderBy("cents", "okey")
+    wn = Window.partitionBy("pri")
+    r = v.select(
+        "pri", "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = r.groupBy("pri").agg(
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") + 3) / 4).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == ((3 * F.col("n") + 3) / 4).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    j = v.join(F.broadcast(q), "pri")
+    return (
+        j.groupBy("pri")
+        .agg(
+            F.min("q1").alias("q1_cents"),
+            F.min("q3").alias("q3_cents"),
+            F.sum(
+                F.when(
+                    2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr, 1
+                ).otherwise(0)
+            ).alias("n_low_outliers"),
+            F.sum(
+                F.when(
+                    2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr, 1
+                ).otherwise(0)
+            ).alias("n_high_outliers"),
+        )
+        .orderBy("pri")
+    )
+
+
+@register(
+    "g7_clustering_coeff_stats",
+    # per-node clustering coefficient inputs: triangles touching each
+    # node (each ordered triangle exploded to its three corners) and
+    # the node degree — c(v) = 2*tri / (deg*(deg-1)) is a determined
+    # function of the exact integer pair
+    oracle="""
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tc AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    )
+    SELECT tc.node, tc.n_triangles, deg.degree
+    FROM tc JOIN deg USING (node)
+    ORDER BY tc.node
+    """,
+)
+def g7_clustering_coeff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient inputs per node (how tightly a
+    part's co-purchase neighborhood interlinks): triangles touching
+    each node — the g1 ordered-triangle join exploded to its three
+    corners — and the node degree; c(v) = 2*tri/(deg*(deg-1)) is a
+    determined function of the exact integer pair. Plan: the
+    checkpointed edge build, the triangle join, one corner explode +
+    two hash aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = parts.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tc = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return tc.join(deg, "node").orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -14895,7 +15076,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # dq_id_gap_audit / s_dynamic_partition_overwrite / text_bm25_stats
     # / a42_anova_twoway_stats / fn_date_interval_suite / ml_ndcg_stats
     # / fn_hash_digest_suite / s_schema_projection_null /
-    # fn_lastvalue_frame_trap / ind_median3_smooth, and the other
+    # fn_lastvalue_frame_trap / ind_median3_smooth /
+    # dq_outlier_iqr_fences / g7_clustering_coeff_stats, and the other
     # entries registered after this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",

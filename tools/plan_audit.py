@@ -151,6 +151,9 @@ EXCHANGE_BUDGET = {
     "agg_exact_median_scalable": 10,  # two-pass narrowing: histogram
                                    # pass + bucket-local rank pass, the
                                    # (min,max,n) fold crossed into both
+    "g7_clustering_coeff_stats": 15,  # triangle join (3 edge readers of
+                                   # the checkpoint) + 3-corner explode
+                                   # union + degree union + final join
     "fn_null_semantics": 15,       # a five-branch parity SUITE by design
                                    # (base counters + null group + <=>
                                    # join + = join + anti join), each
