@@ -14953,6 +14953,113 @@ def g7_clustering_coeff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.join(deg, "node").orderBy("node")
 
 
+@register(
+    "a43_spearman_rho_stats",
+    # Spearman rank correlation with midrank ties, all-integer: doubled
+    # midrank = 2*#less + ties + 1 per distinct value (joined back to
+    # rows), so sum((2rx - 2ry)^2) = 4*sum(d^2) is exact; the tie
+    # correction cube sums for both variables ride along — rho with or
+    # without tie correction is a determined function of the one row
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS grp, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS x,
+             CAST(event_id % 1000 AS BIGINT) AS y
+      FROM events
+    ),
+    rx AS (
+      SELECT grp, x,
+             2 * (SUM(COUNT(*)) OVER (PARTITION BY grp ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - COUNT(*)) + COUNT(*) + 1 AS drx,
+             CAST(COUNT(*) AS BIGINT) AS cx
+      FROM base GROUP BY grp, x
+    ),
+    ry AS (
+      SELECT grp, y,
+             2 * (SUM(COUNT(*)) OVER (PARTITION BY grp ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - COUNT(*)) + COUNT(*) + 1 AS dry,
+             CAST(COUNT(*) AS BIGINT) AS cy
+      FROM base GROUP BY grp, y
+    )
+    SELECT b.grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rx.drx - ry.dry) * (rx.drx - ry.dry)) AS BIGINT)
+             AS sum_d2_x4,
+           CAST((SELECT SUM(cx * cx * cx - cx) FROM rx
+                 WHERE rx.grp = b.grp) AS BIGINT) AS tie_cube_x,
+           CAST((SELECT SUM(cy * cy * cy - cy) FROM ry
+                 WHERE ry.grp = b.grp) AS BIGINT) AS tie_cube_y
+    FROM base b
+    JOIN rx ON rx.grp = b.grp AND rx.x = b.x
+    JOIN ry ON ry.grp = b.grp AND ry.y = b.y
+    GROUP BY b.grp ORDER BY b.grp
+    """,
+)
+def a43_spearman_rho_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation inputs per group (the nonparametric
+    monotone-association companion to the Pearson/OLS family): doubled
+    midranks for both variables (2*#less + ties + 1, exact on ties), so
+    4*sum(d^2) and both tie-correction cube sums are exact integers —
+    rho = 1 - 6*sum(d^2)/(n^3 - n) (tie-corrected or not) is a
+    determined function of the one row per group. Plan: two value-grain
+    aggregates with cumulative windows (distinct values, never raw
+    rows), joined back to rows, one final aggregate."""
+    base = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 1000000.0).cast("long").alias("x"),
+        (F.col("event_id") % 1000).cast("long").alias("y"),
+    )
+
+    def doubled_ranks(col):
+        g = base.groupBy("grp", col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        wcum = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return g.select(
+            "grp", col,
+            (
+                2 * (F.sum("cnt").over(wcum) - F.col("cnt"))
+                + F.col("cnt") + 1
+            ).alias(f"dr_{col}"),
+            F.col("cnt").alias(f"c_{col}"),
+        )
+
+    rx = doubled_ranks("x")
+    ry = doubled_ranks("y")
+    tie_x = rx.groupBy("grp").agg(
+        F.sum(
+            F.col("c_x") * F.col("c_x") * F.col("c_x") - F.col("c_x")
+        ).alias("tie_cube_x")
+    )
+    tie_y = ry.groupBy("grp").agg(
+        F.sum(
+            F.col("c_y") * F.col("c_y") * F.col("c_y") - F.col("c_y")
+        ).alias("tie_cube_y")
+    )
+    d = F.col("dr_x") - F.col("dr_y")
+    per_grp = (
+        base.join(rx.drop("c_x"), ["grp", "x"])
+        .join(ry.drop("c_y"), ["grp", "y"])
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d * d).alias("sum_d2_x4"),
+        )
+    )
+    return (
+        per_grp.join(tie_x, "grp")
+        .join(tie_y, "grp")
+        .select("grp", "n", "sum_d2_x4", "tie_cube_x", "tie_cube_y")
+        .orderBy("grp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -15077,8 +15184,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / a42_anova_twoway_stats / fn_date_interval_suite / ml_ndcg_stats
     # / fn_hash_digest_suite / s_schema_projection_null /
     # fn_lastvalue_frame_trap / ind_median3_smooth /
-    # dq_outlier_iqr_fences / g7_clustering_coeff_stats, and the other
-    # entries registered after this window froze) ---
+    # dq_outlier_iqr_fences / g7_clustering_coeff_stats /
+    # a43_spearman_rho_stats, and the other entries registered after
+    # this window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
