@@ -82,6 +82,8 @@ NESTED_LOOP_OK = {
                                   # the bucket pass and the rank pick
     "text_bm25_stats",            # corpus-totals 1-row agg crossed into
                                   # the (term, doc) stats
+    "a44_kruskal_wallis_stats",   # pooled tie-cube/total 1-row agg
+                                  # crossed into the k group rows
     "s_compaction_rewrite",       # file-count contract: 1-row count agg
                                   # crossed into the per-flag aggregate
     "j10_point_in_polygon",       # broadcast cross vs the 21-row literal
