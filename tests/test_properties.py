@@ -557,3 +557,69 @@ def test_mannwhitney_doubled_ranks_match_bruteforce(a, b):
         less += cnt[v]
     na = len(a)
     assert r2 - na * (na + 1) == u2_brute
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 4), st.integers(1, 10**6)),
+    min_size=1, max_size=60,
+))
+@settings(max_examples=200, deadline=None)
+def test_largest_remainder_alloc_exactness(rows):
+    # floor shares + largest remainders must land exactly on the budget
+    # and never differ from a fair share by more than 1 unit
+    # (a41_largest_remainder_alloc)
+    budget = 1000000
+    tw = sum(w for _, w in rows)
+    base = [(w * budget) // tw for _, w in rows]
+    rem = [(w * budget) % tw for _, w in rows]
+    leftover = budget - sum(base)
+    order = sorted(range(len(rows)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:leftover]:
+        alloc[i] += 1
+    assert sum(alloc) == budget
+    for i, (_, w) in enumerate(rows):
+        fair = w * budget / tw
+        assert fair - 1 < alloc[i] < fair + 1
+
+
+@given(xs=st.lists(st.integers(-1000, 1000), min_size=3, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_median3_closed_form(xs):
+    # sum - max - min == middle element of three (ind_median3_smooth)
+    for i in range(1, len(xs) - 1):
+        a, b, c = xs[i - 1], xs[i], xs[i + 1]
+        assert a + b + c - max(a, b, c) - min(a, b, c) == sorted(
+            [a, b, c]
+        )[1]
+
+
+@given(
+    groups=st.lists(
+        st.lists(st.integers(-20, 20), min_size=1, max_size=20),
+        min_size=2, max_size=4,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_doubled_midranks_sum_identity_and_values(groups):
+    # pooled doubled midranks: per-value dr = 2*#less + ties + 1 must
+    # equal 2x the textbook average rank, and group rank sums must
+    # total n*(n+1) (a43_spearman_rho_stats / a44_kruskal_wallis_stats)
+    from collections import Counter
+
+    pooled = [v for g in groups for v in g]
+    n = len(pooled)
+    cnt = Counter(pooled)
+    ranks = {}
+    less = 0
+    for v in sorted(cnt):
+        ranks[v] = 2 * less + cnt[v] + 1
+        less += cnt[v]
+    # textbook midrank: average of the positions the ties occupy
+    pos = 1
+    for v in sorted(cnt):
+        avg2 = 2 * sum(range(pos, pos + cnt[v])) // cnt[v]
+        assert ranks[v] == avg2
+        pos += cnt[v]
+    total = sum(ranks[v] for g in groups for v in g)
+    assert total == n * (n + 1)
