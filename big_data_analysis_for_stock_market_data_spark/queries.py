@@ -15139,6 +15139,87 @@ def a44_kruskal_wallis_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a45_cox_score_stats",
+    # Cox proportional-hazards score inputs (Breslow ties): per event
+    # time, the event count, the covariate sum over EVENTS at t, and
+    # the size + covariate sum of the RISK SET (duration >= t) — the
+    # partial-likelihood score U(0) = sum_t [ sum_z_events - d_t *
+    # sum_z_risk / n_risk ] is a determined function of these exact
+    # integer rows. Risk-set sums via reverse cumulation on the
+    # time-grain table (the a32 Kaplan-Meier machinery + sums)
+    oracle="""
+    WITH subj AS (
+      SELECT CAST(event_id % 365 + 1 AS BIGINT) AS t,
+             CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END AS observed,
+             CAST(round(value * 1000.0) AS BIGINT) AS z
+      FROM events
+    ),
+    pt AS (
+      SELECT t,
+             CAST(SUM(observed) AS BIGINT) AS d_t,
+             CAST(SUM(observed * z) AS BIGINT) AS sum_z_events,
+             CAST(COUNT(*) AS BIGINT) AS n_leaving,
+             CAST(SUM(z) AS BIGINT) AS z_leaving
+      FROM subj GROUP BY t
+    )
+    SELECT t, d_t, sum_z_events,
+           CAST(SUM(n_leaving) OVER ()
+                - (SUM(n_leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_leaving) AS BIGINT) AS n_at_risk,
+           CAST(SUM(z_leaving) OVER ()
+                - (SUM(z_leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - z_leaving) AS BIGINT) AS sum_z_at_risk
+    FROM pt WHERE d_t > 0 ORDER BY t
+    """,
+)
+def a45_cox_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards score inputs at beta = 0 (Breslow tie
+    handling) over the a32 survival fixture with an integer-millis
+    covariate: per event time, the event count and event-covariate sum
+    plus the risk set's size and covariate sum (subjects with duration
+    >= t, via total-minus-prefix cumulation on the time-grain table) —
+    the log-rank/score statistic and the Cox gradient at 0 are
+    determined functions of these exact rows. Plan: one hash aggregate
+    to time grain, one window over the tiny per-time table."""
+    subj = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 365 + 1).cast("long").alias("t"),
+        F.when(F.col("event_id") % 4 == 0, 0).otherwise(1).alias(
+            "observed"
+        ),
+        F.round(F.col("value") * 1000.0).cast("long").alias("z"),
+    )
+    pt = subj.groupBy("t").agg(
+        F.sum("observed").alias("d_t"),
+        F.sum(F.col("observed") * F.col("z")).alias("sum_z_events"),
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("z").alias("z_leaving"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    n_at_risk = (
+        F.sum("n_leaving").over(wall)
+        - (F.sum("n_leaving").over(wcum) - F.col("n_leaving"))
+    ).cast("long")
+    z_at_risk = (
+        F.sum("z_leaving").over(wall)
+        - (F.sum("z_leaving").over(wcum) - F.col("z_leaving"))
+    ).cast("long")
+    return (
+        pt.select(
+            "t", "d_t", "sum_z_events",
+            n_at_risk.alias("n_at_risk"),
+            z_at_risk.alias("sum_z_at_risk"),
+        )
+        .filter(F.col("d_t") > 0)
+        .orderBy("t")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -15264,8 +15345,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # / fn_hash_digest_suite / s_schema_projection_null /
     # fn_lastvalue_frame_trap / ind_median3_smooth /
     # dq_outlier_iqr_fences / g7_clustering_coeff_stats /
-    # a43_spearman_rho_stats / a44_kruskal_wallis_stats, and the other
-    # entries registered after this window froze) ---
+    # a43_spearman_rho_stats / a44_kruskal_wallis_stats /
+    # a45_cox_score_stats, and the other entries registered after this
+    # window froze) ---
     "mm_wav_native_decode",
     "mm_png_native_decode",
     "mm_gif_native_decode",
