@@ -15223,140 +15223,77 @@ def a45_cox_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
-#
-# Round-5 window = the 38 oracle-bearing entries that have NEVER had a
-# driver verdict (the registry grew past the window in r03/r04; all 38
-# were green in the local sf0.01 replay recorded in VERDICT.md r04), then
-# the one r04 red re-checked after its fix (stream_running_totals —
-# chunk-order race in the stateful fold, streaming/ops.py), then entries
-# whose code changed this round, then a rotation of the stalest
-# (r02-only) verdicts. Everything not listed keeps registration order
-# after the window.
-#
-# r06 window FIRST-CLAIM backlog — oracle-bearing entries added after the
-# r05 window was frozen at 50; all green in the local sf0.01 replay this
-# session, none driver-verdicted yet. These outrank stale re-checks next
-# round: text_repetition_stats, dedup_exact_substring,
-# samp_rebalance_sources, seq_pattern_recovery, mm_gif_jpeg_headers,
-# stream_chained_rollup, s_csv_malformed_audit, s_python_datasource,
-# a25_countmin_heavy_hitters, fn_variant_nested, fn_python_udtf_chunks,
-# stream_rocksdb_session, s_bucketed_join, s_observed_write_audit,
-# fn_map_suite, fn_xml_suite; agg_hll_union is rows-only. Also queued for
-# r06: the volume/path stock statistics added late in r05 (ind_obv_vwap,
-# ind_drawdown_peak, w_weekly_ohlc, a26_acf_lags, a27_sharpe_diff,
-# ml_ks_2sample, g3_bfs_hops, text_bigram_logprob, a28_entropy_by_group,
-# ml_lift_table — all green in the local sf0.01 AND sf0.1 oracle replay),
-# and the late-r05 additions: dedup_semantic_ivf (SemDeDup) +
-# dedup_paragraphs_rebuild (paragraph-level dedup with reassembly) +
-# s_binaryfile_scan (binaryFile source loop) + samp_temperature_mix
-# (tau=0.5 language mix); ml_lda_topics + ml_als_recommend are rows-only.
-#
-# r06 window backlog (green driver verdicts exist for all of these, but
-# they are r02-stale and should rotate through): w3_lead_label,
-# fn_time_bucket, p_derive_flag_drop, a2_sorted_avg, j1_segment_rollup,
-# j3_outer_join, q17_small_quantity, o1_topk_orders, q3_top_unshipped,
-# q5_nation_revenue, setop_nation_overlap, a7_rollup/pivot/cube_status,
-# w_ranking_suite, agg_percentiles, q18_big_orders, agg_approx_distinct,
-# ind_mom_roc, ind_willr_stoch, ind_mfi_ultosc, text_quality_stats,
-# text_token_count, text_fingerprint, text_ngram_freq,
-# dedup_exact_normalized, dedup_duplicate_groups, dedup_minhash_near.
+# History: r05 window = 38 never-verdicted + fixed reds (all green r05);
+# r06 window = 6 engine-fingerprint canaries + the 5 HUGEINT-cast reds +
+# the r05-late backlog (48/50 green, 2 no_oracle rows-only). The r06
+# registry ended at 309 entries / 300 oracles with an 83-entry
+# never-verdicted oracle-backed backlog; r07 rotates that backlog in.
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r06 window. Every slot is never-verdicted or red (VERDICT r05 task
-    # 3): 6 new engine-fingerprint canaries, the 5 r05 reds re-checked
-    # after the HUGEINT oracle-cast fix, then the full never-verdicted
-    # backlog (incl. fn_bitmap_suite after its bucket-layout fix), then
-    # the never-verdicted rows-only entries.
-    # --- engine-fingerprint canaries (localize any driver divergence) ---
-    "diag_fp_hugeint",
-    "diag_fp_null_bigint",
-    "diag_fp_libm",
-    "diag_fp_round_half",
-    "diag_fp_temporal",
-    "diag_fp_double_repr",
-    # --- the five r05 reds, re-checked after the HUGEINT cast fix -------
-    "text_vocab_coverage",
-    "stream_running_totals",
-    "text_unigram_logprob",
-    "w_cumulative_distinct",
-    "g2_pagerank",
-    # --- fixed this round (bitmap bucket layout + key-0 drop) -----------
-    "fn_bitmap_suite",
-    # --- never-verdicted oracle-backed backlog (r05 late batches) -------
-    "stream_rocksdb_session",
-    "fn_variant_nested",
-    "fn_python_udtf_chunks",
-    "s_python_datasource",
-    "a25_countmin_heavy_hitters",
-    "s_csv_malformed_audit",
-    "stream_chained_rollup",
-    "text_repetition_stats",
-    "dedup_exact_substring",
-    "samp_rebalance_sources",
-    "seq_pattern_recovery",
-    "mm_gif_jpeg_headers",
-    "s_bucketed_join",
-    "s_observed_write_audit",
-    "fn_map_suite",
-    "fn_xml_suite",
-    "ind_obv_vwap",
-    "ind_drawdown_peak",
-    "w_weekly_ohlc",
-    "a26_acf_lags",
-    "a27_sharpe_diff",
-    "ml_ks_2sample",
-    "g3_bfs_hops",
-    "text_bigram_logprob",
-    "a28_entropy_by_group",
-    "ml_lift_table",
-    "dedup_semantic_ivf",
-    "dedup_paragraphs_rebuild",
-    "s_binaryfile_scan",
-    "samp_temperature_mix",
-    "ind_rolling_median",
-    # --- r06 native-decode gap closure (first claims outrank the thin
-    # SQL-wrapper first claims fn_sql_udf / fn_parameterized_sql, which
-    # queue for r07 along with the late-r06 additions a29_welch_ttest,
-    # j7_interval_overlap, dedup_prefix_longest, text_bpe_merges,
-    # text_bpe_tokenize, mm_*_native_decode's bench twins, the six
-    # ex-rows-only entries that gained oracles after the freeze
-    # (agg_approx_distinct, agg_hll_union, o3_random_split,
-    # ml_pca_variance, simsearch_ivf_topk full-probe invariant,
-    # dedup_minhash_near ground-truth pair set), the post-freeze batch
-    # mm_jpeg_native_decode / ml_random_projection / ml_winsorize_stats
-    # / a32_kaplan_meier / a33_cusum_alarm / s_compaction_rewrite /
-    # ml_target_encoding / a34_bootstrap_resamples / ml_feature_hashing
-    # / g5_degree_assortativity / j9_asof_nearest / w_rolling_ols_slope
-    # / s_csv_multiline_quoted / ts_holt_linear / dq_benford_firstdigit
-    # / fn_bitwise_suite / text_sentence_split / g6_common_neighbors /
-    # a37_weighted_median / a38_ratio_metric_stats /
-    # j10_point_in_polygon / w_time_weighted_avg /
-    # mm_resize_nearest_native / a39_mannwhitney_u / ml_roc_points /
-    # text_pmi_pairs / dq_rule_violations / ml_scaler_fit_params /
-    # w_longest_streak / fn_regexp_suite / ml_psi_drift / fn_try_suite
-    # / ts_seasonal_indices / ml_chi2_select_stats / ind_local_extrema
-    # / a40_mode_stats / ind_wma_closed_form / ind_hist_var95 /
-    # agg_exact_median_scalable / j12_star_denorm / fn_mod_semantics /
-    # s_csv_gzip_roundtrip / fn_boolean_agg_suite / fn_frame_semantics
-    # / s_ignore_corrupt_files / a41_largest_remainder_alloc /
-    # dq_id_gap_audit / s_dynamic_partition_overwrite / text_bm25_stats
-    # / a42_anova_twoway_stats / fn_date_interval_suite / ml_ndcg_stats
-    # / fn_hash_digest_suite / s_schema_projection_null /
-    # fn_lastvalue_frame_trap / ind_median3_smooth /
-    # dq_outlier_iqr_fences / g7_clustering_coeff_stats /
-    # a43_spearman_rho_stats / a44_kruskal_wallis_stats /
-    # a45_cox_score_stats, and the other entries registered after this
-    # window froze) ---
-    "mm_wav_native_decode",
-    "mm_png_native_decode",
-    "mm_gif_native_decode",
-    # --- newly oracle-backed this round (were rows-only) ----------------
-    "w_ema_scan",
-    "stock_feature_frame",
-    # --- never-verdicted rows-only (driver records rows>0) --------------
+    # r07 window (VERDICT r06 task 1): the never-driver-verdicted
+    # oracle-backed backlog in registration order (oldest first) — all 83
+    # passed the local sf0.01 oracle replay in r06 with zero failures, but
+    # the driver verdict is the bar. 46 backlog slots, then 4 forced:
+    # agg_exact_median_scalable (narrowing recursed this round, re-check),
+    # ml_lda_topics + ml_als_recommend (gained deterministic hash oracles
+    # this round, were no_oracle in r06), ml_rdd_compat_rf (the one entry
+    # with zero verdicts of any kind — rows>0 check). Rows-only entries
+    # other than ml_rdd_compat_rf are EXCLUDED from the window.
+    #
+    # Remaining 36 backlog entries queue for the r08 window, still in
+    # registration order: ml_roc_points, text_pmi_pairs, dq_rule_violations, ml_scaler_fit_params, w_longest_streak, fn_regexp_suite, ml_psi_drift, fn_try_suite, ts_seasonal_indices, ml_chi2_select_stats, ind_local_extrema, a40_mode_stats, ind_wma_closed_form, ind_hist_var95, j12_star_denorm, fn_mod_semantics, s_csv_gzip_roundtrip, fn_boolean_agg_suite, fn_frame_semantics, s_ignore_corrupt_files, a41_largest_remainder_alloc, dq_id_gap_audit, s_dynamic_partition_overwrite, text_bm25_stats, a42_anova_twoway_stats, fn_date_interval_suite, ml_ndcg_stats, fn_hash_digest_suite, s_schema_projection_null, fn_lastvalue_frame_trap, ind_median3_smooth, dq_outlier_iqr_fences, g7_clustering_coeff_stats, a43_spearman_rho_stats, a44_kruskal_wallis_stats, a45_cox_score_stats.
+    # New entries registered this round join behind them.
+    "stream_interval_full_join",
+    "agg_hll_union",
+    "fn_sql_udf",
+    "fn_parameterized_sql",
+    "ps_pandas_api",
+    "simsearch_int8_quant",
+    "s_schema_evolution",
+    "dq_referential_integrity",
+    "ts_seasonal_naive_backtest",
+    "mm_jpeg_native_decode",
+    "text_bpe_tokenize",
+    "text_bpe_merges",
+    "a29_welch_ttest",
+    "j7_interval_overlap",
+    "dedup_prefix_longest",
+    "j8_grid_radius_join",
+    "a30_pareto_skyline",
+    "text_url_canonical",
+    "agg_percentile_sketch_bound",
+    "g4_connected_components",
+    "ml_quantile_normalize",
+    "dq_table_fingerprint",
+    "fn_null_semantics",
+    "ml_random_projection",
+    "ml_winsorize_stats",
+    "a32_kaplan_meier",
+    "a33_cusum_alarm",
+    "s_compaction_rewrite",
+    "ml_target_encoding",
+    "a34_bootstrap_resamples",
+    "ml_feature_hashing",
+    "g5_degree_assortativity",
+    "j9_asof_nearest",
+    "w_rolling_ols_slope",
+    "s_csv_multiline_quoted",
+    "ts_holt_linear",
+    "dq_benford_firstdigit",
+    "fn_bitwise_suite",
+    "text_sentence_split",
+    "g6_common_neighbors",
+    "a37_weighted_median",
+    "a38_ratio_metric_stats",
+    "j10_point_in_polygon",
+    "w_time_weighted_avg",
+    "mm_resize_nearest_native",
+    "a39_mannwhitney_u",
+    "agg_exact_median_scalable",
     "ml_lda_topics",
     "ml_als_recommend",
+    "ml_rdd_compat_rf",
 )
 
 
