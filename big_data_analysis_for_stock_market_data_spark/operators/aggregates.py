@@ -763,3 +763,78 @@ def pareto_skyline_2d(
         "__b",
     ).drop("__b")
     return sweep(local.withColumn("__g", F.lit(1)), "__g").drop("__g")
+
+
+def exact_rank_narrow(
+    df: DataFrame,
+    col: str,
+    k: "Column | int | None" = None,
+    rounds: int = 2,
+    n_buckets: int = 1024,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed narrowing for EXACT order statistics (median /
+    arbitrary rank k) over an integer column — the alternative to a
+    global sort that stays parallel at 100 TB. Each round: aggregate
+    (min, max) of the surviving set, histogram it into ``n_buckets``
+    integer buckets (pure long arithmetic, one map-side-combined
+    groupBy), locate the bucket containing the residual rank on the
+    tiny bucket table, keep only that bucket's rows and subtract the
+    preceding buckets' count from the rank. Two rounds shrink any
+    corpus by n_buckets**2 (~10^6 at the default) — 100 TB of longs
+    becomes a ~100 MB residue.
+
+    Returns ``(survivors, kdf)``: the surviving rows (single column
+    ``col``) and a 1-row DataFrame with the residual rank ``k`` into
+    their ascending order. The caller ranks the residue (e.g. an
+    unpartitioned row_number — safe, it only ever sees the residue)
+    and picks row ``rn == k``. All round boundaries flow plan-side as
+    1-row broadcast folds — zero driver collects. At 100 TB,
+    localCheckpoint the survivor set between rounds to avoid lineage
+    re-scans; the narrowing itself is unchanged.
+
+    ``k`` defaults to ceil(n/2), the lower median. Pass an int or a
+    1-row Column expression for other order statistics.
+    """
+    if k is None:
+        kdf = df.agg(
+            ((F.count(F.lit(1)) + 1) / 2).cast("long").alias("k")
+        )
+    elif isinstance(k, int):
+        kdf = df.sparkSession.range(1).select(F.lit(k).alias("k"))
+    else:
+        kdf = df.agg(k.cast("long").alias("k"))
+    cur = df.select(col)
+    for _ in range(rounds):
+        mm = cur.agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        b = cur.crossJoin(F.broadcast(mm)).select(
+            col,
+            (
+                (F.col(col) - F.col("lo")) * n_buckets
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("long").alias("__bucket"),
+        )
+        counts = b.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        wcum = Window.orderBy("__bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = counts.select(
+            "__bucket", "__cnt",
+            (F.sum("__cnt").over(wcum) - F.col("__cnt")).alias(
+                "__before"
+            ),
+        )
+        target = (
+            cum.crossJoin(F.broadcast(kdf))
+            .filter(
+                (F.col("__before") < F.col("k"))
+                & (F.col("k") <= F.col("__before") + F.col("__cnt"))
+            )
+            .select("__bucket", "__before", "k")
+        )
+        cur = b.join(F.broadcast(target), "__bucket").select(col)
+        kdf = target.select(
+            (F.col("k") - F.col("__before")).alias("k")
+        )
+    return cur, kdf

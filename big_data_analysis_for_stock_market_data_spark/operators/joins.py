@@ -106,14 +106,15 @@ def as_of_join(
         # one backward and one forward pass, each carrying its match
         # time; with a tolerance both passes null out-of-range matches
         # first, so the choice logic just prefers whichever survives.
-        reserved = {"__asof_bt", "__asof_ft"}
-        if reserved & set(left.columns) or reserved & set(right.columns):
-            raise ValueError(
-                "as_of_join(direction='nearest') reserves column names "
-                "'__asof_bt'/'__asof_ft'; rename those columns"
-            )
         b_vals = [f"{v}__asof_b" for v in right_values]
         f_vals = [f"{v}__asof_f" for v in right_values]
+        reserved = {"__asof_bt", "__asof_ft", *b_vals, *f_vals}
+        clash = reserved & (set(left.columns) | set(right.columns))
+        if clash:
+            raise ValueError(
+                "as_of_join(direction='nearest') reserves temporary "
+                f"column names {sorted(clash)}; rename those columns"
+            )
         rb = right.select(
             *on, right_time,
             *[F.col(v).alias(b) for v, b in zip(right_values, b_vals)],

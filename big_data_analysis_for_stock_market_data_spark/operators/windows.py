@@ -1164,7 +1164,13 @@ def holt_scan(
     m11, m12 = oma, oma
     m21, m22 = beta * oma - beta, beta * oma + omb
 
-    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        npart = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # e.g. the conf is "auto" under some AQE configurations
+        npart = df.rdd.getNumPartitions() or 32
     n_bkt = num_buckets or npart
     mins = df.groupBy(*keys).agg(F.min(order_by).alias("__min_ord"))
     d = df.join(mins, on=keys, how="left")
@@ -1182,7 +1188,16 @@ def holt_scan(
     def blockfn(pdf):
         pdf = pdf.sort_values(order_by, kind="mergesort")
         y = pdf["__y"].to_numpy(dtype="float64")
-        fr = pdf["__first"].to_numpy()
+        fr = pdf["__first"].to_numpy().copy()
+        # Rows tied at the per-key minimum order_by all carry __first=1.
+        # Equal order_by values hash to the same quantile bucket, so every
+        # tied row is in THIS block: keep only the first (stable-sort
+        # order) as the absorbing seed, demote the rest to regular rows —
+        # matching the sequential engine, which seeds exactly one row.
+        if fr.sum() > 1:
+            seed_idx = int(np.argmax(fr))
+            fr[:] = 0
+            fr[seed_idx] = 1
         n = len(y)
         out = {c: np.empty(n) for c in part_cols}
         # P = identity, B = 0 before the block starts

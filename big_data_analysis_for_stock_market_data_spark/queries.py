@@ -12719,26 +12719,26 @@ def j10_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_time_weighted_avg",
     # TWAP-style time-weighted average as exact integer (numerator,
     # denominator): each observation holds until the next one, so its
-    # weight is the integer-second gap to the successor (last
+    # weight is the integer-millisecond gap to the successor (last
     # observation carries no duration) — the ratio is a determined
     # function, kept out of the hash
     oracle="""
     WITH v AS (
       SELECT user_id, event_id,
-             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_s,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_ms,
              CAST(round(value * 1000.0) AS BIGINT) AS x_milli
       FROM events
     ),
     g AS (
       SELECT user_id, x_milli,
-             LEAD(t_s) OVER (PARTITION BY user_id
-                             ORDER BY t_s, event_id) - t_s AS dt_s
+             LEAD(t_ms) OVER (PARTITION BY user_id
+                             ORDER BY t_ms, event_id) - t_ms AS dt_ms
       FROM v
     )
     SELECT user_id,
-           CAST(COUNT(dt_s) AS BIGINT) AS n_intervals,
-           CAST(SUM(dt_s * x_milli) AS BIGINT) AS twa_num,
-           CAST(SUM(dt_s) AS BIGINT) AS twa_den_ms
+           CAST(COUNT(dt_ms) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_ms * x_milli) AS BIGINT) AS twa_num,
+           CAST(SUM(dt_ms) AS BIGINT) AS twa_den_ms
     FROM g GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -12751,20 +12751,20 @@ def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash aggregate on the same key — single-shuffle."""
     v = load(spark, sf_dir, "events").select(
         "user_id", "event_id",
-        F.unix_millis(F.col("ts")).alias("t_s"),
+        F.unix_millis(F.col("ts")).alias("t_ms"),
         F.round(F.col("value") * 1000.0).cast("long").alias("x_milli"),
     )
-    w = Window.partitionBy("user_id").orderBy("t_s", "event_id")
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
     g = v.select(
         "user_id", "x_milli",
-        (F.lead("t_s").over(w) - F.col("t_s")).alias("dt_s"),
+        (F.lead("t_ms").over(w) - F.col("t_ms")).alias("dt_ms"),
     )
     return (
         g.groupBy("user_id")
         .agg(
-            F.count("dt_s").alias("n_intervals"),
-            F.sum(F.col("dt_s") * F.col("x_milli")).alias("twa_num"),
-            F.sum("dt_s").alias("twa_den_ms"),
+            F.count("dt_ms").alias("n_intervals"),
+            F.sum(F.col("dt_ms") * F.col("x_milli")).alias("twa_num"),
+            F.sum("dt_ms").alias("twa_den_ms"),
         )
         .orderBy("user_id")
     )
@@ -13817,61 +13817,41 @@ def ind_hist_var95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_exact_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT global median without a global sort — the two-pass
-    histogram-narrowing algorithm that stays distributed at 100 TB
-    where a rank window would serialize: (1) one aggregate for
-    (min, max, n); (2) integer-bucket histogram (1024 buckets, pure
-    long arithmetic); (3) locate the bucket holding rank ceil(n/2) on
-    the 1024-row table; (4) rank only within that bucket (~n/1024 rows)
-    and pick the residual rank. Emits the identical order statistic a
-    full-sort median would. The same narrowing recurses for 100 TB
-    (1024^2 shrinks any corpus to row scale in two rounds); one level
-    suffices at bench scale."""
+    """EXACT global median without a global sort — RECURSIVE
+    histogram narrowing that stays distributed at 100 TB where a rank
+    window would serialize. Each round: (1) one aggregate for
+    (min, max) of the surviving set; (2) integer-bucket histogram
+    (1024 buckets, pure long arithmetic); (3) locate the bucket
+    holding the residual rank on the 1024-row table; (4) keep only
+    that bucket's rows and subtract the rows before it from the rank.
+    TWO rounds shrink any corpus by 1024^2 (~10^6): 100 TB of longs
+    -> ~100 MB residue, which the final unpartitioned rank window
+    handles trivially — the plan never sorts or ranks more than the
+    doubly-narrowed residue (pinned in test_plans). Emits the
+    identical order statistic a full-sort median would. All round
+    boundaries flow plan-side via 1-row broadcast folds — zero driver
+    collects; at 100 TB you would localCheckpoint the survivor set
+    between rounds to cut lineage re-scans."""
     v = load(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100.0).cast("long").alias(
             "cents"
         )
     )
-    mm = v.agg(
-        F.min("cents").alias("lo"),
-        F.max("cents").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    b = v.crossJoin(F.broadcast(mm)).select(
-        "cents", "lo", "n",
-        (
-            (F.col("cents") - F.col("lo")) * 1024
-            / (F.col("hi") - F.col("lo") + 1)
-        ).cast("long").alias("bucket"),
-    )
-    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = counts.select(
-        "bucket", "cnt",
-        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("before"),
-    )
-    target = (
-        cum.crossJoin(F.broadcast(mm.select((
-            (F.col("n") + 1) / 2).cast("long").alias("k"))))
-        .filter(
-            (F.col("before") < F.col("k"))
-            & (F.col("k") <= F.col("before") + F.col("cnt"))
-        )
-        .select("bucket", "before", "k")
-    )
-    inside = b.join(F.broadcast(target), "bucket")
+    n_total = v.agg(F.count(F.lit(1)).alias("n"))
+    # two 1024-bucket narrowing rounds — row scale for any corpus
+    cur, kdf = agg_ops.exact_rank_narrow(v, "cents", rounds=2)
     wrank = Window.orderBy("cents")
-    ranked = inside.select(
-        "cents", "before", "k", "n",
-        F.row_number().over(wrank).alias("rn"),
+    ranked = (
+        cur.crossJoin(F.broadcast(kdf))
+        .select("cents", "k", F.row_number().over(wrank).alias("rn"))
     )
-    return ranked.filter(
-        F.col("rn") == F.col("k") - F.col("before")
-    ).select(
-        F.col("n").alias("n_rows"),
-        F.col("cents").alias("median_cents"),
+    return (
+        ranked.filter(F.col("rn") == F.col("k"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("cents").alias("median_cents"),
+        )
     )
 
 

@@ -296,3 +296,36 @@ def test_point_in_polygon_broadcasts_edges(spark):
     # never shuffles before the per-point aggregate
     df = q(spark, "j10_point_in_polygon")
     assert not P.has_sort_merge_join(df)
+
+
+def test_exact_median_narrowing_residue_bounded(spark):
+    """VERDICT r06 task 2: the exact-median entry must never sort/rank
+    more than the doubly-narrowed residue. Pin it empirically: after
+    the operator's two 1024-bucket rounds the survivor set entering the
+    final unpartitioned rank window is <= max(16, n/1024**2) rows, and
+    the picked order statistic equals the full-sort median."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        aggregates as agg_ops,
+    )
+    from big_data_analysis_for_stock_market_data_spark.sources.io import (
+        read_parquet,
+    )
+
+    v = read_parquet(spark, f"{SF}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents")
+    )
+    n = v.count()
+    survivors, kdf = agg_ops.exact_rank_narrow(v, "cents", rounds=2)
+    residue = survivors.count()
+    assert residue <= max(16, n // (1024 * 1024))
+    k = kdf.collect()[0]["k"]
+    got = (
+        survivors.orderBy("cents").collect()[k - 1]["cents"]
+    )
+    want = sorted(r["cents"] for r in v.collect())[(n + 1) // 2 - 1]
+    assert got == want
+    # the registered entry agrees end-to-end
+    row = q(spark, "agg_exact_median_scalable").collect()[0]
+    assert row["n_rows"] == n and row["median_cents"] == want
