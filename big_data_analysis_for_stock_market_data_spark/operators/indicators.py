@@ -331,7 +331,11 @@ def _recursive_apply(
     reuses this hash partitioning, so no second exchange appears."""
     if isinstance(partition_by, str):
         partition_by = [partition_by]
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        shuffle_partitions,
+    )
+
+    n = shuffle_partitions(df)
     df = df.repartition(n, *[F.col(c) for c in partition_by])
     out_schema = T.StructType(
         df.schema.fields

@@ -92,6 +92,18 @@ def with_lead(
     )
 
 
+def shuffle_partitions(df: DataFrame, default: int = 32) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating clusters
+    where the conf is non-numeric (e.g. ``"auto"`` under some AQE
+    setups): falls back to the DataFrame's current partition count."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        return df.rdd.getNumPartitions() or default
+
+
 def compute_order_cuts(df: DataFrame, order_by: str, n: int) -> list[float]:
     """n-1 quantile cut points of ``order_by`` as plain floats — ONE
     approxQuantile pass. Callers that hold a cheaper frame exposing the
@@ -346,7 +358,7 @@ def rolling_apply_parallel(
         res = res[~res["__ctx"]]
         return res.drop(columns=drop_cols)
 
-    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shuffle_n = shuffle_partitions(df)
     d = d.repartition(shuffle_n, *[F.col(c) for c in [*keys, "__dst"]])
     return d.groupBy(*keys, "__dst").applyInPandas(wrapper, out_schema)
 
@@ -491,7 +503,7 @@ def linear_recurrence(
 
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     names = list(recurrences)
-    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    npart = shuffle_partitions(df)
     n_bkt = num_buckets or npart
     # `cuts`: precomputed compute_order_cuts output — without it the
     # bucket sketch re-executes df's full upstream lineage once (same
@@ -1164,13 +1176,7 @@ def holt_scan(
     m11, m12 = oma, oma
     m21, m22 = beta * oma - beta, beta * oma + omb
 
-    try:
-        npart = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):
-        # e.g. the conf is "auto" under some AQE configurations
-        npart = df.rdd.getNumPartitions() or 32
+    npart = shuffle_partitions(df)
     n_bkt = num_buckets or npart
     mins = df.groupBy(*keys).agg(F.min(order_by).alias("__min_ord"))
     d = df.join(mins, on=keys, how="left")

@@ -230,10 +230,35 @@ def daily_features(df: DataFrame, fused: bool = True) -> DataFrame:
     )
 
 
+def feature_hints(
+    df: DataFrame,
+    partition_by: str = "symbol",
+    order_by: str = "date",
+) -> dict:
+    """Precompute ``feature_frame``'s control-plane inputs — the quantile
+    cut sketch for the parallel rolling pass and the keyspace probe that
+    picks the recursive-indicator engine — as a reusable hint dict.
+    Both are one small Spark job each; a session that runs the pipeline
+    repeatedly over the same bar universe should compute them once and
+    pass ``feature_frame(bars, **hints)`` (the r06 bench attribution:
+    re-running them per invocation cost ~3 s of a 16 s FE stage)."""
+    n = win_ops.shuffle_partitions(df)
+    return {
+        "cuts": win_ops.compute_order_cuts(df, order_by, n),
+        "recursive_engine": (
+            "scan"
+            if ind._keyspace_is_degenerate(df, [partition_by])
+            else "sequential"
+        ),
+    }
+
+
 def feature_frame(
     df: DataFrame,
     label_mode: str = "lead",
     fused: bool = True,
+    cuts: "list[float] | None" = None,
+    recursive_engine: str | None = None,
 ) -> DataFrame:
     """Full reference feature pipeline, engine-style: native indicators
     (closed-form window pass + one applyInPandas recursive pass), row-wise
@@ -251,16 +276,23 @@ def feature_frame(
     # bars: `date` exists unchanged here, and the pruned raw-scan lineage
     # is far cheaper than re-executing daily-window + label stages (the
     # sketch inside rolling_apply_parallel would otherwise re-run them).
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cuts = win_ops.compute_order_cuts(df, "date", n)
-    # Engine probe on the RAW bars (pruned scan), not the enriched frame —
-    # probing after daily+label would re-execute those stages once.
-    # Policy: scan iff few symbols AND deep series (indicators.
-    # SCAN_MIN_ROWS_PER_KEY crossover); the 4x168k reference shape stays
-    # on the bit-exact sequential fold, which measured FASTER there.
-    recursive_engine = (
-        "scan" if ind._keyspace_is_degenerate(df, ["symbol"]) else "sequential"
-    )
+    # Callers that invoke the pipeline repeatedly over the same universe
+    # should precompute both hints once via ``feature_hints`` and pass
+    # them in — each None below costs one control-plane job per call.
+    if cuts is None:
+        n = win_ops.shuffle_partitions(df)
+        cuts = win_ops.compute_order_cuts(df, "date", n)
+    if recursive_engine is None:
+        # Engine probe on the RAW bars (pruned scan), not the enriched
+        # frame — probing after daily+label would re-execute those stages
+        # once. Policy: scan iff few symbols AND deep series (indicators.
+        # SCAN_MIN_ROWS_PER_KEY crossover); the 4x168k reference shape
+        # stays on the bit-exact sequential fold, which measured FASTER.
+        recursive_engine = (
+            "scan"
+            if ind._keyspace_is_degenerate(df, ["symbol"])
+            else "sequential"
+        )
     d = daily_features(df, fused=fused)
     d = win_ops.label_buy_sell(
         d, value_col="high", order_by="date", partition_by="symbol",
