@@ -631,3 +631,254 @@ def train_als_recommend(
         F.col(f"rec.{item_col}").alias("item"),
         F.col("rec.rating").alias("score"),
     ).orderBy(user_col, "rec_rank")
+
+
+def train_als_rank1_exact(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    alpha: int = 40,
+    lam_sq: int = 100_000,   # lambda * S^2 with lambda=0.1, S=1000
+    s: int = 1000,           # fixed-point scale for factors
+    rounds: int = 2,
+    k: int = 3,
+    pool: int = 50,
+) -> DataFrame:
+    """Rank-1 implicit-feedback ALS (Hu-Koren-Volinsky 2008) in EXACT
+    fixed-point integer arithmetic — the oracle-able twin of Spark ML's
+    blocked float ALS (``train_als_recommend``). At rank 1 each ALS
+    half-step has a closed form: for confidence c = 1 + alpha*r over the
+    observed pairs and the implicit all-items gram term G = sum(f^2),
+
+        u_i = sum_obs(c * v_j) / (lambda + G_v + sum_obs((c-1) * v_j^2))
+
+    and symmetrically for items. Factors are quantized to S=1000 fixed
+    point after every half-step with floor division, so every
+    intermediate is a plain integer and DuckDB replays the identical
+    iteration as unrolled CTEs (hash-exact). Scoring: candidate pool =
+    global top-``pool`` items by final factor, minus each user's seen
+    items, top-``k`` per user by (score desc, item asc).
+
+    The distributed shape is the real one: each half-step is one
+    key-partitioned join + hash aggregate (the rank-1 case of blocked
+    ALS's normal-equation solve), the gram term a 1-row broadcast fold,
+    and the pool a broadcast top-N — no user x item cartesian anywhere.
+    Returns (user, rec_rank, item, score_q) with exact integer scores.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c = (F.lit(1) + F.lit(alpha) * F.col(rating_col).cast("long")).alias(
+        "__c"
+    )
+    # Checkpoint the confidence table once and each factor table per
+    # half-step: iterative lineage otherwise re-derives the whole chain
+    # under every subsequent step (textually ~4x per round, and real
+    # recomputation wherever the scheduler can't reuse an exchange).
+    # Spark ML's ALS checkpoints its factors for exactly this reason; at
+    # cluster scale point sparkContext.setCheckpointDir at reliable
+    # storage and use .checkpoint() instead.
+    rs = ratings.select(
+        F.col(user_col).cast("long").alias("__u"),
+        F.col(item_col).cast("long").alias("__i"),
+        c,
+    ).localCheckpoint(eager=True)
+
+    def half_step(fac: DataFrame, in_key: str, out_key: str) -> DataFrame:
+        """One ALS half-step: solve every out_key entity's 1x1 normal
+        equation from the in_key factors; returns (out_key, __fq)."""
+        gram = fac.agg(
+            F.sum(F.col("__fq") * F.col("__fq")).alias("__g")
+        )
+        agg = (
+            rs.join(fac, in_key)
+            .groupBy(out_key)
+            .agg(
+                F.sum(F.col("__c") * F.col("__fq")).alias("__num"),
+                F.sum(
+                    (F.col("__c") - F.lit(1))
+                    * F.col("__fq") * F.col("__fq")
+                ).alias("__obs_den"),
+            )
+        )
+        return agg.crossJoin(F.broadcast(gram)).select(
+            out_key,
+            F.expr(
+                f"(__num * {s * s}L) div "
+                f"({lam_sq}L + __g + __obs_den)"
+            ).alias("__fq"),
+        )
+
+    v = rs.select("__i").distinct().withColumn("__fq", F.lit(s).cast("long"))
+    u = None
+    for _ in range(rounds):
+        u = half_step(v, "__i", "__u").localCheckpoint(eager=True)
+        v = half_step(u, "__u", "__i").localCheckpoint(eager=True)
+
+    pool_items = F.broadcast(
+        v.orderBy(F.col("__fq").desc(), F.col("__i")).limit(pool)
+        .select(F.col("__i"), F.col("__fq").alias("__vq"))
+    )
+    cand = (
+        u.withColumnRenamed("__fq", "__uq")
+        .crossJoin(pool_items)
+        .join(rs.select("__u", "__i"), ["__u", "__i"], "left_anti")
+        .select(
+            "__u", "__i",
+            (F.col("__uq") * F.col("__vq")).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("__u").orderBy(
+        F.col("__score").desc(), F.col("__i")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__u").alias(user_col),
+            (F.col("__rn") - 1).cast("long").alias("rec_rank"),
+            F.col("__i").alias(item_col),
+            F.col("__score").alias("score_q"),
+        )
+        .orderBy(user_col, "rec_rank")
+    )
+
+
+def train_plsa_topics(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    vocab_size: int = 100,
+    iters: int = 2,
+    top_terms: int = 5,
+    s_resp: int = 10_000,     # responsibility fixed-point scale
+    s_prob: int = 1_000_000,  # factor fixed-point scale
+) -> DataFrame:
+    """Seeded quantized PLSA-EM topic model — the oracle-able twin of
+    Spark ML's variational LDA (``train_lda_topics``): maximum-likelihood
+    pLSI (Hofmann 1999), the non-Bayesian sibling LDA reduces to under a
+    uniform prior. Every EM quantity is an exact integer on both engines:
+
+    - init: phi0(z,w) = 1000 + md5(w ':' z)[0:8] % 1000 (symmetry
+      breaking both engines compute identically), theta0(d,z) = 1000;
+    - E-step: r(d,w,z) = c_dw * theta(d,z)*phi(z,w) * S_resp
+      floor-div max(sum_z theta*phi, 1)  — integer responsibilities;
+    - M-step: phi(z,w) = sum_d r * S_prob floor-div topic total, and
+      symmetrically theta — integer renormalization.
+
+    Distributed shape: tokenize + count is one flatMap + hash aggregate;
+    each E-step is two key-equi joins (theta on doc, phi on (z, term))
+    plus a (doc, term)-partitioned window for the denominator; each
+    M-step a hash aggregate + a topic/doc-partitioned normalization
+    window. k multiplies rows, never a cartesian. Vocabulary is the
+    global top-``vocab_size`` terms (broadcast join).
+
+    Returns (topic, term_rank, term, phi_q): the top-``top_terms`` terms
+    per topic by final quantized phi, ties broken by term — hash-exact
+    against the unrolled-CTE SQL replay.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    cnt = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = (
+        cnt.groupBy("term").agg(F.sum("c").alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term")
+    )
+    # Checkpoint the (doc, term, count) working set once and the factor
+    # tables per EM iteration — same lineage-truncation rationale as
+    # train_als_rank1_exact (and text.bpe: per-round checkpoints keep
+    # iterative plans linear instead of exponential in rounds).
+    pairs = cnt.join(F.broadcast(vocab), "term").select(
+        "doc_id", "term", F.col("c").cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    topics = docs.sparkSession.range(k).select(F.col("id").alias("z"))
+    phi = (
+        vocab.crossJoin(F.broadcast(topics))
+        .select(
+            "z", "term",
+            (
+                F.lit(1000)
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("term"), F.lit(":"),
+                                F.col("z").cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % 1000
+            ).alias("pq"),
+        )
+    )
+    theta = (
+        pairs.select("doc_id").distinct()
+        .crossJoin(F.broadcast(topics))
+        .select("doc_id", "z", F.lit(1000).cast("long").alias("tq"))
+    )
+    w_pair = Window.partitionBy("doc_id", "term")
+    w_topic = Window.partitionBy("z")
+    w_doc = Window.partitionBy("doc_id")
+    for _ in range(iters):
+        e = (
+            pairs.join(theta, "doc_id")
+            .join(phi, ["z", "term"])
+            .withColumn("num", F.col("tq") * F.col("pq"))
+        )
+        e = e.withColumn(
+            "r",
+            F.expr(
+                f"(c * num * {s_resp}L) div "
+                "greatest(sum(num) over "
+                "(partition by doc_id, term), 1L)"
+            ),
+        ).select("doc_id", "term", "z", "r")
+        phi_raw = e.groupBy("z", "term").agg(F.sum("r").alias("raw"))
+        phi = phi_raw.select(
+            "z", "term",
+            F.expr(
+                f"(raw * {s_prob}L) div "
+                "greatest(sum(raw) over (partition by z), 1L)"
+            ).alias("pq"),
+        )
+        theta_raw = e.groupBy("doc_id", "z").agg(F.sum("r").alias("raw"))
+        theta = theta_raw.select(
+            "doc_id", "z",
+            F.expr(
+                f"(raw * {s_prob}L) div "
+                "greatest(sum(raw) over (partition by doc_id), 1L)"
+            ).alias("tq"),
+        ).localCheckpoint(eager=True)
+        phi = phi.localCheckpoint(eager=True)
+    w_rank = Window.partitionBy("z").orderBy(
+        F.col("pq").desc(), F.col("term")
+    )
+    return (
+        phi.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= top_terms)
+        .select(
+            F.col("z").cast("long").alias("topic"),
+            (F.col("rn") - 1).cast("long").alias("term_rank"),
+            "term",
+            F.col("pq").cast("long").alias("phi_q"),
+        )
+        .orderBy("topic", "term_rank")
+    )

@@ -9675,28 +9675,180 @@ def s_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_lda_topics")
+def _plsa_oracle_sql(
+    k: int = 4, vocab_size: int = 100, iters: int = 2,
+    top_terms: int = 5, s_resp: int = 10_000, s_prob: int = 1_000_000,
+) -> str:
+    """Unrolled-CTE replay of ml/pipeline.train_plsa_topics: one
+    (e, phi, theta) CTE triple per EM iteration, all-integer."""
+    head = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, term
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, SUM(c) AS n FROM cnt GROUP BY term
+        ORDER BY n DESC, term LIMIT {vocab_size})
+    ),
+    pairs AS (
+      SELECT c.doc_id, c.term, c.c FROM cnt c JOIN vocab USING (term)
+    ),
+    topics AS (SELECT unnest(range({k})) AS z),
+    phi0 AS (
+      SELECT t.z, v.term,
+             CAST(1000 + CAST(('0x' || substr(md5(v.term || ':' ||
+               CAST(t.z AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+               AS BIGINT) AS pq
+      FROM vocab v CROSS JOIN topics t
+    ),
+    theta0 AS (
+      SELECT d.doc_id, t.z, CAST(1000 AS BIGINT) AS tq
+      FROM (SELECT DISTINCT doc_id FROM pairs) d CROSS JOIN topics t
+    )"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+    e{i} AS (
+      SELECT p.doc_id, p.term, th.z,
+             (p.c * (th.tq * ph.pq) * {s_resp}) //
+             greatest(SUM(th.tq * ph.pq) OVER
+               (PARTITION BY p.doc_id, p.term), 1) AS r
+      FROM pairs p
+      JOIN theta{i - 1} th ON th.doc_id = p.doc_id
+      JOIN phi{i - 1} ph ON ph.z = th.z AND ph.term = p.term
+    ),
+    phi{i} AS (
+      SELECT z, term,
+             CAST((SUM(r) * {s_prob}) //
+               greatest(SUM(SUM(r)) OVER (PARTITION BY z), 1)
+               AS BIGINT) AS pq
+      FROM e{i} GROUP BY z, term
+    ),
+    theta{i} AS (
+      SELECT doc_id, z,
+             CAST((SUM(r) * {s_prob}) //
+               greatest(SUM(SUM(r)) OVER (PARTITION BY doc_id), 1)
+               AS BIGINT) AS tq
+      FROM e{i} GROUP BY doc_id, z
+    )""")
+    tail = f""",
+    ranked AS (
+      SELECT z, term, pq,
+             ROW_NUMBER() OVER (PARTITION BY z
+                                ORDER BY pq DESC, term) AS rn
+      FROM phi{iters}
+    )
+    SELECT CAST(z AS BIGINT) AS topic,
+           CAST(rn - 1 AS BIGINT) AS term_rank,
+           term, CAST(pq AS BIGINT) AS phi_q
+    FROM ranked WHERE rn <= {top_terms} ORDER BY topic, term_rank
+    """
+    return head + "".join(its) + tail
+
+
+@register("ml_lda_topics", oracle=_plsa_oracle_sql())
 def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed topic modeling (ml/pipeline.train_lda_topics): seeded
-    online-EM LDA over the documents corpus via Tokenizer →
-    CountVectorizer → LDA; returns the per-topic top-term table with the
-    vocabulary resolved back to words. Rows-only by contract (iterative
-    variational inference has no SQL twin); determinism + shape pinned
-    in test_ml."""
-    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import train_lda_topics
+    """Topic modeling over the documents corpus via the engine's seeded
+    QUANTIZED PLSA-EM (ml/pipeline.train_plsa_topics) — maximum-
+    likelihood pLSI, the non-Bayesian sibling LDA reduces to under a
+    uniform prior; every EM quantity is an exact integer so DuckDB
+    replays the identical iterations as unrolled CTEs (was rows-only
+    through r06). Emits the per-topic top-term table. Spark ML's
+    variational LDA remains in ml/pipeline.train_lda_topics, exercised
+    by test_ml. Plan per iteration: two key-equi joins + one
+    (doc, term) window + two hash aggregates — k fans out rows, never
+    a cartesian."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_plsa_topics,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    return train_lda_topics(docs, k=5, max_iter=10, top_terms=5)
+    return train_plsa_topics(docs, k=4, vocab_size=100, iters=2, top_terms=5)
 
 
-@register("ml_als_recommend")
+@register(
+    "ml_als_recommend",
+    # Exact fixed-point rank-1 implicit ALS, 2 full rounds, unrolled as
+    # CTEs: factors quantized to S=1000 with floor division after every
+    # half-step, so each iteration's inputs are plain integers on both
+    # engines (no float boundary anywhere). c = 1 + 40*r; lambda*S^2 =
+    # 100000; gram terms are scalar subqueries; candidate pool = global
+    # top-50 items minus the user's seen items; DuckDB // and Spark div
+    # agree (floor) on the all-positive operands.
+    oracle="""
+    WITH r0 AS (
+      SELECT CAST(o_custkey AS BIGINT) AS usr,
+             CAST(l_partkey AS BIGINT) AS itm,
+             1 + 40 * CAST(round(SUM(l_quantity)) AS BIGINT) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY usr, itm
+    ),
+    v0 AS (SELECT DISTINCT itm, CAST(1000 AS BIGINT) AS fq FROM r0),
+    u1 AS (
+      SELECT usr, CAST(
+        (SUM(c * fq) * 1000000) //
+        (100000 + (SELECT SUM(fq * fq) FROM v0)
+                 + SUM((c - 1) * fq * fq)) AS BIGINT) AS fq
+      FROM r0 JOIN v0 USING (itm) GROUP BY usr
+    ),
+    v1 AS (
+      SELECT itm, CAST(
+        (SUM(c * fq) * 1000000) //
+        (100000 + (SELECT SUM(fq * fq) FROM u1)
+                 + SUM((c - 1) * fq * fq)) AS BIGINT) AS fq
+      FROM r0 JOIN u1 USING (usr) GROUP BY itm
+    ),
+    u2 AS (
+      SELECT usr, CAST(
+        (SUM(c * fq) * 1000000) //
+        (100000 + (SELECT SUM(fq * fq) FROM v1)
+                 + SUM((c - 1) * fq * fq)) AS BIGINT) AS fq
+      FROM r0 JOIN v1 USING (itm) GROUP BY usr
+    ),
+    v2 AS (
+      SELECT itm, CAST(
+        (SUM(c * fq) * 1000000) //
+        (100000 + (SELECT SUM(fq * fq) FROM u2)
+                 + SUM((c - 1) * fq * fq)) AS BIGINT) AS fq
+      FROM r0 JOIN u2 USING (usr) GROUP BY itm
+    ),
+    pool AS (SELECT itm, fq AS vq FROM v2 ORDER BY fq DESC, itm LIMIT 50),
+    cand AS (
+      SELECT u.usr, p.itm, u.fq * p.vq AS score
+      FROM u2 u CROSS JOIN pool p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM r0 s WHERE s.usr = u.usr AND s.itm = p.itm
+      )
+    ),
+    ranked AS (
+      SELECT usr, itm, score,
+             ROW_NUMBER() OVER (PARTITION BY usr
+                                ORDER BY score DESC, itm) AS rn
+      FROM cand
+    )
+    SELECT usr AS user, CAST(rn - 1 AS BIGINT) AS rec_rank,
+           itm AS item, CAST(score AS BIGINT) AS score_q
+    FROM ranked WHERE rn <= 3 ORDER BY user, rec_rank
+    """,
+)
 def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked alternating least squares (ml/pipeline.train_als_recommend)
-    on the customer x part purchase matrix (orders ⋈ lineitem, rating =
-    summed quantity), implicit preferences, top-3 recommendations per
-    user. Rows-only by contract (iterative float factorization); shape
-    pinned in test_ml."""
-    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import train_als_recommend
+    """Implicit-feedback ALS recommendations on the customer x part
+    purchase matrix (orders ⋈ lineitem, rating = summed quantity),
+    top-3 unseen items per user — via the engine's EXACT fixed-point
+    rank-1 ALS (ml/pipeline.train_als_rank1_exact): every half-step is
+    one key-partitioned join + hash aggregate with a 1-row broadcast
+    gram fold, factors quantized to integers so DuckDB replays the
+    identical iteration (was rows-only through r06; this is the
+    'fixed-iteration ALS in quantized integer space' oracle). Spark
+    ML's blocked float ALS remains in ml/pipeline.train_als_recommend,
+    exercised by test_ml."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_als_rank1_exact,
+    )
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select(
@@ -9705,12 +9857,12 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(
-            F.col("o_custkey").cast("int").alias("user"),
-            F.col("l_partkey").cast("int").alias("item"),
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
         )
-        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("rating"))
     )
-    return train_als_recommend(ratings, k=3)
+    return train_als_rank1_exact(ratings, k=3)
 
 
 @register(

@@ -419,3 +419,68 @@ def test_als_recommend_shape(spark):
     for u, rs in by_user.items():
         assert [r["rec_rank"] for r in rs] == [0, 1]
         assert all(r["score"] >= 0 for r in rs)
+
+
+def test_als_rank1_exact_semantics(spark):
+    """The quantized rank-1 implicit ALS (r07, oracle-backed): recs are
+    deterministic, never include a seen (user, item) pair, come ranked
+    0..k-1 by (score desc, item asc), and score_q = u_q * v_q > 0."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_als_rank1_exact,
+    )
+
+    rows = []
+    for u in range(6):
+        for i in range(8):
+            if (u + i) % 3 != 0:
+                rows.append((u, i, 1 + (u * 7 + i * 3) % 10))
+    ratings = spark.createDataFrame(rows, "user long, item long, rating long")
+    seen = {(u, i) for u, i, _ in rows}
+    r1 = train_als_rank1_exact(ratings, k=2, pool=8).collect()
+    r2 = train_als_rank1_exact(ratings, k=2, pool=8).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    by_user = {}
+    for r in r1:
+        assert (r["user"], r["item"]) not in seen
+        assert r["score_q"] > 0
+        by_user.setdefault(r["user"], []).append(r)
+    for u, rs in by_user.items():
+        assert [r["rec_rank"] for r in rs] == list(range(len(rs)))
+        scores = [r["score_q"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_plsa_topics_invariants(spark):
+    """Quantized PLSA-EM (r07, oracle-backed): deterministic, k topics x
+    top_terms rows, ranks contiguous, phi_q descending within a topic
+    with the documented (phi desc, term asc) tie-break, and every term
+    drawn from the corpus vocabulary."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_plsa_topics,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana banana date cherry"),
+            (3, "edge fig grape apple"),
+            (4, "fig fig grape date edge"),
+            (5, "cherry date apple grape"),
+        ],
+        "doc_id long, text string",
+    )
+    out1 = train_plsa_topics(docs, k=3, top_terms=4).collect()
+    out2 = train_plsa_topics(docs, k=3, top_terms=4).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    vocab = {
+        "apple", "banana", "cherry", "date", "edge", "fig", "grape",
+    }
+    by_topic = {}
+    for r in out1:
+        assert r["term"] in vocab
+        by_topic.setdefault(r["topic"], []).append(r)
+    assert set(by_topic) == {0, 1, 2}
+    for t, rs in by_topic.items():
+        assert [r["term_rank"] for r in rs] == list(range(len(rs)))
+        pairs = [(-r["phi_q"], r["term"]) for r in rs]
+        assert pairs == sorted(pairs)

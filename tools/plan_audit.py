@@ -30,6 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: Deliberate exhaustive-scoring designs: a bounded broadcast query set
 #: against every row IS the brute-force contract (and the LSH/IVF entries
 #: probe with the same broadcast pattern).
+# True data-sized CartesianProduct whitelist — EMPTY since r07: the one
+# historical member (ml_als_recommend, whose Spark ML recommendForAllUsers
+# crossed the blocked factor matrices) now uses the engine's exact
+# rank-1 ALS with a broadcast candidate pool. Any CartesianProduct is a
+# bug unless listed HERE with a rationale; NESTED_LOOP_OK below only
+# sanctions broadcast-nested-loop folds (1-row aggregates / bounded
+# broadcast query sets), never a data x data cross.
+CARTESIAN_OK: set[str] = set()
+
 NESTED_LOOP_OK = {
     "simsearch_bruteforce_topk",
     "simsearch_cosine_scores",
@@ -40,8 +49,8 @@ NESTED_LOOP_OK = {
     "simsearch_ivfpq_det_topk",
     "dedup_cosine_near",
     "dedup_semantic_ivf",  # broadcast-centroid assignment, IVF pattern
-    # recommendForAllUsers crosses the blocked user/item FACTOR matrices
-    # (rank-4 rows) — the blocked-outer-product top-k is the algorithm
+    # exact rank-1 ALS: 1-row gram folds + the bounded top-50 candidate
+    # pool broadcast against the user factors (r07)
     "ml_als_recommend",
     # scalar-subquery crosses: BroadcastNestedLoopJoin against a 1-row
     # aggregate is the correct global-threshold plan (TPC-H Q11/Q22 shape)
@@ -122,8 +131,9 @@ DRIVER_ACTION_OK = {
     "ml_cv_rf_grid",
     "ml_rdd_compat_rf",
     "ml_rf_confusion",
-    # r05 additions: LDA trains (plus a bounded vocab-size .count());
-    # ALS trains
+    # r07: quantized PLSA / exact ALS run eager localCheckpoints per
+    # EM / ALS round (lineage truncation — the iterative-algorithm
+    # pattern, same as text.bpe)
     "ml_lda_topics",
     "ml_als_recommend",
 }
@@ -187,6 +197,10 @@ EXCHANGE_BUDGET = {
                                    # orphan agg + row-count agg + 1-row
                                    # cross) unioned — each branch reads
                                    # DIFFERENT tables, nothing re-executes
+    "ml_als_recommend": 12,        # r07: final scoring off checkpointed
+                                   # factors — anti join + pool top-N +
+                                   # rank window; earlier rounds live
+                                   # behind the per-half-step checkpoints
 }
 
 
@@ -258,7 +272,11 @@ def main() -> None:
             )
         if "BatchEvalPython" in pynodes:
             violations.append(f"{name}: row-at-a-time Python (BatchEvalPython)")
-        if (rec["cartesian"] or rec["bnlj"]) and name not in NESTED_LOOP_OK:
+        if rec["cartesian"] and name not in CARTESIAN_OK:
+            violations.append(
+                f"{name}: CartesianProduct outside CARTESIAN_OK whitelist"
+            )
+        if rec["bnlj"] and name not in NESTED_LOOP_OK:
             violations.append(f"{name}: nested-loop join outside ANN whitelist")
         budget = EXCHANGE_BUDGET.get(name, MAX_EXCHANGES)
         if rec["exchanges"] > budget:
