@@ -771,6 +771,7 @@ def exact_rank_narrow(
     k: "Column | int | None" = None,
     rounds: int = 2,
     n_buckets: int = 1024,
+    checkpoint_rounds: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed narrowing for EXACT order statistics (median /
     arbitrary rank k) over an integer column — the alternative to a
@@ -788,9 +789,15 @@ def exact_rank_narrow(
     their ascending order. The caller ranks the residue (e.g. an
     unpartitioned row_number — safe, it only ever sees the residue)
     and picks row ``rn == k``. All round boundaries flow plan-side as
-    1-row broadcast folds — zero driver collects. At 100 TB,
-    localCheckpoint the survivor set between rounds to avoid lineage
-    re-scans; the narrowing itself is unchanged.
+    1-row broadcast folds — zero driver collects.
+
+    Between rounds the survivor set and residual rank are
+    localCheckpoint'ed (``checkpoint_rounds=True``): without it every
+    later reference re-derives the full prior-round lineage (a corpus
+    re-scan per reference; textual plans exponential in rounds) — the
+    same lineage-truncation pattern as the engine's other iterative
+    operators (BPE merges, exact ALS, PLSA). At cluster scale point
+    setCheckpointDir at reliable storage and swap in .checkpoint().
 
     ``k`` defaults to ceil(n/2), the lower median. Pass an int or a
     1-row Column expression for other order statistics.
@@ -837,4 +844,7 @@ def exact_rank_narrow(
         kdf = target.select(
             (F.col("k") - F.col("__before")).alias("k")
         )
+        if checkpoint_rounds:
+            cur = cur.localCheckpoint(eager=True)
+            kdf = kdf.localCheckpoint(eager=True)
     return cur, kdf

