@@ -9,13 +9,14 @@ The container ships no media libraries (no PIL/librosa/ffmpeg). The
   only: PCM WAV samples (struct/numpy), 24-bit BMP pixels (raw rows,
   bottom-up flip, stride), 8-bit truecolor PNG pixels (stdlib zlib +
   all five scanline unfilter algorithms), GIF frames (pure-Python
-  variable-width LZW + palette resolution), and baseline grayscale
-  JPEG (canonical Huffman entropy decode, DC prediction with restart
-  markers, zig-zag, dequantize, float IDCT). No codec is stubbed.
+  variable-width LZW + palette resolution), and baseline JPEG —
+  grayscale AND interleaved 4:2:0/4:4:4 YCbCr color (canonical Huffman
+  entropy decode, per-component table routing and DC prediction with
+  restart markers, zig-zag, dequantize, float IDCT, chroma upsampling,
+  JFIF YCbCr->RGB). No codec is stubbed.
 - ``decode_backend='stub'`` raises ``NotImplementedError`` naming the
   missing dependency — the production placeholder for formats beyond
-  the native set (progressive/chroma-subsampled JPEG, WebP, video
-  codecs).
+  the native set (progressive JPEG, WebP, video codecs).
 - ``decode_backend='fake'`` produces a deterministic feature vector from
   the payload bytes, so the Spark-side plumbing — schema evolution,
   partition-preserving mapInPandas, Arrow batch shapes, fixed-size float
@@ -528,10 +529,11 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decode_backend == "stub":
             raise NotImplementedError(
-                "decode beyond the native codec set (progressive/color "
-                "JPEG, WebP, video) requires an image library (e.g. "
-                "pillow), not installed in this environment; WAV/BMP/PNG/"
-                "GIF/baseline-JPEG decode via decode_backend='native'"
+                "decode beyond the native codec set (progressive JPEG, "
+                "WebP, video) requires an image library (e.g. pillow), "
+                "not installed in this environment; WAV/BMP/PNG/GIF/"
+                "baseline-JPEG (grayscale + 4:2:0 color) decode via "
+                "decode_backend='native'"
             )
         fn = _fake_feature if decode_backend == "fake" else (
             lambda p, _d: native_feature(p)
@@ -594,9 +596,9 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decode_backend == "stub":
             raise NotImplementedError(
-                "resize beyond the native codec set (progressive/color "
-                "JPEG, WebP, video) requires an imaging library (e.g. "
-                "pillow), not installed in this environment; BMP/PNG/GIF/"
+                "resize beyond the native codec set (progressive JPEG, "
+                "WebP, video) requires an imaging library (e.g. pillow), "
+                "not installed in this environment; BMP/PNG/GIF/"
                 "baseline-JPEG resize via decode_backend='native'"
             )
         fn = fake_bitmap if decode_backend == "fake" else native_resize

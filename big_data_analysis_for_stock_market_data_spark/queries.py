@@ -10535,6 +10535,99 @@ def mm_jpeg_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_roundtrip_stats(users).orderBy("user_id")
 
 
+@register(
+    "mm_jpeg_color_decode",
+    # closed-form replay of the planted per-component quantized
+    # coefficients: the Spark side entropy-codes a REAL interleaved
+    # 4:2:0 color JPEG (two quant tables — chroma q=2 doubles decoded
+    # chroma coefficients — four Huffman table slots, per-component DC
+    # prediction, RST markers on odd ids) and natively decodes it; the
+    # flat-color pixel sum additionally pins chroma upsampling + the
+    # YCbCr->RGB matrix (zero chroma -> RGB = (g, g, g) exactly)
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    yblk AS (
+      SELECT u.user_id, t.i AS b,
+             ((u.user_id * 5 + t.i * 17) % 401) - 200 AS dc
+      FROM u, unnest(range(0, 4 * (1 + u.user_id % 2))) AS t(i)
+    ),
+    yac AS (
+      SELECT yblk.user_id,
+             ((yblk.user_id * 3 + yblk.b * 5 + k.k * 11) % 31) - 15 AS v
+      FROM yblk, (VALUES (1), (5), (17), (33), (62)) AS k(k)
+    ),
+    cblk AS (
+      SELECT u.user_id, t.i AS b,
+             ((u.user_id * 3 + t.i * 7) % 201) - 100 AS dc_cb,
+             ((u.user_id * 11 + t.i * 13) % 201) - 100 AS dc_cr
+      FROM u, unnest(range(0, 1 + u.user_id % 2)) AS t(i)
+    ),
+    cac AS (
+      SELECT cblk.user_id,
+             ((cblk.user_id * 7 + cblk.b * 3 + k.k * 5) % 21) - 10
+               AS v_cb,
+             ((cblk.user_id * 13 + cblk.b * 3 + k.k * 5) % 21) - 10
+               AS v_cr
+      FROM cblk, (VALUES (2), (9)) AS k(k)
+    ),
+    yd AS (
+      SELECT user_id, CAST(SUM(dc) AS BIGINT) AS sum_dc_y
+      FROM yblk GROUP BY user_id
+    ),
+    cd AS (
+      SELECT user_id,
+             CAST(2 * SUM(dc_cb) AS BIGINT) AS sum_dc_cb,
+             CAST(2 * SUM(dc_cr) AS BIGINT) AS sum_dc_cr
+      FROM cblk GROUP BY user_id
+    ),
+    ya AS (
+      SELECT user_id,
+             CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs_ac_y,
+             CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nz_y
+      FROM yac GROUP BY user_id
+    ),
+    ca AS (
+      SELECT user_id,
+             CAST(2 * SUM(ABS(v_cb) + ABS(v_cr)) AS BIGINT)
+               AS sum_abs_ac_chroma,
+             CAST(SUM((CASE WHEN v_cb <> 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN v_cr <> 0 THEN 1 ELSE 0 END))
+               AS BIGINT) AS nz_c
+      FROM cac GROUP BY user_id
+    )
+    SELECT u.user_id,
+           CAST(16 * (1 + u.user_id % 2) AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           yd.sum_dc_y, cd.sum_dc_cb, cd.sum_dc_cr,
+           ya.sum_abs_ac_y, ca.sum_abs_ac_chroma,
+           CAST(ya.nz_y + ca.nz_c AS BIGINT) AS n_nonzero_ac,
+           CAST(3 * 256 * (u.user_id % 256) AS BIGINT) AS flat_rgb_sum
+    FROM u JOIN yd USING (user_id) JOIN cd USING (user_id)
+           JOIN ya USING (user_id) JOIN ca USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR JPEG decode, library-free (operators/
+    multimodal.decode_jpeg_color): interleaved 4:2:0 YCbCr MCU scan
+    with per-component quant/Huffman table routing and DC prediction,
+    restart resets, nearest-neighbor chroma upsampling, and the JFIF
+    YCbCr->RGB matrix. Planted per-component coefficients are
+    entropy-coded into genuine color JPEGs and decoded back; exact
+    per-component coefficient stats plus a flat-color RGB sum must
+    equal the oracle's closed-form replay. Closes the 'color JPEG'
+    half of the r06 stub list — only progressive JPEG, WebP and video
+    remain documented stubs (reference north star: multimodal columns,
+    SURVEY §2.8)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        jpeg_color_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return jpeg_color_roundtrip_stats(users).orderBy("user_id")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

@@ -368,3 +368,66 @@ def test_native_backends_route_jpeg(spark):
     ).collect()
     raw = bytes(rs[0]["resized_payload"])
     assert len(raw) == 4 * 4 * 3 and set(raw) == {90}
+
+
+def test_native_color_jpeg_roundtrip():
+    """Color JPEG (r07): 4:2:0 interleaved encode->decode recovers the
+    planted per-component coefficients exactly (chroma dequantized by
+    its own q=2 table), flat gray with zero chroma reconstructs
+    (g, g, g) through upsampling + the YCbCr->RGB matrix, 4:4:4 and
+    restart-marker variants roundtrip, and non-color payloads degrade
+    to None / the grayscale path."""
+    import numpy as np
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        multimodal as M,
+    )
+
+    for uid, ri in ((3, 2), (8, 0), (41, 2)):
+        mcus_x = 1 + uid % 2
+        y = np.zeros((4 * mcus_x, 64), dtype=np.int64)
+        cb = np.zeros((mcus_x, 64), dtype=np.int64)
+        cr = np.zeros((mcus_x, 64), dtype=np.int64)
+        for b in range(4 * mcus_x):
+            y[b, 0] = ((uid * 5 + b * 17) % 401) - 200
+            for k in M._JPEG_COLOR_Y_AC_POS:
+                y[b, k] = ((uid * 3 + b * 5 + k * 11) % 31) - 15
+        for b in range(mcus_x):
+            cb[b, 0] = ((uid * 3 + b * 7) % 201) - 100
+            cr[b, 0] = ((uid * 11 + b * 13) % 201) - 100
+        p = M.build_jpeg_color_from_coeffs(
+            y, cb, cr, mcus_x, 1, (2, 2), restart_interval=ri,
+            quant_chroma=np.full(64, 2, dtype=np.uint8),
+        )
+        d = M.decode_jpeg_color(p)
+        gy, gcb, gcr = d["zigzag_comps"]
+        assert (gy == y).all() and (gcb == 2 * cb).all()
+        assert (gcr == 2 * cr).all()
+        assert d["pixels"].shape == (16, 16 * mcus_x, 3)
+        assert d["sampling"] == [(2, 2), (1, 1), (1, 1)]
+    # flat gray, zero chroma -> exact (g, g, g) after color conversion
+    g = 177
+    fy = np.zeros((4, 64), dtype=np.int64)
+    fy[:, 0] = 8 * (g - 128)
+    zc = np.zeros((1, 64), dtype=np.int64)
+    fd = M.decode_jpeg_color(
+        M.build_jpeg_color_from_coeffs(fy, zc, zc, 1, 1, (2, 2))
+    )
+    assert (fd["pixels"] == g).all()
+    # 4:4:4
+    y1 = np.zeros((1, 64), dtype=np.int64)
+    y1[0, 0] = 8 * (64 - 128)
+    z1 = np.zeros((1, 64), dtype=np.int64)
+    d444 = M.decode_jpeg_color(
+        M.build_jpeg_color_from_coeffs(y1, z1, z1, 1, 1, (1, 1))
+    )
+    assert d444["pixels"].shape == (8, 8, 3)
+    assert (d444["pixels"] == 64).all()
+    # grayscale payloads route through the color decoder too
+    zz = np.zeros((2, 64), dtype=np.int64)
+    zz[:, 0] = 8 * (90 - 128)
+    dg = M.decode_jpeg_color(M.build_jpeg_from_coeffs(zz, 2, 1))
+    assert dg["n_components"] == 1 and (dg["pixels"] == 90).all()
+    # degradation
+    assert M.decode_jpeg_color(b"not a jpeg") is None
+    assert M.decode_jpeg_color(None) is None
