@@ -10628,6 +10628,75 @@ def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_color_roundtrip_stats(users).orderBy("user_id")
 
 
+@register(
+    "mm_jpeg_progressive_decode",
+    # closed-form replay of the planted coefficients (same surface as
+    # mm_jpeg_native_decode) routed through the PROGRESSIVE six-scan
+    # successive-approximation codec; n_newly_nonzero pins the +-1
+    # refinement-insertion path and matches_baseline pins the
+    # progressive decoder against the driver-verified baseline decoder
+    # on identical coefficients (two independent entropy paths)
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    blk AS (
+      SELECT u.user_id, t.i AS b,
+             ((u.user_id * 7 + t.i * 13) % 401) - 200 AS dc
+      FROM u,
+           unnest(range(0, (2 + u.user_id % 3) * (1 + u.user_id % 2)))
+             AS t(i)
+    ),
+    ac AS (
+      SELECT blk.user_id,
+             ((blk.user_id * 3 + blk.b * 5 + k.k * 11) % 31) - 15 AS v
+      FROM blk, (VALUES (1), (5), (17), (33), (62)) AS k(k)
+    ),
+    d AS (
+      SELECT user_id,
+             CAST(SUM(dc) AS BIGINT) AS sum_dc,
+             CAST(SUM((b + 1) * dc) AS BIGINT) AS blockweighted_dc
+      FROM blk GROUP BY user_id
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs_ac,
+             CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonzero_ac,
+             CAST(SUM(CASE WHEN ABS(v) = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_newly_nonzero
+      FROM ac GROUP BY user_id
+    )
+    SELECT u.user_id,
+           CAST(8 * (2 + u.user_id % 3) AS BIGINT) AS width,
+           CAST(8 * (1 + u.user_id % 2) AS BIGINT) AS height,
+           d.sum_dc, d.blockweighted_dc, a.sum_abs_ac, a.n_nonzero_ac,
+           a.n_newly_nonzero,
+           CAST(1 AS BIGINT) AS matches_baseline
+    FROM u JOIN d USING (user_id) JOIN a USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def mm_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode, library-free (operators/multimodal.
+    decode_jpeg_progressive): SOF2 successive approximation + spectral
+    selection over a six-scan script — DC first/refine, two AC bands
+    first (point transform truncating toward zero) and their
+    refinement scans with newly-nonzero insertion, history-coefficient
+    correction bits and EOB-run tails (T.81 Annex G). Planted
+    coefficients are entropy-coded into genuine progressive JPEGs,
+    decoded back, and additionally cross-decoded through the baseline
+    codec (matches_baseline = 1 requires bit-identical coefficients
+    AND pixels from both entropy paths). Closes the 'progressive JPEG'
+    entry of the stub list — only WebP and true video codecs remain
+    documented stubs (reference north star: multimodal columns,
+    SURVEY §2.8)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        jpeg_progressive_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return jpeg_progressive_roundtrip_stats(users).orderBy("user_id")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

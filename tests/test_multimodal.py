@@ -431,3 +431,63 @@ def test_native_color_jpeg_roundtrip():
     # degradation
     assert M.decode_jpeg_color(b"not a jpeg") is None
     assert M.decode_jpeg_color(None) is None
+
+
+def test_progressive_jpeg_roundtrip_and_baseline_crosscheck():
+    """The six-scan progressive codec must roundtrip planted
+    coefficients bit-exactly AND agree with the independent baseline
+    entropy path on coefficients and pixels (T.81 Annex G vs F)."""
+    import numpy as np
+    from big_data_analysis_for_stock_market_data_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        bw, bh = int(rng.integers(1, 4)), int(rng.integers(1, 3))
+        n = bw * bh
+        zz = np.zeros((n, 64), dtype=np.int64)
+        for b in range(n):
+            zz[b, 0] = int(rng.integers(-700, 701))
+            ks = rng.choice(
+                np.arange(1, 64), size=int(rng.integers(0, 12)),
+                replace=False,
+            )
+            for k in ks:
+                v = 0
+                while v == 0:
+                    v = int(rng.integers(-600, 601))
+                zz[b, k] = v
+        d = M.decode_jpeg_progressive(
+            M.build_jpeg_progressive_from_coeffs(zz, bw, bh)
+        )
+        assert d is not None and np.array_equal(d["zigzag"], zz)
+        base = M.decode_jpeg_baseline(M.build_jpeg_from_coeffs(zz, bw, bh))
+        assert np.array_equal(base["zigzag"], d["zigzag"])
+        assert np.array_equal(base["pixels"], d["pixels"])
+
+    # adversarial shapes: newly-nonzero everywhere, ZRL-spanning runs
+    # with history coefficients interleaved, empty band, tail history
+    for zz in [
+        np.full((2, 64), 1, dtype=np.int64),
+        np.full((2, 64), -1, dtype=np.int64),
+        np.array([[0] * 40 + [1] + [0] * 22 + [3]], dtype=np.int64),
+        np.array([[7] * 64], dtype=np.int64),
+        np.array([[0] * 64], dtype=np.int64),
+        np.array([[0, 2] + [0] * 30 + [1] + [0] * 30 + [2]],
+                 dtype=np.int64),
+        np.array([[0] * 10 + [4] + [0] * 20 + [-1] + [0] * 32],
+                 dtype=np.int64),
+    ]:
+        d = M.decode_jpeg_progressive(
+            M.build_jpeg_progressive_from_coeffs(zz, zz.shape[0], 1)
+        )
+        assert d is not None and np.array_equal(d["zigzag"], zz)
+
+    # a baseline payload must be rejected by the progressive decoder
+    # and vice versa (SOF marker routing)
+    flat = np.zeros((1, 64), dtype=np.int64)
+    assert M.decode_jpeg_progressive(
+        M.build_jpeg_from_coeffs(flat, 1, 1)
+    ) is None
+    assert M.decode_jpeg_baseline(
+        M.build_jpeg_progressive_from_coeffs(flat, 1, 1)
+    ) is None
