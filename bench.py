@@ -69,6 +69,7 @@ HEADLINE = [
     "mm_jpeg_native_decode",
     "mm_jpeg_color_decode",
     "mm_jpeg_progressive_decode",
+    "mm_webp_lossless_decode",
     "mm_resize_nearest_native",
     "stream_interval_full_join",
     "dq_referential_integrity",
@@ -87,7 +88,8 @@ _R07_PROMOTIONS = {
     "text_bpe_merges", "text_bpe_tokenize", "mm_wav_native_decode",
     "mm_png_native_decode", "mm_gif_native_decode",
     "mm_jpeg_native_decode", "mm_jpeg_color_decode",
-    "mm_jpeg_progressive_decode", "mm_resize_nearest_native",
+    "mm_jpeg_progressive_decode", "mm_webp_lossless_decode",
+    "mm_resize_nearest_native",
     "stream_interval_full_join", "dq_referential_integrity",
 }
 COMMON_R05 = tuple(

@@ -10697,6 +10697,65 @@ def mm_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_progressive_roundtrip_stats(users).orderBy("user_id")
 
 
+@register(
+    "mm_webp_lossless_decode",
+    # closed-form replay of the planted RGBA pixels: every 3rd row is
+    # forced constant (equal to pixel (0,0)) so the encoder emits real
+    # distance-1 LZ77 runs; encoding uses subtract-green + a 4-bit
+    # color cache, so Huffman forms, prefix coding, cache hashing and
+    # the inverse transform are all on the verified path
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    px AS (
+      SELECT u.user_id,
+             7 + u.user_id % 8 AS w, 5 + u.user_id % 6 AS h,
+             r.i AS y,
+             CASE WHEN r.i % 3 = 2 THEN 0 ELSE r.i END AS ye,
+             CASE WHEN r.i % 3 = 2 THEN 0 ELSE c.i END AS xe
+      FROM u,
+           unnest(range(0, 5 + u.user_id % 6)) AS r(i),
+           unnest(range(0, 7 + u.user_id % 8)) AS c(i)
+    ),
+    v AS (
+      SELECT user_id, w, h, y,
+             (user_id * 7 + ye * 31 + xe * 13) % 256 AS red,
+             (user_id * 5 + ye * 17 + xe * 29 + 71) % 256 AS green,
+             (user_id * 3 + ye * 13 + xe * 7 + 142) % 256 AS blue
+      FROM px
+    )
+    SELECT user_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(red) AS BIGINT) AS sum_r,
+           CAST(SUM(green) AS BIGINT) AS sum_g,
+           CAST(SUM(blue) AS BIGINT) AS sum_b,
+           CAST(SUM((y + 1) * red) AS BIGINT) AS rowweighted_r
+    FROM v GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless (VP8L) decode, library-free (operators/webp.
+    decode_webp_lossless): RIFF walk, simple AND normal (code-length-
+    coded with repeats + max-symbol cap) canonical Huffman codes for
+    all five channels, LZ77 backrefs with prefix-coded lengths/
+    distances, the 0x1e35a7bd color cache, and the inverse
+    subtract-green transform. Planted RGBA pixels (with forced
+    constant rows exercising real distance-1 runs) are encoded into
+    genuine VP8L containers and decoded back; channel sums + a
+    row-weighted sum must equal the oracle's closed-form replay.
+    Documented out-of-scope corners (meta-Huffman, 2-D distance map,
+    predictor/palette transforms, lossy VP8) return None rather than
+    guessing — see operators/webp.py module docstring. Closes the
+    'WebP' entry of the stub list; only true video codecs remain
+    (reference north star: multimodal columns, SURVEY §2.8)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.webp import (
+        webp_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return webp_roundtrip_stats(users).orderBy("user_id")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

@@ -491,3 +491,37 @@ def test_progressive_jpeg_roundtrip_and_baseline_crosscheck():
     assert M.decode_jpeg_baseline(
         M.build_jpeg_progressive_from_coeffs(flat, 1, 1)
     ) is None
+
+
+def test_webp_vp8l_roundtrip_all_code_forms():
+    """VP8L encode/decode must roundtrip pixels bit-exactly across
+    simple and normal Huffman forms, subtract-green, color cache, and
+    LZ77 runs; out-of-scope features must return None, not garbage."""
+    import numpy as np
+    from big_data_analysis_for_stock_market_data_spark.operators import webp as W
+
+    rng = np.random.default_rng(5)
+    shapes = [
+        rng.integers(0, 256, size=(9, 13, 4), dtype=np.uint8),  # dense
+        np.full((4, 21, 4), 77, dtype=np.uint8),  # constant: runs
+        (rng.integers(0, 2, size=(6, 6, 4)) * 255).astype(np.uint8),
+        np.repeat(
+            rng.integers(0, 256, size=(7, 1, 4), dtype=np.uint8),
+            18, axis=1,
+        ),  # row-constant: RLE
+        rng.integers(0, 4, size=(5, 5, 4), dtype=np.uint8) * 80,
+    ]
+    for px in shapes:
+        for sg in (False, True):
+            for cbits in (0, 4, 8):
+                p = W.build_webp_lossless(
+                    px, subtract_green=sg, cache_bits=cbits
+                )
+                assert p[:4] == b"RIFF" and p[8:16] == b"WEBPVP8L"
+                d = W.decode_webp_lossless(p)
+                assert d is not None and np.array_equal(d, px)
+    assert W.decode_webp_lossless(b"junk") is None
+    assert W.decode_webp_lossless(None) is None
+    # a lossy VP8 chunk must be rejected, not misparsed
+    lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
+    assert W.decode_webp_lossless(lossy) is None
