@@ -10756,6 +10756,51 @@ def mm_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webp_roundtrip_stats(users).orderBy("user_id")
 
 
+@register(
+    "mm_avi_frame_sample",
+    # closed-form replay of the evenly-spaced frame sampling over a
+    # REAL MJPEG AVI: n = 3 + id%5 frames, sample i of 3 maps to
+    # source frame floor(i*n/3), whose DC-only JPEG reconstructs gray
+    # (id*29 + src*37) % 256 exactly after container parse + native
+    # baseline decode
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (
+      SELECT u.user_id, k.i AS sample_idx,
+             3 + u.user_id % 5 AS n,
+             (k.i * (3 + u.user_id % 5)) // 3 AS src
+      FROM u, (VALUES (0), (1), (2)) AS k(i)
+    )
+    SELECT user_id,
+           CAST(sample_idx AS BIGINT) AS sample_idx,
+           CAST(src AS BIGINT) AS src_frame,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(16 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST((user_id * 29 + src * 37) % 256 AS BIGINT) AS gray
+    FROM s ORDER BY user_id, sample_idx
+    """,
+)
+def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling over MJPEG-in-AVI, library-free
+    (operators/multimodal.build_avi_mjpeg / parse_avi_frames): a
+    genuine RIFF/AVI container (hdrl avih+strh+strf, movi LIST of
+    '00dc' chunks with even padding, idx1 index) is walked
+    recursively, frames are sampled evenly, and each sampled frame is
+    decoded by the driver-verified baseline JPEG decoder — the
+    container/sampling plumbing ``frame_sample`` stubs is real here
+    end-to-end for the one video codec expressible without external
+    libraries. Inter-frame codecs (H.264/VP9/AV1) remain the
+    documented stub (reference north star: multimodal columns,
+    SURVEY §2.8)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        avi_frame_sample_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return avi_frame_sample_stats(users).orderBy("user_id", "sample_idx")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

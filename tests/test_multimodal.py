@@ -525,3 +525,32 @@ def test_webp_vp8l_roundtrip_all_code_forms():
     # a lossy VP8 chunk must be rejected, not misparsed
     lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
     assert W.decode_webp_lossless(lossy) is None
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """The AVI writer/parser must roundtrip MJPEG frames through the
+    RIFF chunk tree (including odd-size frame padding) and reject
+    non-AVI RIFF payloads."""
+    import numpy as np
+    from big_data_analysis_for_stock_market_data_spark.operators import multimodal as M
+
+    for n in (1, 3, 7):
+        frames, grays = [], []
+        for f in range(n):
+            g = (f * 37 + 11) % 256
+            grays.append(g)
+            zz = np.zeros((2, 64), dtype=np.int64)
+            zz[:, 0] = 8 * (g - 128)
+            frames.append(M.build_jpeg_from_coeffs(zz, 2, 1))
+        avi = M.build_avi_mjpeg(frames, 16, 8, fps=25)
+        p = M.parse_avi_frames(avi)
+        assert p is not None and p["n_frames"] == n
+        assert (p["width"], p["height"]) == (16, 8)
+        for f in range(n):
+            d = M.decode_jpeg_baseline(p["frames"][f])
+            assert int(d["pixels"][0, 0]) == grays[f]
+    # WAV is also RIFF but must not parse as AVI (and vice versa)
+    wav = M.build_wav(b"\x00\x01" * 50, 8000)
+    assert M.parse_avi_frames(wav) is None
+    assert M.decode_wav_samples(M.build_avi_mjpeg(frames, 16, 8)) is None
+    assert M.parse_avi_frames(b"short") is None
