@@ -71,6 +71,7 @@ HEADLINE = [
     "mm_jpeg_progressive_decode",
     "mm_webp_lossless_decode",
     "mm_avi_frame_sample",
+    "mm_flac_native_decode",
     "mm_resize_nearest_native",
     "stream_interval_full_join",
     "dq_referential_integrity",
@@ -90,7 +91,7 @@ _R07_PROMOTIONS = {
     "mm_png_native_decode", "mm_gif_native_decode",
     "mm_jpeg_native_decode", "mm_jpeg_color_decode",
     "mm_jpeg_progressive_decode", "mm_webp_lossless_decode",
-    "mm_avi_frame_sample",
+    "mm_avi_frame_sample", "mm_flac_native_decode",
     "mm_resize_nearest_native",
     "stream_interval_full_join", "dq_referential_integrity",
 }

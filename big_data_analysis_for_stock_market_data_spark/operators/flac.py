@@ -1,0 +1,484 @@
+"""FLAC audio codec, library-free (r07).
+
+Implements the real core of the public FLAC format: the ``fLaC``
+stream with a STREAMINFO metadata block (including the MD5 of the
+unencoded audio, verified on decode), MSB-first frame coding with
+CRC-8-protected headers and CRC-16-protected frames, UTF-8-coded frame
+numbers, CONSTANT / VERBATIM / FIXED(0-4) subframes, and Rice-coded
+residuals (4-bit parameters, zig-zag folding, escape-to-raw, any
+partition order on decode). The encoder picks the cheapest of
+constant / fixed-order-0..4 per frame and emits partition order 0.
+
+Documented out-of-scope corners (decoder returns ``None``):
+LPC subframes, wasted bits, and stereo decorrelation (left/right
+channels are coded independently) — the encoder never emits them.
+
+Scale shape: per-payload decode inside mapInPandas Arrow batches like
+the other native codecs (operators/multimodal.py header).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+class _MsbWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def done(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+class _MsbReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, nbits: int) -> "int | None":
+        v = 0
+        for _ in range(nbits):
+            if self.byte >= len(self.data):
+                return None
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_unary(self) -> "int | None":
+        q = 0
+        while True:
+            b = self.read(1)
+            if b is None:
+                return None
+            if b:
+                return q
+            q += 1
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _utf8_frame_number(n: int) -> bytes:
+    """FLAC's UTF-8-style variable-length frame-number coding."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    n_bytes = 2
+    while bits > 5 * n_bytes + (7 - n_bytes) - (n_bytes - 1):
+        # capacity of k-byte form: (7 - k) + 6*(k-1) bits... computed below
+        n_bytes += 1
+        if n_bytes > 6:
+            raise ValueError("frame number too large")
+    # recompute properly: k-byte form holds (7 - k) + 6*(k-1) bits
+    for k in range(2, 8):
+        if bits <= (7 - k) + 6 * (k - 1):
+            n_bytes = k
+            break
+    parts = []
+    for _ in range(n_bytes - 1):
+        parts.append(0x80 | (n & 0x3F))
+        n >>= 6
+    lead_prefix = (0xFF << (8 - n_bytes)) & 0xFF
+    out = [lead_prefix | n] + parts[::-1]
+    return bytes(out)
+
+
+def _read_utf8_frame_number(br: _MsbReader) -> "int | None":
+    b0 = br.read(8)
+    if b0 is None:
+        return None
+    if b0 < 0x80:
+        return b0
+    n_bytes = 0
+    mask = 0x80
+    while b0 & mask:
+        n_bytes += 1
+        mask >>= 1
+    if n_bytes < 2 or n_bytes > 7:
+        return None
+    v = b0 & (mask - 1)
+    for _ in range(n_bytes - 1):
+        b = br.read(8)
+        if b is None or (b & 0xC0) != 0x80:
+            return None
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+_FIXED_COEFS = (
+    (),
+    (1,),
+    (2, -1),
+    (3, -3, 1),
+    (4, -6, 4, -1),
+)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+def _rice_cost(residual: "np.ndarray", k: int) -> int:
+    u = np.where(residual >= 0, residual * 2, -residual * 2 - 1)
+    return int((u >> k).sum()) + len(u) * (k + 1)
+
+
+def _write_rice(bw: _MsbWriter, residual: "np.ndarray", k: int) -> None:
+    for v in residual:
+        v = int(v)
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        bw.write_unary(u >> k)
+        if k:
+            bw.write(u & ((1 << k) - 1), k)
+
+
+def build_flac(
+    samples: "np.ndarray",
+    sample_rate: int = 8000,
+    block_size: int = 4096,
+) -> bytes:
+    """REAL FLAC encoder for 16-bit mono PCM: STREAMINFO with the
+    audio MD5, per-frame best-of (constant | fixed 0-4) subframe
+    selection, Rice residuals with the per-frame best 4-bit parameter,
+    CRC-8/CRC-16. Roundtrip partner of ``decode_flac``."""
+    x = np.asarray(samples, dtype=np.int64)
+    n_total = len(x)
+    md5 = hashlib.md5(
+        x.astype("<i2").tobytes()
+    ).digest()
+
+    out = bytearray(b"fLaC")
+    info = _MsbWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(0, 3)  # channels - 1
+    info.write(15, 5)  # bits per sample - 1
+    info.write(n_total, 36)
+    si = info.done() + md5
+    out += bytes([0x80]) + struct.pack(">I", len(si))[1:] + si  # last block
+
+    frame_no = 0
+    for start in range(0, n_total, block_size):
+        blk = x[start:start + block_size]
+        bs = len(blk)
+        hdr = _MsbWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy
+        hdr.write(0b0111, 4)  # blocksize: 16-bit field follows
+        hdr.write(0, 4)  # sample rate: from STREAMINFO
+        hdr.write(0, 4)  # channels: 1 (independent)
+        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(0, 1)  # reserved
+        hbytes = bytearray(hdr.done())
+        hbytes += _utf8_frame_number(frame_no)
+        hbytes += struct.pack(">H", bs - 1)
+        hbytes.append(_crc8(bytes(hbytes)))
+
+        body = _MsbWriter()
+        if bs and np.all(blk == blk[0]):
+            body.write(0, 1)
+            body.write(0, 6)  # CONSTANT
+            body.write(0, 1)
+            body.write(int(blk[0]), 16)
+        else:
+            # best fixed order by Rice cost of the residual
+            best = None
+            for order in range(min(5, bs)):
+                res = blk.copy()
+                for _ in range(order):
+                    res = np.diff(res)
+                ks = min(
+                    range(15), key=lambda k: _rice_cost(res[0:], k)
+                ) if len(res) else 0
+                cost = 16 * order + _rice_cost(res, ks)
+                if best is None or cost < best[0]:
+                    best = (cost, order, res, ks)
+            _, order, res, ks = best
+            body.write(0, 1)
+            body.write(8 + order, 6)  # FIXED(order)
+            body.write(0, 1)  # no wasted bits
+            for w in blk[:order]:
+                body.write(int(w), 16)
+            body.write(0, 2)  # Rice method, 4-bit params
+            body.write(0, 4)  # partition order 0
+            body.write(ks, 4)
+            _write_rice(body, res, ks)
+        fbytes = bytes(hbytes) + body.done()
+        fbytes += struct.pack(">H", _crc16(fbytes))
+        out += fbytes
+        frame_no += 1
+    return bytes(out)
+
+
+def decode_flac(payload: bytes) -> "dict | None":
+    """REAL FLAC decoder: metadata walk to STREAMINFO, frame loop with
+    CRC-8 + CRC-16 verification, UTF-8 frame numbers, CONSTANT /
+    VERBATIM / FIXED(0-4) subframes, Rice residuals at any partition
+    order (including the 5-bit-parameter method and raw escapes), and
+    the STREAMINFO MD5 check over the reconstructed PCM. Mono 16-bit;
+    LPC subframes and stereo decorrelation return None (documented
+    out of scope). Returns {'samples', 'sample_rate', 'n_samples',
+    'md5_ok', 'n_frames'}."""
+    if payload is None or payload[:4] != b"fLaC":
+        return None
+    try:
+        pos = 4
+        streaminfo = None
+        while pos + 4 <= len(payload):
+            hdr = payload[pos]
+            size = int.from_bytes(payload[pos + 1:pos + 4], "big")
+            if (hdr & 0x7F) == 0:
+                streaminfo = payload[pos + 4:pos + 4 + size]
+            pos += 4 + size
+            if hdr & 0x80:
+                break
+        if streaminfo is None or len(streaminfo) < 34:
+            return None
+        si = _MsbReader(streaminfo)
+        si.read(16)
+        si.read(16)
+        si.read(24)
+        si.read(24)
+        sample_rate = si.read(20)
+        n_channels = si.read(3) + 1
+        bits = si.read(5) + 1
+        n_total = si.read(36)
+        md5_expect = streaminfo[18:34]
+        if n_channels != 1 or bits != 16:
+            return None  # stereo decorrelation out of scope
+        samples: list[int] = []
+        n_frames = 0
+        while pos + 2 <= len(payload):
+            frame_start = pos
+            br = _MsbReader(payload, pos)
+            sync = br.read(14)
+            if sync != 0b11111111111110:
+                return None
+            br.read(1)
+            br.read(1)
+            bs_code = br.read(4)
+            sr_code = br.read(4)
+            ch_code = br.read(4)
+            ss_code = br.read(3)
+            br.read(1)
+            if ch_code != 0:
+                return None
+            if _read_utf8_frame_number(br) is None:
+                return None
+            if bs_code == 0b0110:
+                bs = br.read(8) + 1
+            elif bs_code == 0b0111:
+                bs = br.read(16) + 1
+            elif 2 <= bs_code <= 5:
+                bs = 576 << (bs_code - 2)
+            elif bs_code >= 8:
+                bs = 256 << (bs_code - 8)
+            else:
+                return None
+            if sr_code in (0b1100, 0b1101, 0b1110):
+                br.read(8 if sr_code == 0b1100 else 16)
+            crc8_got = br.read(8)
+            if crc8_got != _crc8(payload[frame_start:br.byte - 1]):
+                return None
+            # subframe (mono)
+            if br.read(1) != 0:
+                return None
+            sf_type = br.read(6)
+            if br.read(1) != 0:  # wasted bits out of scope
+                return None
+            if ss_code == 0b100:
+                depth = 16
+            else:
+                return None
+
+            def s16(v: int) -> int:
+                return v - (1 << depth) if v >= 1 << (depth - 1) else v
+
+            if sf_type == 0:  # CONSTANT
+                v = s16(br.read(depth))
+                blk = [v] * bs
+            elif sf_type == 1:  # VERBATIM
+                blk = [s16(br.read(depth)) for _ in range(bs)]
+            elif 8 <= sf_type <= 12:  # FIXED
+                order = sf_type - 8
+                warm = [s16(br.read(depth)) for _ in range(order)]
+                method = br.read(2)
+                if method not in (0, 1):
+                    return None
+                pbits = 4 if method == 0 else 5
+                escape = (1 << pbits) - 1
+                porder = br.read(4)
+                n_parts = 1 << porder
+                res: list[int] = []
+                for p in range(n_parts):
+                    cnt = bs >> porder
+                    if p == 0:
+                        cnt -= order
+                    k = br.read(pbits)
+                    if k is None:
+                        return None
+                    if k == escape:
+                        raw = br.read(5)
+                        for _ in range(cnt):
+                            v = br.read(raw)
+                            res.append(
+                                v - (1 << raw)
+                                if raw and v >= 1 << (raw - 1) else v
+                            )
+                    else:
+                        for _ in range(cnt):
+                            q = br.read_unary()
+                            if q is None:
+                                return None
+                            u = (q << k) | (br.read(k) if k else 0)
+                            res.append(
+                                (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
+                            )
+                blk = list(warm)
+                coefs = _FIXED_COEFS[order]
+                for e in res:
+                    pred = sum(
+                        c * blk[-i - 1] for i, c in enumerate(coefs)
+                    )
+                    blk.append(e + pred)
+            else:
+                return None  # LPC out of scope
+            br.align()
+            crc16_got = br.read(16)
+            if crc16_got != _crc16(payload[frame_start:br.byte - 2]):
+                return None
+            samples.extend(blk)
+            pos = br.byte
+            n_frames += 1
+            if len(samples) >= n_total:
+                break
+        arr = np.asarray(samples[:n_total], dtype=np.int64)
+        md5_ok = hashlib.md5(
+            arr.astype("<i2").tobytes()
+        ).digest() == md5_expect
+        return {
+            "samples": arr,
+            "sample_rate": int(sample_rate),
+            "n_samples": int(n_total),
+            "md5_ok": bool(md5_ok),
+            "n_frames": n_frames,
+        }
+    except (TypeError, IndexError):
+        return None
+
+
+def flac_roundtrip_stats(
+    users: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """Encode->NATIVE-decode FLAC verification stage: per id, a
+    deterministic 16-bit waveform — x(t) = ((id*13 + t*7) % 2001)
+    - 1000 over n = 600 + 97*(id%5) samples (sawtooth: fixed-order
+    prediction compresses it, exercising Rice residuals; the length
+    forces a partial final frame with block_size=512) — is FLAC-
+    encoded and decoded back. The STREAMINFO MD5 over reconstructed
+    PCM must verify, and exact integer sums must equal the closed-form
+    replay."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("md5_ok", T.LongType(), True),
+        T.StructField("sum_samples", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("first_sample", T.LongType(), True),
+        T.StructField("last_sample", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uid in pdf[id_col]:
+                uid = int(uid)
+                n = 600 + 97 * (uid % 5)
+                t = np.arange(n, dtype=np.int64)
+                x = ((uid * 13 + t * 7) % 2001) - 1000
+                payload = build_flac(x, sample_rate=8000, block_size=512)
+                dec = decode_flac(payload)
+                got = dec["samples"]
+                rows.append({
+                    id_col: uid,
+                    "n_samples": dec["n_samples"],
+                    "n_frames": dec["n_frames"],
+                    "sample_rate": dec["sample_rate"],
+                    "md5_ok": int(dec["md5_ok"]),
+                    "sum_samples": int(got.sum()),
+                    "sum_abs": int(np.abs(got).sum()),
+                    "first_sample": int(got[0]),
+                    "last_sample": int(got[-1]),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(users.select(id_col)).mapInPandas(
+        run, schema=schema
+    )

@@ -10801,6 +10801,55 @@ def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avi_frame_sample_stats(users).orderBy("user_id", "sample_idx")
 
 
+@register(
+    "mm_flac_native_decode",
+    # closed-form replay of the planted waveform x(t) = ((id*13 + t*7)
+    # % 2001) - 1000 over n = 600 + 97*(id%5) samples; frame count is
+    # ceil(n/512) (block_size=512 forces a partial last frame), and
+    # md5_ok = 1 pins the STREAMINFO MD5 of the reconstructed PCM
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (
+      SELECT u.user_id, t.i AS t,
+             ((u.user_id * 13 + t.i * 7) % 2001) - 1000 AS x,
+             600 + 97 * (u.user_id % 5) AS n
+      FROM u, unnest(range(0, 600 + 97 * (u.user_id % 5))) AS t(i)
+    )
+    SELECT user_id,
+           CAST(MIN(n) AS BIGINT) AS n_samples,
+           CAST((MIN(n) + 511) // 512 AS BIGINT) AS n_frames,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS md5_ok,
+           CAST(SUM(x) AS BIGINT) AS sum_samples,
+           CAST(SUM(ABS(x)) AS BIGINT) AS sum_abs,
+           CAST(MIN(CASE WHEN t = 0 THEN x END) AS BIGINT)
+             AS first_sample,
+           CAST(MIN(CASE WHEN t = n - 1 THEN x END) AS BIGINT)
+             AS last_sample
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_flac_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode, library-free (operators/flac.decode_flac):
+    STREAMINFO walk, CRC-8/CRC-16-verified frames, UTF-8 frame
+    numbers, CONSTANT/VERBATIM/FIXED(0-4) subframes, Rice residuals
+    (zig-zag, any partition order, raw escape), and the STREAMINFO
+    MD5 check over the reconstructed PCM. A deterministic sawtooth is
+    FLAC-encoded (fixed-order prediction + Rice genuinely compress
+    it) and decoded back; exact integer sums, the frame count implied
+    by the 512-sample blocking, and the MD5 flag must equal the
+    closed-form replay. Extends native audio beyond PCM WAV; LPC
+    subframes and stereo decorrelation are the documented
+    out-of-scope corners (reference north star: multimodal columns,
+    SURVEY §2.8)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.flac import (
+        flac_roundtrip_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return flac_roundtrip_stats(users).orderBy("user_id")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

@@ -554,3 +554,34 @@ def test_avi_mjpeg_container_roundtrip():
     assert M.parse_avi_frames(wav) is None
     assert M.decode_wav_samples(M.build_avi_mjpeg(frames, 16, 8)) is None
     assert M.parse_avi_frames(b"short") is None
+
+
+def test_flac_roundtrip_with_md5_and_crc():
+    """FLAC encode/decode must roundtrip 16-bit PCM bit-exactly with
+    the STREAMINFO MD5 verifying, across constant/sawtooth/noise
+    content and frame-boundary-straddling lengths; corrupted frames
+    must fail the CRC, not decode to garbage."""
+    import numpy as np
+    from big_data_analysis_for_stock_market_data_spark.operators import flac as FL
+
+    rng = np.random.default_rng(13)
+    cases = [
+        np.full(777, -12345, dtype=np.int64),
+        ((np.arange(1500) * 7) % 2001) - 1000,
+        rng.integers(-32768, 32768, size=513),
+        np.round(3000 * np.sin(np.arange(1024) / 9)).astype(np.int64),
+        np.array([5], dtype=np.int64),
+    ]
+    for x in cases:
+        for bs in (256, 512):
+            p = FL.build_flac(x, block_size=bs)
+            d = FL.decode_flac(p)
+            assert d is not None and d["md5_ok"]
+            assert np.array_equal(d["samples"], x)
+            assert d["n_frames"] == (len(x) + bs - 1) // bs
+    # flip a bit inside the first frame's entropy data: CRC must catch it
+    p = bytearray(FL.build_flac(cases[1], block_size=512))
+    p[-20] ^= 0x40
+    assert FL.decode_flac(bytes(p)) is None
+    assert FL.decode_flac(b"fLaC") is None
+    assert FL.decode_flac(b"RIFFxxxx") is None
