@@ -882,3 +882,133 @@ def train_plsa_topics(
         )
         .orderBy("topic", "term_rank")
     )
+
+
+def train_gbt_stumps_exact(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "y",
+    rounds: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Gradient-boosted REGRESSION STUMPS in EXACT integer arithmetic —
+    the oracle-able twin of Spark ML's float GBT (``train_gbt``, which
+    stays rows-only: impurity ordering over doubles is not replayable).
+    Squared loss, depth-1 trees, learning rate 1, predictions and
+    residuals in ``scale`` fixed point. Each round:
+
+    - per (feature, value): count + residual sum, then prefix sums over
+      the value order give every threshold's left partition in ONE pass
+      per round (no candidate x row explode — the split-finding shape
+      blocked GBT uses at scale, here exact);
+    - integer leaf values v = floor(sum/n) via the pmod identity
+      spelled out on BOTH engines (neither Spark's ``div`` nor
+      DuckDB's ``//`` floors on negatives — both truncate — but the
+      pre-subtracted numerator is exactly divisible, so truncation is
+      exact);
+    - split score = the TRUE SSE reduction under integer leaves,
+      2*v*s - v^2*n summed over both sides — pure BIGINT (no rational
+      cross-multiplication), ties broken (gain DESC, feature, value);
+    - the 1-row winner broadcast-joins back to update predictions
+      (no driver scalars), with a localCheckpoint truncating the
+      iterative lineage (same discipline as ALS/BPE/PLSA).
+
+    Returns one row per round: (round, feature, threshold,
+    v_left_q, v_right_q, gain, sum_abs_res_q) — the fitted model AND
+    its training trajectory, hash-comparable against an unrolled-CTE
+    SQL replay."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_feat = len(feature_cols)
+    stack_expr = "stack({}, {}) as (fid, fval)".format(
+        n_feat,
+        ", ".join(
+            f"{i + 1}, cast({c} as long)" for i, c in enumerate(feature_cols)
+        ),
+    )
+    cur = df.select(
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+        (F.col(label_col).cast("long") * scale).alias("__ym"),
+        F.lit(0).cast("long").alias("__pred"),
+    ).localCheckpoint(eager=True)
+
+    fdiv = "(({s}) - pmod(({s}), ({n}))) div ({n})"
+    out_rows = []
+    for r in range(1, rounds + 1):
+        res = cur.withColumn("__res", F.col("__ym") - F.col("__pred"))
+        tot = res.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__res").alias("__s"),
+        )
+        melted = res.selectExpr(stack_expr, "__res")
+        by_val = melted.groupBy("fid", "fval").agg(
+            F.count(F.lit(1)).alias("__cn"),
+            F.sum("__res").alias("__cs"),
+        )
+        w = Window.partitionBy("fid").orderBy("fval")
+        wall = Window.partitionBy("fid")
+        cand = (
+            by_val.select(
+                "fid", "fval",
+                F.sum("__cn").over(w).alias("__nl"),
+                F.sum("__cs").over(w).alias("__sl"),
+                F.max("fval").over(wall).alias("__maxv"),
+            )
+            .filter(F.col("fval") < F.col("__maxv"))
+            .crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "fid", "fval", "__nl", "__sl",
+                "__n - __nl as __nr", "__s - __sl as __sr",
+            )
+            .selectExpr(
+                "fid", "fval", "__nl", "__nr",
+                fdiv.format(s="__sl", n="__nl") + " as __vl",
+                fdiv.format(s="__sr", n="__nr") + " as __vr",
+                "__sl", "__sr",
+            )
+            .selectExpr(
+                "fid", "fval", "__vl", "__vr",
+                "2*__vl*__sl - __vl*__vl*__nl"
+                " + 2*__vr*__sr - __vr*__vr*__nr as __gain",
+            )
+        )
+        best = F.broadcast(
+            cand.orderBy(F.col("__gain").desc(), "fid", "fval").limit(1)
+        )
+        split_val = "case __b.fid {} end".format(
+            " ".join(
+                f"when {i + 1} then cast({c} as long)"
+                for i, c in enumerate(feature_cols)
+            )
+        )
+        cur = (
+            res.crossJoin(best.alias("__b"))
+            .withColumn(
+                "__pred",
+                F.col("__pred") + F.when(
+                    F.expr(split_val) <= F.col("__b.fval"),
+                    F.col("__b.__vl"),
+                ).otherwise(F.col("__b.__vr")),
+            )
+            .select(*feature_cols, "__ym", "__pred")
+            .localCheckpoint(eager=True)
+        )
+        post = cur.agg(
+            F.sum(F.abs(F.col("__ym") - F.col("__pred"))).alias("__sar")
+        )
+        out_rows.append(
+            best.crossJoin(F.broadcast(post)).select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("fid").cast("long").alias("feature"),
+                F.col("fval").cast("long").alias("threshold"),
+                F.col("__vl").cast("long").alias("v_left_q"),
+                F.col("__vr").cast("long").alias("v_right_q"),
+                F.col("__gain").cast("long").alias("gain"),
+                F.col("__sar").cast("long").alias("sum_abs_res_q"),
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("round")

@@ -10850,6 +10850,104 @@ def mm_flac_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flac_roundtrip_stats(users).orderBy("user_id")
 
 
+def _gbt_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled-CTE replay of the exact integer GBT stumps (ml/pipeline.
+    train_gbt_stumps_exact): per round, per-(feature, value) residual
+    sums -> prefix sums over the value order -> integer leaf values via
+    FLOOR division spelled with the pmod identity on BOTH engines
+    (DuckDB's bare // TRUNCATES toward zero on negatives — pinned by
+    fn_mod_semantics — so the pre-subtracted-numerator form is load-
+    bearing here) -> the (gain DESC, feature, value) winner ->
+    prediction update. Gains are the true SSE reduction under integer
+    leaves, pure integer."""
+    ctes = [
+        """d0 AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS f1,
+             CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS f2,
+             CAST(round(l_discount * 100) AS BIGINT) AS f3,
+             CAST(round(l_quantity) AS BIGINT) * 1000 AS ym,
+             CAST(0 AS BIGINT) AS pred
+      FROM lineitem
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""m{r} AS (
+      SELECT fid, fval, COUNT(*) AS n, SUM(ym - pred) AS s FROM (
+        SELECT 1 AS fid, f1 AS fval, ym, pred FROM d{p}
+        UNION ALL SELECT 2, f2, ym, pred FROM d{p}
+        UNION ALL SELECT 3, f3, ym, pred FROM d{p}
+      ) GROUP BY fid, fval
+    )""")
+        ctes.append(f"""c{r} AS (
+      SELECT fid, fval,
+             SUM(n) OVER (PARTITION BY fid ORDER BY fval) AS nl,
+             SUM(s) OVER (PARTITION BY fid ORDER BY fval) AS sl,
+             MAX(fval) OVER (PARTITION BY fid) AS mx,
+             (SELECT SUM(n) FROM m{r} WHERE fid = 1) AS nt,
+             (SELECT SUM(s) FROM m{r} WHERE fid = 1) AS st
+      FROM m{r}
+    )""")
+        ctes.append(f"""g{r} AS (
+      SELECT fid, fval, nl, nt - nl AS nr, sl, st - sl AS sr,
+             (sl - (((sl % nl) + nl) % nl)) // nl AS vl,
+             ((st - sl) - ((((st - sl) % (nt - nl)) + (nt - nl))
+                           % (nt - nl))) // (nt - nl) AS vr
+      FROM c{r} WHERE fval < mx
+    )""")
+        ctes.append(f"""b{r} AS (
+      SELECT fid, fval, vl, vr,
+             2*vl*sl - vl*vl*nl + 2*vr*sr - vr*vr*nr AS gain
+      FROM g{r} ORDER BY gain DESC, fid, fval LIMIT 1
+    )""")
+        ctes.append(f"""d{r} AS (
+      SELECT f1, f2, f3, ym,
+             pred + CASE WHEN (CASE b.fid WHEN 1 THEN f1
+                               WHEN 2 THEN f2 ELSE f3 END) <= b.fval
+                    THEN b.vl ELSE b.vr END AS pred
+      FROM d{p}, b{r} AS b
+    )""")
+        ctes.append(f"""o{r} AS (
+      SELECT CAST({r} AS BIGINT) AS round,
+             CAST(fid AS BIGINT) AS feature,
+             CAST(fval AS BIGINT) AS threshold,
+             CAST(vl AS BIGINT) AS v_left_q,
+             CAST(vr AS BIGINT) AS v_right_q,
+             CAST(gain AS BIGINT) AS gain,
+             (SELECT CAST(SUM(ABS(ym - pred)) AS BIGINT) FROM d{r})
+               AS sum_abs_res_q
+      FROM b{r}
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM o{r}" for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + f"\n{union} ORDER BY round"
+
+
+@register("ml_gbt_exact_stumps", oracle=_gbt_oracle_sql())
+def ml_gbt_exact_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer gradient-boosted stumps on lineitem (features:
+    line number, ship month, discount pct; label: quantity) — the
+    oracle-able twin of the rows-only Spark ML GBT (`ml_gbt_metrics`),
+    mirroring the ALS/PLSA 'exact integer twin' strategy. Split
+    finding is ONE pass per round (per-value aggregation + prefix
+    sums, no candidate x row explode), leaf values are floor-division
+    integers, gains are the true SSE reduction under integer leaves,
+    and the 1-row winner broadcast-joins the update (no driver
+    scalars). Reference anchor: SURVEY §2 M10 (GBTClassifier
+    imported-unused in the reference, completed as first-class
+    here)."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_gbt_stumps_exact,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").cast("long").alias("f1"),
+        F.month("l_shipdate").cast("long").alias("f2"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("f3"),
+        F.round("l_quantity").cast("long").alias("y"),
+    )
+    return train_gbt_stumps_exact(li, ["f1", "f2", "f3"], label_col="y")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

@@ -484,3 +484,53 @@ def test_plsa_topics_invariants(spark):
         assert [r["term_rank"] for r in rs] == list(range(len(rs)))
         pairs = [(-r["phi_q"], r["term"]) for r in rs]
         assert pairs == sorted(pairs)
+
+
+def test_gbt_exact_stumps_hand_fixture(spark):
+    """A perfectly separable fixture: round 1 must find the separating
+    split with the exact SSE-reduction gain, later rounds degenerate to
+    zero-gain ties broken (feature, value); a constant feature must
+    yield no candidates at all."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_gbt_stumps_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, 0), (1, 5, 0), (1, 5, 0),
+         (2, 5, 10), (2, 5, 10), (2, 5, 10)],
+        "f1 long, f2 long, y long",
+    )
+    out = train_gbt_stumps_exact(df, ["f1", "f2"], label_col="y").collect()
+    assert len(out) == 3
+    r1 = out[0]
+    # split f1 <= 1: v_left = 0, v_right = 10000 milli; gain =
+    # 2*10000*30000 - 10000^2*3 = 3e8; residuals vanish
+    assert (r1["feature"], r1["threshold"]) == (1, 1)
+    assert (r1["v_left_q"], r1["v_right_q"]) == (0, 10000)
+    assert r1["gain"] == 300_000_000
+    assert r1["sum_abs_res_q"] == 0
+    for r in out[1:]:
+        # all-zero residuals: zero gain, tie-break lands on (f1, 1),
+        # f2 never appears (constant feature -> no threshold)
+        assert (r["feature"], r["threshold"]) == (1, 1)
+        assert (r["v_left_q"], r["v_right_q"], r["gain"]) == (0, 0, 0)
+        assert r["sum_abs_res_q"] == 0
+
+
+def test_gbt_exact_stumps_floor_division_negative_residuals(spark):
+    """Leaf values must FLOOR (not truncate) on negative residual sums —
+    the engine/oracle agreement hinges on it."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_gbt_stumps_exact,
+    )
+
+    # y in {-1, -1, 0} on the left of the only split: sum = -2000 milli
+    # over 2 rows -> floor(-1500) ... construct: left rows y = -1, -2
+    # (sum -3000, n 2 -> floor -1500), right rows y = 5
+    df = spark.createDataFrame(
+        [(1, -1), (1, -2), (2, 5), (2, 5)],
+        "f1 long, y long",
+    )
+    out = train_gbt_stumps_exact(df, ["f1"], label_col="y", rounds=1).collect()
+    assert out[0]["v_left_q"] == -1500
+    assert out[0]["v_right_q"] == 5000
