@@ -1012,3 +1012,160 @@ def train_gbt_stumps_exact(
     for o in out_rows[1:]:
         out = out.unionByName(o)
     return out.orderBy("round")
+
+
+def train_rf_stumps_exact(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "y",
+    id_col: str = "rid",
+    n_trees: int = 5,
+    keep_mod: int = 10,
+    keep_lt: int = 7,
+    seed: int = 42,
+    scale: int = 1000,
+) -> DataFrame:
+    """Random-forest STUMPS in EXACT integer arithmetic — the
+    oracle-able twin of Spark ML's RandomForestClassifier
+    (``train_random_forest``, which stays rows-only: its impurity
+    ordering and XORShift bootstrap are not SQL-replayable). Each of
+    ``n_trees`` depth-1 trees trains on a DETERMINISTIC md5-hash
+    bootstrap (keep rows with hash(rid:tree:seed) % keep_mod <
+    keep_lt — the same md5-bucket idiom as o3_hash_split /
+    samp_hash_percent), finding the best split by exact SSE reduction
+    over the 0/``scale`` label — for binary labels variance reduction
+    IS Gini gain times n, so the integer criterion matches the
+    classifier's impurity ordering without rational arithmetic. The
+    forest then majority-votes every row (leaf value >= scale/2 votes
+    1), and the confusion counts ride along on every output row.
+
+    One row per tree: (tree, feature, threshold, v_left_q, v_right_q,
+    gain, n_sample, forest_tp, forest_fp, forest_fn, forest_tn)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_feat = len(feature_cols)
+    stack_expr = "stack({}, {}) as (fid, fval)".format(
+        n_feat,
+        ", ".join(
+            f"{i + 1}, cast({c} as long)" for i, c in enumerate(feature_cols)
+        ),
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("__rid"),
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+        (F.col(label_col).cast("long") * scale).alias("__ym"),
+    ).localCheckpoint(eager=True)
+
+    fdiv = "(({s}) - pmod(({s}), ({n}))) div ({n})"
+    bests = []
+    for t in range(1, n_trees + 1):
+        samp = base.filter(
+            F.expr(
+                f"cast(conv(substring(md5(concat(cast(__rid as string), "
+                f"':{t}:{seed}')), 1, 8), 16, 10) as bigint) % {keep_mod}"
+            ) < keep_lt
+        )
+        tot = samp.agg(
+            F.count(F.lit(1)).alias("__n"), F.sum("__ym").alias("__s")
+        )
+        by_val = samp.selectExpr(stack_expr, "__ym").groupBy(
+            "fid", "fval"
+        ).agg(
+            F.count(F.lit(1)).alias("__cn"),
+            F.sum("__ym").alias("__cs"),
+        )
+        w = Window.partitionBy("fid").orderBy("fval")
+        wall = Window.partitionBy("fid")
+        cand = (
+            by_val.select(
+                "fid", "fval",
+                F.sum("__cn").over(w).alias("__nl"),
+                F.sum("__cs").over(w).alias("__sl"),
+                F.max("fval").over(wall).alias("__maxv"),
+            )
+            .filter(F.col("fval") < F.col("__maxv"))
+            .crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "fid", "fval", "__nl", "__sl", "__n",
+                "__n - __nl as __nr", "__s - __sl as __sr",
+            )
+            .selectExpr(
+                "fid", "fval", "__nl", "__nr", "__n", "__sl", "__sr",
+                fdiv.format(s="__sl", n="__nl") + " as __vl",
+                fdiv.format(s="__sr", n="__nr") + " as __vr",
+            )
+            .selectExpr(
+                "fid", "fval", "__vl", "__vr", "__n",
+                "2*__vl*__sl - __vl*__vl*__nl"
+                " + 2*__vr*__sr - __vr*__vr*__nr as __gain",
+            )
+        )
+        bests.append(
+            cand.orderBy(F.col("__gain").desc(), "fid", "fval")
+            .limit(1)
+            .select(
+                F.lit(t).cast("long").alias("tree"),
+                "fid", "fval", "__vl", "__vr", "__gain",
+                F.col("__n").alias("__nsamp"),
+            )
+        )
+    stumps = bests[0]
+    for b in bests[1:]:
+        stumps = stumps.unionByName(b)
+    stumps = stumps.localCheckpoint(eager=True)
+
+    split_val = "case fid {} end".format(
+        " ".join(
+            f"when {i + 1} then cast({c} as long)"
+            for i, c in enumerate(feature_cols)
+        )
+    )
+    votes = (
+        base.crossJoin(F.broadcast(stumps))
+        .withColumn(
+            "__leaf",
+            F.when(
+                F.expr(split_val) <= F.col("fval"), F.col("__vl")
+            ).otherwise(F.col("__vr")),
+        )
+        .withColumn(
+            "__vote",
+            (2 * F.col("__leaf") >= F.lit(scale)).cast("long"),
+        )
+        .groupBy("__rid", "__ym")
+        .agg(F.sum("__vote").alias("__votes"))
+        .withColumn(
+            "__pred",
+            (2 * F.col("__votes") > F.lit(n_trees)).cast("long"),
+        )
+        .withColumn("__y", (F.col("__ym") > 0).cast("long"))
+    )
+    conf = votes.agg(
+        F.sum(
+            (F.col("__pred") * F.col("__y")).cast("long")
+        ).alias("forest_tp"),
+        F.sum(
+            (F.col("__pred") * (1 - F.col("__y"))).cast("long")
+        ).alias("forest_fp"),
+        F.sum(
+            ((1 - F.col("__pred")) * F.col("__y")).cast("long")
+        ).alias("forest_fn"),
+        F.sum(
+            ((1 - F.col("__pred")) * (1 - F.col("__y"))).cast("long")
+        ).alias("forest_tn"),
+    )
+    return (
+        stumps.crossJoin(F.broadcast(conf))
+        .select(
+            "tree",
+            F.col("fid").cast("long").alias("feature"),
+            F.col("fval").cast("long").alias("threshold"),
+            F.col("__vl").cast("long").alias("v_left_q"),
+            F.col("__vr").cast("long").alias("v_right_q"),
+            F.col("__gain").cast("long").alias("gain"),
+            F.col("__nsamp").cast("long").alias("n_sample"),
+            "forest_tp", "forest_fp", "forest_fn", "forest_tn",
+        )
+        .orderBy("tree")
+    )

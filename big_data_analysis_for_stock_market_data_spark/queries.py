@@ -10948,6 +10948,121 @@ def ml_gbt_exact_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_gbt_stumps_exact(li, ["f1", "f2", "f3"], label_col="y")
 
 
+def _rf_oracle_sql(n_trees: int = 5) -> str:
+    """Unrolled replay of the exact RF stump forest (ml/pipeline.
+    train_rf_stumps_exact): per tree, the md5-bucket bootstrap (same
+    idiom as o3_hash_split), per-value sums + prefix sums, pmod
+    floor-division leaves, the (gain DESC, feature, value) winner;
+    then a forest majority vote over ALL rows and one confusion count
+    riding on every output row."""
+    ctes = [
+        """d0 AS (
+      SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+             CAST(l_linenumber AS BIGINT) AS f1,
+             CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS f2,
+             CAST(round(l_discount * 100) AS BIGINT) AS f3,
+             CAST(CASE WHEN round(l_quantity) > 25 THEN 1000 ELSE 0 END
+                  AS BIGINT) AS ym
+      FROM lineitem
+    )"""
+    ]
+    for t in range(1, n_trees + 1):
+        ctes.append(f"""s{t} AS (
+      SELECT * FROM d0
+      WHERE CAST(('0x' || substr(md5(rid::VARCHAR || ':{t}:42'), 1, 8))
+                 AS BIGINT) % 10 < 7
+    )""")
+        ctes.append(f"""m{t} AS (
+      SELECT fid, fval, COUNT(*) AS n, SUM(ym) AS s FROM (
+        SELECT 1 AS fid, f1 AS fval, ym FROM s{t}
+        UNION ALL SELECT 2, f2, ym FROM s{t}
+        UNION ALL SELECT 3, f3, ym FROM s{t}
+      ) GROUP BY fid, fval
+    )""")
+        ctes.append(f"""c{t} AS (
+      SELECT fid, fval,
+             SUM(n) OVER (PARTITION BY fid ORDER BY fval) AS nl,
+             SUM(s) OVER (PARTITION BY fid ORDER BY fval) AS sl,
+             MAX(fval) OVER (PARTITION BY fid) AS mx,
+             (SELECT SUM(n) FROM m{t} WHERE fid = 1) AS nt,
+             (SELECT SUM(s) FROM m{t} WHERE fid = 1) AS st
+      FROM m{t}
+    )""")
+        ctes.append(f"""g{t} AS (
+      SELECT fid, fval, nl, nt - nl AS nr, sl, st - sl AS sr, nt,
+             (sl - (((sl % nl) + nl) % nl)) // nl AS vl,
+             ((st - sl) - ((((st - sl) % (nt - nl)) + (nt - nl))
+                           % (nt - nl))) // (nt - nl) AS vr
+      FROM c{t} WHERE fval < mx
+    )""")
+        ctes.append(f"""b{t} AS (
+      SELECT CAST({t} AS BIGINT) AS tree, fid, fval, vl, vr,
+             2*vl*sl - vl*vl*nl + 2*vr*sr - vr*vr*nr AS gain, nt
+      FROM g{t} ORDER BY gain DESC, fid, fval LIMIT 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{t}" for t in range(1, n_trees + 1)
+    )
+    ctes.append(f"stumps AS ({union})")
+    ctes.append("""votes AS (
+      SELECT d.rid, d.ym,
+             SUM(CASE WHEN 2 * (CASE WHEN
+                   (CASE s.fid WHEN 1 THEN d.f1 WHEN 2 THEN d.f2
+                    ELSE d.f3 END) <= s.fval
+                   THEN s.vl ELSE s.vr END) >= 1000
+                 THEN 1 ELSE 0 END) AS nv
+      FROM d0 d CROSS JOIN stumps s GROUP BY d.rid, d.ym
+    )""")
+    ctes.append(f"""conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN 2*nv > {n_trees} AND ym > 0 THEN 1 ELSE 0
+             END) AS BIGINT) AS forest_tp,
+        CAST(SUM(CASE WHEN 2*nv > {n_trees} AND ym = 0 THEN 1 ELSE 0
+             END) AS BIGINT) AS forest_fp,
+        CAST(SUM(CASE WHEN 2*nv <= {n_trees} AND ym > 0 THEN 1 ELSE 0
+             END) AS BIGINT) AS forest_fn,
+        CAST(SUM(CASE WHEN 2*nv <= {n_trees} AND ym = 0 THEN 1 ELSE 0
+             END) AS BIGINT) AS forest_tn
+      FROM votes
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+    SELECT tree, CAST(fid AS BIGINT) AS feature,
+           CAST(fval AS BIGINT) AS threshold,
+           CAST(vl AS BIGINT) AS v_left_q, CAST(vr AS BIGINT) AS v_right_q,
+           CAST(gain AS BIGINT) AS gain, CAST(nt AS BIGINT) AS n_sample,
+           forest_tp, forest_fp, forest_fn, forest_tn
+    FROM stumps, conf ORDER BY tree"""
+    )
+
+
+@register("ml_rf_exact_stumps", oracle=_rf_oracle_sql())
+def ml_rf_exact_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer random-forest stumps on lineitem (label: quantity
+    > 25) — the oracle-able twin of the rows-only Spark ML
+    RandomForest entries (M4, the reference's centerpiece model,
+    `G_2_rf_nordd.py`): deterministic md5-bucket bootstraps replace
+    XORShift sampling, exact SSE-reduction splits replace float Gini
+    (equivalent ordering for binary labels), and the majority vote +
+    confusion counts are replayed row-exactly by the oracle. Together
+    with ml_gbt_exact_stumps this gives every tree-ensemble family a
+    hash-verified twin."""
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_rf_stumps_exact,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long").alias("rid"),
+        F.col("l_linenumber").cast("long").alias("f1"),
+        F.month("l_shipdate").cast("long").alias("f2"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("f3"),
+        F.when(F.round("l_quantity") > 25, 1).otherwise(0)
+        .cast("long").alias("y"),
+    )
+    return train_rf_stumps_exact(li, ["f1", "f2", "f3"], label_col="y")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

@@ -534,3 +534,36 @@ def test_gbt_exact_stumps_floor_division_negative_residuals(spark):
     out = train_gbt_stumps_exact(df, ["f1"], label_col="y", rounds=1).collect()
     assert out[0]["v_left_q"] == -1500
     assert out[0]["v_right_q"] == 5000
+
+
+def test_rf_exact_stumps_invariants(spark):
+    """Hash-bagged exact stump forest: deterministic across runs, each
+    tree trains on a strict subsample, and the confusion counts
+    partition the full row set."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.ml.pipeline import (
+        train_rf_stumps_exact,
+    )
+
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).alias("f1"),
+        (F.col("id") % 11).alias("f2"),
+        ((F.col("id") % 7) >= 4).cast("long").alias("y"),  # f1 separates
+    )
+    out1 = train_rf_stumps_exact(df, ["f1", "f2"], n_trees=3).collect()
+    out2 = train_rf_stumps_exact(df, ["f1", "f2"], n_trees=3).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert [r["tree"] for r in out1] == [1, 2, 3]
+    for r in out1:
+        assert 0 < r["n_sample"] < n  # the bootstrap really subsamples
+        # y is exactly f1 >= 4, so every tree must split f1 at 3
+        assert (r["feature"], r["threshold"]) == (1, 3)
+        assert (r["v_left_q"], r["v_right_q"]) == (0, 1000)
+        conf = (r["forest_tp"], r["forest_fp"], r["forest_fn"],
+                r["forest_tn"])
+        assert sum(conf) == n
+        # perfect split -> perfect forest
+        assert r["forest_fp"] == 0 and r["forest_fn"] == 0
