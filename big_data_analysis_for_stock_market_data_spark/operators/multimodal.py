@@ -621,10 +621,19 @@ def frame_sample(
     n_frames: int = 4,
     payload_col: str = "payload",
     id_col: str = "asset_id",
+    decode_backend: str = "fake",
 ) -> DataFrame:
-    """Video frame sampling (stub semantics: evenly-spaced byte slices stand
-    in for decoded frames). Output: one row per (asset, frame_idx) with the
-    frame payload — the explode shape a real ffmpeg-backed sampler needs."""
+    """Video frame sampling. ``decode_backend='native'`` REALLY samples
+    frames from MJPEG-in-AVI payloads (``parse_avi_frames``, r07):
+    evenly-spaced source frames src = floor(i*n/k), each frame payload
+    a complete baseline JPEG; non-AVI payloads yield null frames.
+    ``'fake'`` keeps the plumbing-only semantics (evenly-spaced byte
+    slices stand in for frames) so the explode shape is testable on
+    arbitrary bytes; ``'stub'`` raises, naming the inter-frame codecs
+    (H.264/VP9/AV1) that genuinely need external libraries. Output:
+    one row per (asset, frame_idx)."""
+    if decode_backend not in ("fake", "stub", "native"):
+        raise ValueError("decode_backend must be 'fake', 'stub' or 'native'")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -638,6 +647,25 @@ def frame_sample(
             rows = []
             for _, r in pdf.iterrows():
                 payload = r[payload_col] or b""
+                if decode_backend == "stub":
+                    raise NotImplementedError(
+                        "inter-frame video codecs (H.264/VP9/AV1) need "
+                        "an external decoder; MJPEG-in-AVI samples "
+                        "natively via decode_backend='native'"
+                    )
+                if decode_backend == "native":
+                    parsed = parse_avi_frames(payload)
+                    for i in range(n_frames):
+                        frame = None
+                        if parsed and parsed["frames"]:
+                            src = (i * len(parsed["frames"])) // n_frames
+                            frame = parsed["frames"][src]
+                        rows.append({
+                            id_col: r[id_col],
+                            "frame_idx": i,
+                            "frame_payload": frame,
+                        })
+                    continue
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     rows.append(

@@ -585,3 +585,32 @@ def test_flac_roundtrip_with_md5_and_crc():
     assert FL.decode_flac(bytes(p)) is None
     assert FL.decode_flac(b"fLaC") is None
     assert FL.decode_flac(b"RIFFxxxx") is None
+
+
+def test_frame_sample_native_avi(spark):
+    """frame_sample(decode_backend='native') must extract REAL JPEG
+    frames from an MJPEG AVI (decodable by the baseline decoder), null
+    frames for non-AVI payloads, and keep the explode shape."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    frames = []
+    for f in range(5):
+        zz = np.zeros((2, 64), dtype=np.int64)
+        zz[:, 0] = 8 * ((f * 50 + 10) - 128)
+        frames.append(M.build_jpeg_from_coeffs(zz, 2, 1))
+    avi = M.build_avi_mjpeg(frames, 16, 8)
+    df = spark.createDataFrame(
+        [Row(asset_id=1, payload=avi), Row(asset_id=2, payload=b"junk")],
+        schema="asset_id long, payload binary",
+    )
+    out = M.frame_sample(df, n_frames=2, decode_backend="native").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.asset_id, {})[r.frame_idx] = r.frame_payload
+    assert sorted(by[1]) == [0, 1]
+    # src = floor(i*5/2) -> frames 0 and 2 -> grays 10 and 110
+    for i, gray in ((0, 10), (1, 110)):
+        d = M.decode_jpeg_baseline(bytes(by[1][i]))
+        assert int(d["pixels"][0, 0]) == gray
+    assert all(v is None for v in by[2].values())
