@@ -696,15 +696,29 @@ def frame_sample(
 
 
 def _decode_any_pixels(p: bytes) -> "np.ndarray | None":
-    """Route a payload through the native pixel decoders (BMP, PNG, GIF,
-    baseline JPEG — grayscale expanded to RGB); None if undecodable."""
+    """Route a payload through ALL the native pixel decoders (BMP, PNG,
+    GIF, WebP lossless, baseline gray/color + progressive JPEG —
+    grayscale expanded to RGB, RGBA dropped to RGB); None if
+    undecodable."""
     px = decode_bmp_pixels(p)
     if px is None:
         px = decode_png_pixels(p)
     if px is None:
         px = decode_gif_pixels(p)
     if px is None:
-        j = decode_jpeg_baseline(p)
+        from big_data_analysis_for_stock_market_data_spark.operators.webp import (
+            decode_webp_lossless,
+        )
+
+        w = decode_webp_lossless(p)
+        if w is not None:
+            px = w[:, :, :3]
+    if px is None:
+        c = decode_jpeg_color(p)
+        if c is not None:
+            px = c["pixels"]
+    if px is None:
+        j = decode_jpeg_baseline(p) or decode_jpeg_progressive(p)
         if j is not None:
             px = np.repeat(j["pixels"][:, :, None], 3, axis=2)
     return px
