@@ -482,3 +482,56 @@ def flac_roundtrip_stats(
     return ensure_parallelism(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
+
+
+def audio_feature_stats(
+    users: DataFrame, id_col: str = "user_id", window: int = 256
+) -> DataFrame:
+    """Decode->FEATURE-EXTRACT audio verification stage: the FLAC
+    fixture waveform is decoded back to PCM, then per ``window``-sample
+    frame the integer energy (sum of squares) and zero-crossing count
+    (sign products < 0 at in-frame boundaries t % window != 0) are
+    emitted — the audio analogue of the image feature extractors, with
+    the decode path on the verified surface. One row per (id, frame)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("win_idx", T.LongType(), False),
+        T.StructField("n_in_window", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uid in pdf[id_col]:
+                uid = int(uid)
+                n = 600 + 97 * (uid % 5)
+                t = np.arange(n, dtype=np.int64)
+                x = ((uid * 13 + t * 7) % 2001) - 1000
+                dec = decode_flac(
+                    build_flac(x, sample_rate=8000, block_size=512)
+                )
+                s = dec["samples"]
+                widx = t // window
+                cross = np.zeros(n, dtype=np.int64)
+                cross[1:] = (s[:-1] * s[1:] < 0).astype(np.int64)
+                cross[t % window == 0] = 0
+                for w in range(int(widx.max()) + 1):
+                    m = widx == w
+                    rows.append({
+                        id_col: uid,
+                        "win_idx": w,
+                        "n_in_window": int(m.sum()),
+                        "energy": int((s[m] * s[m]).sum()),
+                        "zero_crossings": int(cross[m].sum()),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(users.select(id_col)).mapInPandas(
+        run, schema=schema
+    )

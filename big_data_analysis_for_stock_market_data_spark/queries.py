@@ -11063,6 +11063,48 @@ def ml_rf_exact_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_rf_stumps_exact(li, ["f1", "f2", "f3"], label_col="y")
 
 
+@register(
+    "mm_audio_features",
+    # closed-form replay of windowed audio features over the DECODED
+    # FLAC fixture waveform: per 256-sample frame, integer energy
+    # (sum of squares) and zero-crossing count (sign product < 0 at
+    # in-frame boundaries); the decode path is the verified
+    # mm_flac_native_decode surface
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (
+      SELECT u.user_id, t.i AS t,
+             ((u.user_id * 13 + t.i * 7) % 2001) - 1000 AS x,
+             ((u.user_id * 13 + (t.i - 1) * 7) % 2001) - 1000 AS xp
+      FROM u, unnest(range(0, 600 + 97 * (u.user_id % 5))) AS t(i)
+    )
+    SELECT user_id,
+           CAST(t // 256 AS BIGINT) AS win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_in_window,
+           CAST(SUM(x * x) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN t % 256 <> 0 AND x * xp < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM s GROUP BY user_id, t // 256
+    ORDER BY user_id, win_idx
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction over NATIVELY-decoded FLAC
+    (operators/flac.audio_feature_stats): per 256-sample frame,
+    integer energy and zero-crossing counts — the audio analogue of
+    the image feature extractors, proving decoded samples flow into
+    analysis operators. The waveform reaches the features only
+    through build_flac -> decode_flac, so any codec defect shifts the
+    closed-form replay (reference north star: multimodal columns,
+    SURVEY §2.8)."""
+    from big_data_analysis_for_stock_market_data_spark.operators.flac import (
+        audio_feature_stats,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return audio_feature_stats(users).orderBy("user_id", "win_idx")
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right
