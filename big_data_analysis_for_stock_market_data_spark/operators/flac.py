@@ -6,11 +6,16 @@ unencoded audio, verified on decode), MSB-first frame coding with
 CRC-8-protected headers and CRC-16-protected frames, UTF-8-coded frame
 numbers, CONSTANT / VERBATIM / FIXED(0-4) subframes, and Rice-coded
 residuals (4-bit parameters, zig-zag folding, escape-to-raw, any
-partition order on decode). The encoder picks the cheapest of
-constant / fixed-order-0..4 per frame and emits partition order 0.
+partition order on decode), plus REAL LPC subframes: the encoder runs
+Levinson-Durbin and quantizes coefficients (the float solve only
+CHOOSES the predictor; residuals are exact integers, so roundtrips
+stay bit-exact), emitting LPC whenever it beats the best fixed order;
+the decoder reconstructs any order with the spec's arithmetic-shift
+prediction. The encoder picks the cheapest of constant /
+fixed-order-0..4 / LPC(8) per frame and emits partition order 0.
 
-Documented out-of-scope corners (decoder returns ``None``):
-LPC subframes, wasted bits, and stereo decorrelation (left/right
+Documented out-of-scope corners (decoder returns ``None``): wasted
+bits, negative LPC shifts, and stereo decorrelation (left/right
 channels are coded independently) — the encoder never emits them.
 
 Scale shape: per-payload decode inside mapInPandas Arrow batches like
@@ -189,6 +194,55 @@ def _write_rice(bw: _MsbWriter, residual: "np.ndarray", k: int) -> None:
             bw.write(u & ((1 << k) - 1), k)
 
 
+def _lpc_analyze(
+    blk: "np.ndarray", order: int = 8, precision: int = 15,
+    shift: int = 12,
+) -> "tuple | None":
+    """Levinson-Durbin LPC analysis with quantized integer
+    coefficients (r07 — closes the 'LPC out of scope' corner). The
+    float solve only CHOOSES the coefficients; the residuals are then
+    computed in exact integer arithmetic (pred = (sum(qc * hist)) >>
+    shift, arithmetic/floor shift), so the roundtrip stays bit-exact
+    regardless of platform float behavior. Returns (cost, order,
+    qcoefs, precision, shift, residual, rice_k) or None if the block
+    is unsuitable (degenerate autocorrelation)."""
+    x = blk.astype(np.float64)
+    n = len(x)
+    if n <= order + 1:
+        return None
+    ac = np.array([
+        float(np.dot(x[: n - lag], x[lag:])) for lag in range(order + 1)
+    ])
+    if ac[0] <= 0:
+        return None
+    err = ac[0]
+    coefs = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(coefs[:i], ac[i:0:-1][:i])
+        k = acc / err
+        coefs[:i], coefs[i] = coefs[:i] - k * coefs[:i][::-1], k
+        err *= 1 - k * k
+        if err <= 0:
+            return None
+    qc = np.clip(
+        np.round(coefs * (1 << shift)),
+        -(1 << (precision - 1)), (1 << (precision - 1)) - 1,
+    ).astype(np.int64)
+    if not qc.any():
+        return None
+    # exact integer residuals from the quantized predictor
+    hist = np.stack(
+        [blk[order - 1 - i: n - 1 - i] for i in range(order)], axis=1
+    )
+    pred = (hist @ qc) >> shift
+    res = blk[order:] - pred
+    if np.abs(res).max(initial=0) >= 1 << 30:
+        return None
+    ks = min(range(15), key=lambda k: _rice_cost(res, k))
+    cost = 16 * order + 4 + 5 + precision * order + _rice_cost(res, ks)
+    return (cost, order, qc, precision, shift, res, ks)
+
+
 def build_flac(
     samples: "np.ndarray",
     sample_rate: int = 8000,
@@ -255,15 +309,36 @@ def build_flac(
                 if best is None or cost < best[0]:
                     best = (cost, order, res, ks)
             _, order, res, ks = best
-            body.write(0, 1)
-            body.write(8 + order, 6)  # FIXED(order)
-            body.write(0, 1)  # no wasted bits
-            for w in blk[:order]:
-                body.write(int(w), 16)
-            body.write(0, 2)  # Rice method, 4-bit params
-            body.write(0, 4)  # partition order 0
-            body.write(ks, 4)
-            _write_rice(body, res, ks)
+            lpc = _lpc_analyze(blk) if bs > 16 else None
+            if lpc is not None and lpc[0] < 16 * order + _rice_cost(
+                res, ks
+            ):
+                (
+                    _, lorder, qcoefs, precision, shift, lres, lks,
+                ) = lpc
+                body.write(0, 1)
+                body.write(32 + lorder - 1, 6)  # LPC(order)
+                body.write(0, 1)  # no wasted bits
+                for w in blk[:lorder]:
+                    body.write(int(w), 16)
+                body.write(precision - 1, 4)
+                body.write(shift, 5)
+                for c in qcoefs:
+                    body.write(int(c), precision)
+                body.write(0, 2)
+                body.write(0, 4)
+                body.write(lks, 4)
+                _write_rice(body, lres, lks)
+            else:
+                body.write(0, 1)
+                body.write(8 + order, 6)  # FIXED(order)
+                body.write(0, 1)  # no wasted bits
+                for w in blk[:order]:
+                    body.write(int(w), 16)
+                body.write(0, 2)  # Rice method, 4-bit params
+                body.write(0, 4)  # partition order 0
+                body.write(ks, 4)
+                _write_rice(body, res, ks)
         fbytes = bytes(hbytes) + body.done()
         fbytes += struct.pack(">H", _crc16(fbytes))
         out += fbytes
@@ -274,11 +349,11 @@ def build_flac(
 def decode_flac(payload: bytes) -> "dict | None":
     """REAL FLAC decoder: metadata walk to STREAMINFO, frame loop with
     CRC-8 + CRC-16 verification, UTF-8 frame numbers, CONSTANT /
-    VERBATIM / FIXED(0-4) subframes, Rice residuals at any partition
-    order (including the 5-bit-parameter method and raw escapes), and
-    the STREAMINFO MD5 check over the reconstructed PCM. Mono 16-bit;
-    LPC subframes and stereo decorrelation return None (documented
-    out of scope). Returns {'samples', 'sample_rate', 'n_samples',
+    VERBATIM / FIXED(0-4) / LPC(any order) subframes, Rice residuals
+    at any partition order (including the 5-bit-parameter method and
+    raw escapes), and the STREAMINFO MD5 check over the reconstructed
+    PCM. Mono 16-bit; wasted bits, negative LPC shifts and stereo
+    decorrelation return None (documented out of scope). Returns {'samples', 'sample_rate', 'n_samples',
     'md5_ok', 'n_frames'}."""
     if payload is None or payload[:4] != b"fLaC":
         return None
@@ -360,9 +435,28 @@ def decode_flac(payload: bytes) -> "dict | None":
                 blk = [v] * bs
             elif sf_type == 1:  # VERBATIM
                 blk = [s16(br.read(depth)) for _ in range(bs)]
-            elif 8 <= sf_type <= 12:  # FIXED
-                order = sf_type - 8
+            elif 8 <= sf_type <= 12 or sf_type >= 32:  # FIXED or LPC
+                is_lpc = sf_type >= 32
+                order = (sf_type - 31) if is_lpc else (sf_type - 8)
                 warm = [s16(br.read(depth)) for _ in range(order)]
+                qcoefs = None
+                shift = 0
+                if is_lpc:
+                    precision = br.read(4)
+                    if precision is None or precision == 15:
+                        return None
+                    precision += 1
+                    shift = br.read(5)
+                    if shift is None or shift >= 16:
+                        return None  # negative shifts unsupported
+                    qcoefs = []
+                    for _ in range(order):
+                        c = br.read(precision)
+                        if c is None:
+                            return None
+                        if c >= 1 << (precision - 1):
+                            c -= 1 << precision
+                        qcoefs.append(c)
                 method = br.read(2)
                 if method not in (0, 1):
                     return None
@@ -396,14 +490,16 @@ def decode_flac(payload: bytes) -> "dict | None":
                                 (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
                             )
                 blk = list(warm)
-                coefs = _FIXED_COEFS[order]
+                coefs = qcoefs if is_lpc else _FIXED_COEFS[order]
                 for e in res:
                     pred = sum(
                         c * blk[-i - 1] for i, c in enumerate(coefs)
                     )
+                    if is_lpc:
+                        pred >>= shift  # arithmetic shift per spec
                     blk.append(e + pred)
             else:
-                return None  # LPC out of scope
+                return None  # unknown subframe type
             br.align()
             crc16_got = br.read(16)
             if crc16_got != _crc16(payload[frame_start:br.byte - 2]):
