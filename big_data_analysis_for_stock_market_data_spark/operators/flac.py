@@ -14,9 +14,14 @@ the decoder reconstructs any order with the spec's arithmetic-shift
 prediction. The encoder picks the cheapest of constant /
 fixed-order-0..4 / LPC(8) per frame and emits partition order 0.
 
+STEREO is real too (r07): the encoder tries all four channel
+assignments per frame — independent, left/side, right/side, mid/side
+(side at 17 bits) — and keeps the cheapest; the decoder reconstructs
+every assignment and the MD5 covers interleaved L/R PCM.
+
 Documented out-of-scope corners (decoder returns ``None``): wasted
-bits, negative LPC shifts, and stereo decorrelation (left/right
-channels are coded independently) — the encoder never emits them.
+bits, negative LPC shifts, >2 channels, and non-16-bit depths — the
+encoder never emits them.
 
 Scale shape: per-payload decode inside mapInPandas Arrow batches like
 the other native codecs (operators/multimodal.py header).
@@ -243,6 +248,58 @@ def _lpc_analyze(
     return (cost, order, qc, precision, shift, res, ks)
 
 
+def _encode_subframe(body: _MsbWriter, blk: "np.ndarray", depth: int) -> None:
+    """Encode ONE subframe at ``depth`` bits (17 for a side channel):
+    cheapest of CONSTANT / FIXED(0-4) / LPC(8), Rice residuals with
+    the best 4-bit parameter, partition order 0."""
+    bs = len(blk)
+    if bs and np.all(blk == blk[0]):
+        body.write(0, 1)
+        body.write(0, 6)  # CONSTANT
+        body.write(0, 1)
+        body.write(int(blk[0]), depth)
+        return
+    # best fixed order by Rice cost of the residual
+    best = None
+    for order in range(min(5, bs)):
+        res = blk.copy()
+        for _ in range(order):
+            res = np.diff(res)
+        ks = min(
+            range(15), key=lambda k: _rice_cost(res[0:], k)
+        ) if len(res) else 0
+        cost = depth * order + _rice_cost(res, ks)
+        if best is None or cost < best[0]:
+            best = (cost, order, res, ks)
+    _, order, res, ks = best
+    lpc = _lpc_analyze(blk) if bs > 16 else None
+    if lpc is not None and lpc[0] < depth * order + _rice_cost(res, ks):
+        _, lorder, qcoefs, precision, shift, lres, lks = lpc
+        body.write(0, 1)
+        body.write(32 + lorder - 1, 6)  # LPC(order)
+        body.write(0, 1)  # no wasted bits
+        for w in blk[:lorder]:
+            body.write(int(w), depth)
+        body.write(precision - 1, 4)
+        body.write(shift, 5)
+        for c in qcoefs:
+            body.write(int(c), precision)
+        body.write(0, 2)
+        body.write(0, 4)
+        body.write(lks, 4)
+        _write_rice(body, lres, lks)
+    else:
+        body.write(0, 1)
+        body.write(8 + order, 6)  # FIXED(order)
+        body.write(0, 1)  # no wasted bits
+        for w in blk[:order]:
+            body.write(int(w), depth)
+        body.write(0, 2)  # Rice method, 4-bit params
+        body.write(0, 4)  # partition order 0
+        body.write(ks, 4)
+        _write_rice(body, res, ks)
+
+
 def build_flac(
     samples: "np.ndarray",
     sample_rate: int = 8000,
@@ -290,60 +347,103 @@ def build_flac(
         hbytes.append(_crc8(bytes(hbytes)))
 
         body = _MsbWriter()
-        if bs and np.all(blk == blk[0]):
-            body.write(0, 1)
-            body.write(0, 6)  # CONSTANT
-            body.write(0, 1)
-            body.write(int(blk[0]), 16)
-        else:
-            # best fixed order by Rice cost of the residual
-            best = None
-            for order in range(min(5, bs)):
-                res = blk.copy()
-                for _ in range(order):
-                    res = np.diff(res)
-                ks = min(
-                    range(15), key=lambda k: _rice_cost(res[0:], k)
-                ) if len(res) else 0
-                cost = 16 * order + _rice_cost(res, ks)
-                if best is None or cost < best[0]:
-                    best = (cost, order, res, ks)
-            _, order, res, ks = best
-            lpc = _lpc_analyze(blk) if bs > 16 else None
-            if lpc is not None and lpc[0] < 16 * order + _rice_cost(
-                res, ks
-            ):
-                (
-                    _, lorder, qcoefs, precision, shift, lres, lks,
-                ) = lpc
-                body.write(0, 1)
-                body.write(32 + lorder - 1, 6)  # LPC(order)
-                body.write(0, 1)  # no wasted bits
-                for w in blk[:lorder]:
-                    body.write(int(w), 16)
-                body.write(precision - 1, 4)
-                body.write(shift, 5)
-                for c in qcoefs:
-                    body.write(int(c), precision)
-                body.write(0, 2)
-                body.write(0, 4)
-                body.write(lks, 4)
-                _write_rice(body, lres, lks)
-            else:
-                body.write(0, 1)
-                body.write(8 + order, 6)  # FIXED(order)
-                body.write(0, 1)  # no wasted bits
-                for w in blk[:order]:
-                    body.write(int(w), 16)
-                body.write(0, 2)  # Rice method, 4-bit params
-                body.write(0, 4)  # partition order 0
-                body.write(ks, 4)
-                _write_rice(body, res, ks)
+        _encode_subframe(body, blk, 16)
         fbytes = bytes(hbytes) + body.done()
         fbytes += struct.pack(">H", _crc16(fbytes))
         out += fbytes
         frame_no += 1
     return bytes(out)
+
+
+def _decode_subframe(br: _MsbReader, bs: int, depth: int) -> "list[int] | None":
+    """Decode ONE subframe at ``depth`` bits: CONSTANT / VERBATIM /
+    FIXED(0-4) / LPC(any order) with Rice residuals at any partition
+    order; returns the reconstructed channel or None."""
+    if br.read(1) != 0:
+        return None
+    sf_type = br.read(6)
+    if sf_type is None or br.read(1) != 0:  # wasted bits out of scope
+        return None
+
+    def sext(v: "int | None") -> "int | None":
+        if v is None:
+            return None
+        return v - (1 << depth) if v >= 1 << (depth - 1) else v
+
+    if sf_type == 0:  # CONSTANT
+        v = sext(br.read(depth))
+        return None if v is None else [v] * bs
+    if sf_type == 1:  # VERBATIM
+        blk = [sext(br.read(depth)) for _ in range(bs)]
+        return None if any(v is None for v in blk) else blk
+    if not (8 <= sf_type <= 12 or sf_type >= 32):
+        return None  # unknown subframe type
+    is_lpc = sf_type >= 32
+    order = (sf_type - 31) if is_lpc else (sf_type - 8)
+    warm = [sext(br.read(depth)) for _ in range(order)]
+    if any(v is None for v in warm):
+        return None
+    qcoefs = None
+    shift = 0
+    if is_lpc:
+        precision = br.read(4)
+        if precision is None or precision == 15:
+            return None
+        precision += 1
+        shift = br.read(5)
+        if shift is None or shift >= 16:
+            return None  # negative shifts unsupported
+        qcoefs = []
+        for _ in range(order):
+            c = br.read(precision)
+            if c is None:
+                return None
+            if c >= 1 << (precision - 1):
+                c -= 1 << precision
+            qcoefs.append(c)
+    method = br.read(2)
+    if method not in (0, 1):
+        return None
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    if porder is None:
+        return None
+    n_parts = 1 << porder
+    res: list[int] = []
+    for pi in range(n_parts):
+        cnt = bs >> porder
+        if pi == 0:
+            cnt -= order
+        k = br.read(pbits)
+        if k is None:
+            return None
+        if k == escape:
+            raw = br.read(5)
+            if raw is None:
+                return None
+            for _ in range(cnt):
+                v = br.read(raw)
+                if v is None:
+                    return None
+                res.append(
+                    v - (1 << raw) if raw and v >= 1 << (raw - 1) else v
+                )
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                if q is None:
+                    return None
+                u = (q << k) | (br.read(k) if k else 0)
+                res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+    blk = list(warm)
+    coefs = qcoefs if is_lpc else _FIXED_COEFS[order]
+    for e in res:
+        pred = sum(c * blk[-i - 1] for i, c in enumerate(coefs))
+        if is_lpc:
+            pred >>= shift  # arithmetic shift per spec
+        blk.append(e + pred)
+    return blk
 
 
 def decode_flac(payload: bytes) -> "dict | None":
@@ -380,8 +480,8 @@ def decode_flac(payload: bytes) -> "dict | None":
         bits = si.read(5) + 1
         n_total = si.read(36)
         md5_expect = streaminfo[18:34]
-        if n_channels != 1 or bits != 16:
-            return None  # stereo decorrelation out of scope
+        if n_channels not in (1, 2) or bits != 16:
+            return None
         samples: list[int] = []
         n_frames = 0
         while pos + 2 <= len(payload):
@@ -397,8 +497,6 @@ def decode_flac(payload: bytes) -> "dict | None":
             ch_code = br.read(4)
             ss_code = br.read(3)
             br.read(1)
-            if ch_code != 0:
-                return None
             if _read_utf8_frame_number(br) is None:
                 return None
             if bs_code == 0b0110:
@@ -416,103 +514,64 @@ def decode_flac(payload: bytes) -> "dict | None":
             crc8_got = br.read(8)
             if crc8_got != _crc8(payload[frame_start:br.byte - 1]):
                 return None
-            # subframe (mono)
-            if br.read(1) != 0:
-                return None
-            sf_type = br.read(6)
-            if br.read(1) != 0:  # wasted bits out of scope
-                return None
-            if ss_code == 0b100:
-                depth = 16
+            if ss_code != 0b100:
+                return None  # only 16-bit sample size
+            # channel assignment -> per-subframe depths (side gets +1)
+            if ch_code == 0:
+                depths = (16,)
+            elif ch_code == 1:
+                depths = (16, 16)
+            elif ch_code == 8:  # left/side
+                depths = (16, 17)
+            elif ch_code == 9:  # right/side: SIDE first per spec
+                depths = (17, 16)
+            elif ch_code == 10:  # mid/side
+                depths = (16, 17)
             else:
                 return None
-
-            def s16(v: int) -> int:
-                return v - (1 << depth) if v >= 1 << (depth - 1) else v
-
-            if sf_type == 0:  # CONSTANT
-                v = s16(br.read(depth))
-                blk = [v] * bs
-            elif sf_type == 1:  # VERBATIM
-                blk = [s16(br.read(depth)) for _ in range(bs)]
-            elif 8 <= sf_type <= 12 or sf_type >= 32:  # FIXED or LPC
-                is_lpc = sf_type >= 32
-                order = (sf_type - 31) if is_lpc else (sf_type - 8)
-                warm = [s16(br.read(depth)) for _ in range(order)]
-                qcoefs = None
-                shift = 0
-                if is_lpc:
-                    precision = br.read(4)
-                    if precision is None or precision == 15:
-                        return None
-                    precision += 1
-                    shift = br.read(5)
-                    if shift is None or shift >= 16:
-                        return None  # negative shifts unsupported
-                    qcoefs = []
-                    for _ in range(order):
-                        c = br.read(precision)
-                        if c is None:
-                            return None
-                        if c >= 1 << (precision - 1):
-                            c -= 1 << precision
-                        qcoefs.append(c)
-                method = br.read(2)
-                if method not in (0, 1):
+            chans = []
+            for depth in depths:
+                blk = _decode_subframe(br, bs, depth)
+                if blk is None:
                     return None
-                pbits = 4 if method == 0 else 5
-                escape = (1 << pbits) - 1
-                porder = br.read(4)
-                n_parts = 1 << porder
-                res: list[int] = []
-                for p in range(n_parts):
-                    cnt = bs >> porder
-                    if p == 0:
-                        cnt -= order
-                    k = br.read(pbits)
-                    if k is None:
-                        return None
-                    if k == escape:
-                        raw = br.read(5)
-                        for _ in range(cnt):
-                            v = br.read(raw)
-                            res.append(
-                                v - (1 << raw)
-                                if raw and v >= 1 << (raw - 1) else v
-                            )
-                    else:
-                        for _ in range(cnt):
-                            q = br.read_unary()
-                            if q is None:
-                                return None
-                            u = (q << k) | (br.read(k) if k else 0)
-                            res.append(
-                                (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
-                            )
-                blk = list(warm)
-                coefs = qcoefs if is_lpc else _FIXED_COEFS[order]
-                for e in res:
-                    pred = sum(
-                        c * blk[-i - 1] for i, c in enumerate(coefs)
-                    )
-                    if is_lpc:
-                        pred >>= shift  # arithmetic shift per spec
-                    blk.append(e + pred)
-            else:
-                return None  # unknown subframe type
+                chans.append(blk)
+            if ch_code == 8:
+                left = chans[0]
+                chans = [left, [left[i] - chans[1][i] for i in range(bs)]]
+            elif ch_code == 9:
+                right = chans[1]
+                chans = [
+                    [chans[0][i] + right[i] for i in range(bs)], right
+                ]
+            elif ch_code == 10:
+                mid, side = chans
+                lr = []
+                rr = []
+                for i in range(bs):
+                    m = (mid[i] << 1) | (side[i] & 1)
+                    lr.append((m + side[i]) >> 1)
+                    rr.append((m - side[i]) >> 1)
+                chans = [lr, rr]
             br.align()
             crc16_got = br.read(16)
             if crc16_got != _crc16(payload[frame_start:br.byte - 2]):
                 return None
-            samples.extend(blk)
+            if len(chans) == 1:
+                samples.extend(chans[0])
+            else:
+                for i in range(bs):
+                    samples.append(chans[0][i])
+                    samples.append(chans[1][i])
             pos = br.byte
             n_frames += 1
-            if len(samples) >= n_total:
+            if len(samples) >= n_total * n_channels:
                 break
-        arr = np.asarray(samples[:n_total], dtype=np.int64)
+        arr = np.asarray(samples[: n_total * n_channels], dtype=np.int64)
         md5_ok = hashlib.md5(
             arr.astype("<i2").tobytes()
         ).digest() == md5_expect
+        if n_channels == 2:
+            arr = arr.reshape(-1, 2)
         return {
             "samples": arr,
             "sample_rate": int(sample_rate),
@@ -631,3 +690,82 @@ def audio_feature_stats(
     return ensure_parallelism(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
+
+
+def build_flac_stereo(
+    left: "np.ndarray",
+    right: "np.ndarray",
+    sample_rate: int = 8000,
+    block_size: int = 4096,
+) -> bytes:
+    """REAL STEREO FLAC encoder: per frame, tries all four channel
+    assignments — independent L/R, left/side, right/side, mid/side
+    (side channels at 17 bits) — encodes each with the subframe
+    chooser and keeps the cheapest, exactly the decision the format
+    intends. STREAMINFO MD5 is over interleaved L R L R 16-bit PCM.
+    Roundtrip partner of ``decode_flac`` (which reconstructs every
+    assignment)."""
+    lx = np.asarray(left, dtype=np.int64)
+    rx = np.asarray(right, dtype=np.int64)
+    if len(lx) != len(rx):
+        raise ValueError("left/right must be equal length")
+    n_total = len(lx)
+    inter = np.empty(2 * n_total, dtype=np.int64)
+    inter[0::2] = lx
+    inter[1::2] = rx
+    md5 = hashlib.md5(inter.astype("<i2").tobytes()).digest()
+
+    out = bytearray(b"fLaC")
+    info = _MsbWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(1, 3)  # channels - 1
+    info.write(15, 5)  # bits - 1
+    info.write(n_total, 36)
+    si = info.done() + md5
+    out += bytes([0x80]) + struct.pack(">I", len(si))[1:] + si
+
+    frame_no = 0
+    for start in range(0, n_total, block_size):
+        lb = lx[start:start + block_size]
+        rb = rx[start:start + block_size]
+        bs = len(lb)
+        side = lb - rb
+        mid = (lb + rb) >> 1
+        candidates = {
+            1: ((lb, 16), (rb, 16)),       # independent
+            8: ((lb, 16), (side, 17)),     # left/side
+            9: ((side, 17), (rb, 16)),     # right/side
+            10: ((mid, 16), (side, 17)),   # mid/side
+        }
+        best_code, best_writer = None, None
+        for code, subs in candidates.items():
+            w = _MsbWriter()
+            for blk, depth in subs:
+                _encode_subframe(w, blk, depth)
+            w.flush_done = w.done()  # pads to byte
+            if best_writer is None or len(w.flush_done) < len(
+                best_writer.flush_done
+            ):
+                best_code, best_writer = code, w
+        hdr = _MsbWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)
+        hdr.write(0b0111, 4)
+        hdr.write(0, 4)
+        hdr.write(best_code, 4)  # channel assignment
+        hdr.write(0b100, 3)
+        hdr.write(0, 1)
+        hbytes = bytearray(hdr.done())
+        hbytes += _utf8_frame_number(frame_no)
+        hbytes += struct.pack(">H", bs - 1)
+        hbytes.append(_crc8(bytes(hbytes)))
+        fbytes = bytes(hbytes) + best_writer.flush_done
+        fbytes += struct.pack(">H", _crc16(fbytes))
+        out += fbytes
+        frame_no += 1
+    return bytes(out)

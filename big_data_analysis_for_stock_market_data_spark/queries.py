@@ -11105,6 +11105,97 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_feature_stats(users).orderBy("user_id", "win_idx")
 
 
+@register(
+    "mm_flac_stereo_decode",
+    # closed-form replay of the stereo fixture: L = ((id*13 + t*7) %
+    # 2001) - 1000, R = L reversed-sign on odd ids else L shifted by
+    # 250 — correlated content exercising the per-frame channel-
+    # assignment chooser (mid/side, left/side, independent); md5_ok
+    # pins the interleaved-PCM STREAMINFO hash
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s AS (
+      SELECT u.user_id, t.i AS t,
+             ((u.user_id * 13 + t.i * 7) % 2001) - 1000 AS l,
+             600 + 97 * (u.user_id % 5) AS n
+      FROM u, unnest(range(0, 600 + 97 * (u.user_id % 5))) AS t(i)
+    ),
+    v AS (
+      SELECT user_id, t, n, l,
+             CASE WHEN user_id % 2 = 1 THEN -l ELSE l + 250 END AS r
+      FROM s
+    )
+    SELECT user_id,
+           CAST(MIN(n) AS BIGINT) AS n_samples,
+           CAST(1 AS BIGINT) AS md5_ok,
+           CAST(SUM(l) AS BIGINT) AS sum_l,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(ABS(l - r)) AS BIGINT) AS sum_abs_side
+    FROM v GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL STEREO FLAC decode (operators/flac.build_flac_stereo /
+    decode_flac): the encoder picks the cheapest of the four channel
+    assignments per frame (independent, left/side, right/side,
+    mid/side with 17-bit side) and the decoder reconstructs them all;
+    the fixture's odd ids (R = -L, large side) and even ids
+    (R = L + 250, near-constant side) steer different assignments.
+    The STREAMINFO MD5 over interleaved PCM plus exact channel sums
+    must equal the closed-form replay."""
+    from big_data_analysis_for_stock_market_data_spark.operators.flac import (
+        build_flac_stereo,
+        decode_flac,
+    )
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _Iter
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("md5_ok", T.LongType(), True),
+        T.StructField("sum_l", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_abs_side", T.LongType(), True),
+    ])
+
+    def run(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                n = 600 + 97 * (uid % 5)
+                t = np.arange(n, dtype=np.int64)
+                left = ((uid * 13 + t * 7) % 2001) - 1000
+                right = -left if uid % 2 else left + 250
+                dec = decode_flac(
+                    build_flac_stereo(left, right, block_size=512)
+                )
+                got = dec["samples"]
+                rows.append({
+                    "user_id": uid,
+                    "n_samples": dec["n_samples"],
+                    "md5_ok": int(dec["md5_ok"]),
+                    "sum_l": int(got[:, 0].sum()),
+                    "sum_r": int(got[:, 1].sum()),
+                    "sum_abs_side": int(
+                        np.abs(got[:, 0] - got[:, 1]).sum()
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return (
+        ensure_parallelism(users).mapInPandas(run, schema=schema)
+        .orderBy("user_id")
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

@@ -641,3 +641,27 @@ def test_flac_lpc_subframes_roundtrip():
     d = FL.decode_flac(p)
     assert d is not None and d["md5_ok"]
     assert np.array_equal(d["samples"], x)
+
+
+def test_flac_stereo_channel_assignments():
+    """Stereo FLAC must roundtrip through whichever channel assignment
+    wins per frame (mid/side on correlated content, independent on
+    noise, constant-zero side on identical channels)."""
+    import numpy as np
+    from big_data_analysis_for_stock_market_data_spark.operators import flac as FL
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    base = np.round(4000 * np.sin(np.arange(n) / 9)).astype(np.int64)
+    cases = [
+        (base + rng.integers(-3, 4, n), base + rng.integers(-3, 4, n)),
+        (((np.arange(n) * 7) % 2001) - 1000,) * 2,
+        (rng.integers(-32000, 32000, n), rng.integers(-32000, 32000, n)),
+        (np.zeros(n, dtype=np.int64), ((np.arange(n) * 13) % 1501) - 750),
+    ]
+    for l, r in cases:
+        d = FL.decode_flac(FL.build_flac_stereo(l, r, block_size=512))
+        assert d is not None and d["md5_ok"]
+        assert d["samples"].shape == (n, 2)
+        assert np.array_equal(d["samples"][:, 0], l)
+        assert np.array_equal(d["samples"][:, 1], r)
