@@ -790,46 +790,30 @@ def _paeth(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
     return out.astype(np.uint8)
 
 
-def decode_png_pixels(payload: bytes) -> "np.ndarray | None":
-    """REAL PNG pixel decode for 8-bit truecolor (color type 2, no
-    interlace): concatenate IDAT chunks, zlib-inflate, and unfilter every
-    scanline with the full filter set (None/Sub/Up/Average/Paeth).
-    Returns (height, width, 3) uint8 or None for unsupported variants."""
-    import struct
-    import zlib
+#: Adam7 interlace lattice: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    pos, ihdr, idat = 8, None, b""
-    while pos + 8 <= len(payload):
-        (size,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4: pos + 8]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack_from(">IIBBBBB", payload, pos + 8)
-        elif ctype == b"IDAT":
-            idat += payload[pos + 8: pos + 8 + size]
-        elif ctype == b"IEND":
-            break
-        pos += 12 + size
-    if ihdr is None:
-        return None
-    width, height, depth, color, _, _, interlace = ihdr
-    if depth != 8 or color != 2 or interlace != 0:
-        return None
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
-        return None
-    bpp = 3
+
+def _png_unfilter(
+    raw: bytes, off: int, width: int, height: int, bpp: int
+) -> "tuple[np.ndarray, int] | None":
+    """Unfilter ``height`` scanlines of ``width`` pixels starting at
+    ``off`` (each 1 filter byte + width*bpp data); returns the
+    (height, width*bpp) matrix and bytes consumed, or None."""
     rowlen = width * bpp
-    if len(raw) != height * (rowlen + 1):
+    need = height * (rowlen + 1)
+    if off + need > len(raw):
         return None
     out = np.zeros((height, rowlen), dtype=np.uint8)
     prev = np.zeros(rowlen, dtype=np.uint8)
     for r in range(height):
-        ftype = raw[r * (rowlen + 1)]
+        base = off + r * (rowlen + 1)
+        ftype = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=rowlen, offset=r * (rowlen + 1) + 1
+            raw, dtype=np.uint8, count=rowlen, offset=base + 1
         ).copy()
         if ftype == 0:
             cur = line
@@ -857,7 +841,65 @@ def decode_png_pixels(payload: bytes) -> "np.ndarray | None":
             return None
         out[r] = cur
         prev = out[r]
-    return out.reshape(height, width, bpp)
+    return out, need
+
+
+def decode_png_pixels(payload: bytes) -> "np.ndarray | None":
+    """REAL PNG pixel decode for 8-bit truecolor (color type 2),
+    non-interlaced AND Adam7-interlaced (r07): concatenate IDAT chunks,
+    zlib-inflate, unfilter every scanline with the full filter set
+    (None/Sub/Up/Average/Paeth) — per Adam7 pass when interlaced — and
+    scatter passes onto the lattice. Returns (height, width, 3) uint8
+    or None for unsupported variants."""
+    import struct
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", payload, pos + 8)
+        elif ctype == b"IDAT":
+            idat += payload[pos + 8: pos + 8 + size]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None:
+        return None
+    width, height, depth, color, _, _, interlace = ihdr
+    if depth != 8 or color != 2 or interlace not in (0, 1):
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    bpp = 3
+    if interlace == 0:
+        sub = _png_unfilter(raw, 0, width, height, bpp)
+        if sub is None or sub[1] != len(raw):
+            return None
+        return sub[0].reshape(height, width, bpp)
+    # Adam7: seven independently-filtered sub-images scattered on a
+    # fixed lattice, all deflated into ONE zlib stream
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = _png_unfilter(raw, off, pw, ph, bpp)
+        if sub is None:
+            return None
+        mat, consumed = sub
+        out[y0::dy, x0::dx] = mat.reshape(ph, pw, bpp)
+        off += consumed
+    if off != len(raw):
+        return None
+    return out
 
 
 def encode_png_pixels(
@@ -871,11 +913,22 @@ def encode_png_pixels(
     import zlib
 
     h, w, bpp = pixels.shape
-    rowlen = w * bpp
-    flat = pixels.reshape(h, rowlen).astype(np.int32)
+    body = _png_filter_rows(
+        pixels.reshape(h, w * bpp).astype(np.int32), bpp, filter_mode
+    )
+    return build_png_pixels_container(w, h, zlib.compress(body))
+
+
+def _png_filter_rows(
+    flat: "np.ndarray", bpp: int, filter_mode: "int | str"
+) -> bytes:
+    """Filter each scanline of a (rows, rowlen) int32 matrix; shared by
+    the sequential and Adam7 encoders (each Adam7 pass filters
+    independently, so the previous-row state resets per call)."""
+    rowlen = flat.shape[1]
     parts = []
     prev = np.zeros(rowlen, dtype=np.int32)
-    for r in range(h):
+    for r in range(flat.shape[0]):
         ftype = (r % 5) if filter_mode == "row_cycle" else int(filter_mode)
         cur = flat[r]
         if ftype == 0:
@@ -900,14 +953,41 @@ def encode_png_pixels(
             raise ValueError(f"filter type {ftype!r} not in 0-4")
         parts.append(bytes([ftype]) + (filt & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    return build_png_pixels_container(w, h, zlib.compress(b"".join(parts)))
+    return b"".join(parts)
 
 
-def build_png_pixels_container(width: int, height: int, idat: bytes) -> bytes:
+def encode_png_pixels_interlaced(
+    pixels: "np.ndarray", filter_mode: "int | str" = "row_cycle"
+) -> bytes:
+    """REAL Adam7-interlaced PNG encoder (r07): the image is split
+    into the seven lattice passes, each pass's scanlines are filtered
+    independently (full filter set), and all passes deflate into one
+    zlib IDAT stream with interlace=1 in IHDR. Roundtrip partner of
+    the interlace branch in ``decode_png_pixels``."""
+    import zlib
+
+    h, w, bpp = pixels.shape
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.append(_png_filter_rows(
+            sub.reshape(sub.shape[0], sub.shape[1] * bpp).astype(np.int32),
+            bpp, filter_mode,
+        ))
+    return build_png_pixels_container(
+        w, h, zlib.compress(b"".join(parts)), interlace=1
+    )
+
+
+def build_png_pixels_container(
+    width: int, height: int, idat: bytes, interlace: int = 0
+) -> bytes:
     """PNG container around a REAL zlib IDAT stream (single chunk)."""
     import struct
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, interlace)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)

@@ -11196,6 +11196,106 @@ def mm_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_png_interlaced_decode",
+    # closed-form replay of the PNG pixel fixture routed through the
+    # ADAM7 interlaced codec (seven independently-filtered lattice
+    # passes, one zlib stream); matches_sequential pins the interlace
+    # scatter against the driver-verified sequential PNG path on the
+    # identical pixels
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    px AS (
+      SELECT u.user_id,
+             8 + u.user_id % 9 AS w, 5 + u.user_id % 7 AS h,
+             r.i AS r,
+             (u.user_id * 11 + r.i * 31 + c.i * 13) % 256 AS red,
+             (u.user_id * 5 + r.i * 17 + c.i * 29 + 71) % 256 AS green,
+             (u.user_id * 7 + r.i * 31 + c.i * 13 + 142) % 256 AS blue
+      FROM u,
+           unnest(range(0, 5 + u.user_id % 7)) AS r(i),
+           unnest(range(0, 8 + u.user_id % 9)) AS c(i)
+    )
+    SELECT user_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(red) AS BIGINT) AS sum_r,
+           CAST(SUM(green) AS BIGINT) AS sum_g,
+           CAST(SUM(blue) AS BIGINT) AS sum_b,
+           CAST(SUM((r + 1) * red) AS BIGINT) AS rowweighted_r,
+           CAST(1 AS BIGINT) AS matches_sequential
+    FROM px GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG decode (operators/multimodal.
+    decode_png_pixels, interlace branch): the same planted pixels as
+    mm_png_native_decode are encoded through the seven-pass lattice
+    (each pass independently scanline-filtered with the full filter
+    set, all passes in one zlib stream) and decoded back; the
+    row-weighted sum catches any pass-scatter error, and
+    matches_sequential requires bit-identical pixels from the
+    interlaced and sequential codec paths."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pixels,
+        encode_png_pixels_interlaced,
+    )
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _Iter
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("rowweighted_r", T.LongType(), True),
+        T.StructField("matches_sequential", T.LongType(), True),
+    ])
+
+    def run(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                h, w = 5 + uid % 7, 8 + uid % 9
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack([
+                    (uid * 11 + y * 31 + x * 13) % 256,
+                    (uid * 5 + y * 17 + x * 29 + 71) % 256,
+                    (uid * 7 + y * 31 + x * 13 + 142) % 256,
+                ], axis=2).astype(np.uint8)
+                dec = decode_png_pixels(encode_png_pixels_interlaced(px))
+                seq = decode_png_pixels(encode_png_pixels(px))
+                rows.append({
+                    "user_id": uid,
+                    "width": int(dec.shape[1]),
+                    "height": int(dec.shape[0]),
+                    "sum_r": int(dec[:, :, 0].astype(np.int64).sum()),
+                    "sum_g": int(dec[:, :, 1].astype(np.int64).sum()),
+                    "sum_b": int(dec[:, :, 2].astype(np.int64).sum()),
+                    "rowweighted_r": int((
+                        (np.arange(h)[:, None] + 1)
+                        * dec[:, :, 0].astype(np.int64)
+                    ).sum()),
+                    "matches_sequential": int(np.array_equal(dec, seq)),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return (
+        ensure_parallelism(users).mapInPandas(run, schema=schema)
+        .orderBy("user_id")
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

@@ -665,3 +665,19 @@ def test_flac_stereo_channel_assignments():
         assert d["samples"].shape == (n, 2)
         assert np.array_equal(d["samples"][:, 0], l)
         assert np.array_equal(d["samples"][:, 1], r)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 encode/decode must roundtrip pixels bit-exactly on shapes
+    where passes go empty (1x1, 1xN, Nx1) and agree with the sequential
+    codec on identical pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    for h, w in [(1, 1), (1, 9), (9, 1), (2, 2), (7, 5), (16, 16),
+                 (23, 31)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = M.decode_png_pixels(M.encode_png_pixels_interlaced(px))
+        assert d is not None and np.array_equal(d, px), (h, w)
+        seq = M.decode_png_pixels(M.encode_png_pixels(px))
+        assert np.array_equal(d, seq)
