@@ -714,13 +714,14 @@ def _decode_any_pixels(p: bytes) -> "np.ndarray | None":
         if w is not None:
             px = w[:, :, :3]
     if px is None:
-        c = decode_jpeg_color(p)
+        c = decode_jpeg_color(p) or decode_jpeg_progressive(p)
         if c is not None:
-            px = c["pixels"]
-    if px is None:
-        j = decode_jpeg_baseline(p) or decode_jpeg_progressive(p)
-        if j is not None:
-            px = np.repeat(j["pixels"][:, :, None], 3, axis=2)
+            # 1-component JPEGs decode to (h, w): expand gray to RGB
+            px = (
+                c["pixels"]
+                if c["pixels"].ndim == 3
+                else np.repeat(c["pixels"][:, :, None], 3, axis=2)
+            )
     return px
 
 

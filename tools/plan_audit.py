@@ -52,6 +52,12 @@ NESTED_LOOP_OK = {
     # exact rank-1 ALS: 1-row gram folds + the bounded top-50 candidate
     # pool broadcast against the user factors (r07)
     "ml_als_recommend",
+    # exact tree-ensemble twins (r07): every BNLJ is a 1-row broadcast
+    # fold — the candidate totals, the per-round/per-tree winning stump
+    # (.limit(1)), and the confusion/post-round aggregates; the data
+    # x data paths are key-partitioned hash joins and window prefix sums
+    "ml_gbt_exact_stumps",
+    "ml_rf_exact_stumps",
     # scalar-subquery crosses: BroadcastNestedLoopJoin against a 1-row
     # aggregate is the correct global-threshold plan (TPC-H Q11/Q22 shape)
     "q11_important_parts",
@@ -202,6 +208,20 @@ EXCHANGE_BUDGET = {
                                    # factors — anti join + pool top-N +
                                    # rank window; earlier rounds live
                                    # behind the per-half-step checkpoints
+    "ml_gbt_exact_stumps": 21,     # r07: 3 boosting rounds x (per-value
+                                   # agg + fid-partitioned prefix window
+                                   # + winner top-1 + post-round agg),
+                                   # rounds separated by localCheckpoints
+                                   # so nothing re-executes; the union of
+                                   # the 3 model rows adds one exchange
+                                   # per branch
+    "ml_rf_exact_stumps": 40,      # r07: 5 independent trees x (sample
+                                   # filter + per-value agg + prefix
+                                   # window + top-1) + the forest vote
+                                   # (one broadcast of 5 stump rows over
+                                   # the base) + confusion fold — tree
+                                   # count, not data volume, drives the
+                                   # exchange count
 }
 
 
