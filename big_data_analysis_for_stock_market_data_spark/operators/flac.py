@@ -128,19 +128,14 @@ def _utf8_frame_number(n: int) -> bytes:
     """FLAC's UTF-8-style variable-length frame-number coding."""
     if n < 0x80:
         return bytes([n])
-    out = []
     bits = n.bit_length()
-    n_bytes = 2
-    while bits > 5 * n_bytes + (7 - n_bytes) - (n_bytes - 1):
-        # capacity of k-byte form: (7 - k) + 6*(k-1) bits... computed below
-        n_bytes += 1
-        if n_bytes > 6:
-            raise ValueError("frame number too large")
-    # recompute properly: k-byte form holds (7 - k) + 6*(k-1) bits
+    # a k-byte form carries (7 - k) lead bits + 6 per continuation byte
     for k in range(2, 8):
         if bits <= (7 - k) + 6 * (k - 1):
             n_bytes = k
             break
+    else:
+        raise ValueError("frame number too large")
     parts = []
     for _ in range(n_bytes - 1):
         parts.append(0x80 | (n & 0x3F))

@@ -11296,6 +11296,133 @@ def mm_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_transcode_pipeline",
+    # closed-form replay of a LOSSLESS cross-codec chain: planted
+    # pixels -> BMP -> decode -> Adam7 PNG -> decode -> VP8L WebP
+    # (subtract-green + color cache) -> decode -> 2x2-block nearest
+    # resize; every hop must be bit-exact, so the final stats are pure
+    # fixture arithmetic over the x' = 2*floor(w/2*i/ow)... sampled
+    # lattice (ow = floor(w/2), oh = floor(h/2), src = floor(o*i/oo)
+    # per axis — for the exact halving this selects every even index)
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    g AS (
+      SELECT u.user_id,
+             8 + u.user_id % 5 AS w, 6 + u.user_id % 4 AS h
+      FROM u
+    ),
+    px AS (
+      SELECT g.user_id, g.w, g.h, r.i AS y, c.i AS x,
+             (g.user_id * 3 + r.i * 19 + c.i * 7) % 256 AS red,
+             (g.user_id * 5 + r.i * 11 + c.i * 23 + 50) % 256 AS green,
+             (g.user_id * 7 + r.i * 13 + c.i * 17 + 100) % 256 AS blue
+      FROM g,
+           unnest(range(0, g.h)) AS r(i),
+           unnest(range(0, g.w)) AS c(i)
+      WHERE r.i % 2 = 0 AND c.i % 2 = 0
+        AND r.i < 2 * (g.h // 2) AND c.i < 2 * (g.w // 2)
+    )
+    SELECT user_id,
+           CAST(MIN(w) // 2 AS BIGINT) AS out_w,
+           CAST(MIN(h) // 2 AS BIGINT) AS out_h,
+           CAST(SUM(red) AS BIGINT) AS sum_r,
+           CAST(SUM(green) AS BIGINT) AS sum_g,
+           CAST(SUM(blue) AS BIGINT) AS sum_b,
+           CAST(SUM((y // 2 + 1) * red) AS BIGINT) AS rowweighted_r
+    FROM px GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mm_transcode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec LOSSLESS transcode chain (interop pin): planted
+    pixels are written as BMP, decoded, re-encoded as Adam7-interlaced
+    PNG, decoded, re-encoded as VP8L WebP (subtract-green + 4-bit
+    color cache), decoded, then nearest-neighbor-halved. Three
+    independent codecs must agree bit-exactly on the same pixel
+    surface for the closed-form replay to hash — a defect in ANY
+    encoder/decoder pair breaks the chain. Nearest halving keeps the
+    even lattice (src = floor(out*i/out_dim) per axis), so the final
+    stats stay integer-exact."""
+    from big_data_analysis_for_stock_market_data_spark.operators.multimodal import (
+        build_bmp,
+        decode_bmp_pixels,
+        decode_png_pixels,
+        encode_png_pixels_interlaced,
+        resize_pixels_nearest,
+    )
+    from big_data_analysis_for_stock_market_data_spark.operators.webp import (
+        build_webp_lossless,
+        decode_webp_lossless,
+    )
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _Iter
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("out_w", T.LongType(), True),
+        T.StructField("out_h", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("rowweighted_r", T.LongType(), True),
+    ])
+
+    def run(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                w, h = 8 + uid % 5, 6 + uid % 4
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack([
+                    (uid * 3 + y * 19 + x * 7) % 256,
+                    (uid * 5 + y * 11 + x * 23 + 50) % 256,
+                    (uid * 7 + y * 13 + x * 17 + 100) % 256,
+                ], axis=2).astype(np.uint8)
+                # hop 1: BMP (bottom-up rows, padded stride)
+                stride = ((w * 3 + 3) // 4) * 4
+                rows_b = []
+                for r in range(h - 1, -1, -1):
+                    line = px[r, :, ::-1].tobytes()  # BGR
+                    rows_b.append(line + b"\x00" * (stride - len(line)))
+                p1 = decode_bmp_pixels(build_bmp(w, h, b"".join(rows_b)))
+                # hop 2: Adam7 PNG
+                p2 = decode_png_pixels(encode_png_pixels_interlaced(p1))
+                # hop 3: VP8L WebP (adds alpha, dropped after)
+                rgba = np.dstack([
+                    p2, np.full((h, w), 255, dtype=np.uint8)
+                ])
+                p3 = decode_webp_lossless(
+                    build_webp_lossless(rgba, cache_bits=4)
+                )[:, :, :3]
+                out = resize_pixels_nearest(p3, w // 2, h // 2)
+                oh = out.shape[0]
+                rows.append({
+                    "user_id": uid,
+                    "out_w": int(out.shape[1]),
+                    "out_h": int(oh),
+                    "sum_r": int(out[:, :, 0].astype(np.int64).sum()),
+                    "sum_g": int(out[:, :, 1].astype(np.int64).sum()),
+                    "sum_b": int(out[:, :, 2].astype(np.int64).sum()),
+                    "rowweighted_r": int((
+                        (np.arange(oh)[:, None] + 1)
+                        * out[:, :, 0].astype(np.int64)
+                    ).sum()),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    return (
+        ensure_parallelism(users).mapInPandas(run, schema=schema)
+        .orderBy("user_id")
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 4) -> str:
     """Full BPE-training replay: per round, pair counts over the segment
     table, the (cnt DESC, a, b) winner, and the left-to-right

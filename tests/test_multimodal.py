@@ -681,3 +681,30 @@ def test_png_adam7_interlaced_roundtrip():
         assert d is not None and np.array_equal(d, px), (h, w)
         seq = M.decode_png_pixels(M.encode_png_pixels(px))
         assert np.array_equal(d, seq)
+
+
+def test_transcode_chain_lossless():
+    """BMP -> Adam7 PNG -> VP8L WebP must be bit-lossless end to end;
+    the halving resize keeps the even lattice."""
+    import numpy as np
+    from big_data_analysis_for_stock_market_data_spark.operators import webp as W
+
+    rng = np.random.default_rng(41)
+    for h, w in [(6, 8), (7, 9), (4, 12)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        stride = ((w * 3 + 3) // 4) * 4
+        rows_b = []
+        for r in range(h - 1, -1, -1):
+            line = px[r, :, ::-1].tobytes()
+            rows_b.append(line + b"\x00" * (stride - len(line)))
+        p1 = M.decode_bmp_pixels(M.build_bmp(w, h, b"".join(rows_b)))
+        assert np.array_equal(p1, px)
+        p2 = M.decode_png_pixels(M.encode_png_pixels_interlaced(p1))
+        assert np.array_equal(p2, px)
+        rgba = np.dstack([p2, np.full((h, w), 255, dtype=np.uint8)])
+        p3 = W.decode_webp_lossless(
+            W.build_webp_lossless(rgba, cache_bits=4)
+        )[:, :, :3]
+        assert np.array_equal(p3, px)
+        out = M.resize_pixels_nearest(p3, w // 2, h // 2)
+        assert np.array_equal(out, px[0:2 * (h // 2):2, 0:2 * (w // 2):2])
