@@ -10127,14 +10127,20 @@ def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simsearch_int8_quant",
     # q = round(127 * x / max|x|) on doubles derived from the SAME
     # float32 payload: IEEE multiply/divide + double->integer rounding,
-    # no libm, so the arrays hash exactly
+    # no libm, so the codes hash exactly. The code array is projected to
+    # a comma-joined STRING on BOTH engines: the driver canonicalizes
+    # results via pandas.sort_values over raw columns, which cannot
+    # factorize list cells (r07 driver-red: "unhashable type: 'list'"),
+    # so top-level output columns must be scalars (enforced repo-wide by
+    # tools/oracle_type_lint.py).
     oracle="""
     SELECT vec_id, scale_abs,
-           CASE WHEN scale_abs = 0.0
-                THEN list_transform(emb, v -> 0)
-                ELSE list_transform(
-                  emb, v -> CAST(round(v / scale_abs * 127.0) AS INTEGER))
-           END AS q8
+           array_to_string(
+             CASE WHEN scale_abs = 0.0
+                  THEN list_transform(emb, v -> 0)
+                  ELSE list_transform(
+                    emb, v -> CAST(round(v / scale_abs * 127.0) AS INTEGER))
+             END, ',') AS q8_csv
     FROM (
       SELECT vec_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb,
@@ -10149,13 +10155,22 @@ def simsearch_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization of the embedding corpus
     (operators/simsearch.int8_quantize) — the vector-store compression
     path (4x vs float32): scale + int8 code array per vector, pure JVM
-    array expressions, shuffle-free."""
+    array expressions, shuffle-free. The entry projects the code array
+    as a comma-joined string (scalar output contract; the operator API
+    itself returns the real array column)."""
     from big_data_analysis_for_stock_market_data_spark.operators.simsearch import (
         int8_quantize,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    return int8_quantize(emb).orderBy("vec_id")
+    q = int8_quantize(emb)
+    return q.select(
+        "vec_id",
+        "scale_abs",
+        F.concat_ws(
+            ",", F.transform("q8", lambda v: v.cast("string"))
+        ).alias("q8_csv"),
+    ).orderBy("vec_id")
 
 
 @register(

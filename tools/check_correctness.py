@@ -67,6 +67,30 @@ def canon_value(v) -> str:
     return str(v)
 
 
+def nonscalar_cols(rows: list[tuple], colnames: list[str]) -> list[str]:
+    """Columns whose cells the driver's canonicalizer cannot sort.
+
+    The driver canonicalizes results via ``pandas.sort_values`` over the
+    RAW columns, which factorizes each column and raises
+    ``TypeError: unhashable type`` on list/ndarray/dict/set cells
+    (evidenced by the r07 driver-red on ``simsearch_int8_quant``). The
+    old ``canon_value`` here happily stringified lists, so local green
+    did not predict driver green. Mirror the driver: any top-level
+    non-scalar output column is a hard FAIL — entries must project
+    arrays/structs to scalars (e.g. concat_ws/to_json on the Spark side,
+    array_to_string/to_json in DuckDB)."""
+    import numpy as np
+
+    bad: list[str] = []
+    for i, c in enumerate(colnames):
+        for r in rows:
+            v = r[i]
+            if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+                bad.append(c)
+                break
+    return bad
+
+
 def table_hash(rows: list[tuple], colnames: list[str]) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
@@ -132,6 +156,9 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s) [no oracle]")
             if len(srows) == 0:
                 print(f"WARN  {name}: zero rows")
+            ns = nonscalar_cols([tuple(r) for r in srows], scols)
+            if ns:
+                print(f"WARN  {name}: non-scalar output cols {ns}")
             continue
         try:
             res = con.execute(oracles[name])
@@ -146,6 +173,19 @@ def main() -> int:
             failed.append(name)
             continue
         problems = []
+        ns = nonscalar_cols([tuple(r) for r in srows], scols)
+        if ns:
+            problems.append(
+                f"non-scalar spark output cols {ns} — the driver's "
+                "pandas sort_values dies on these (unhashable type); "
+                "project to a scalar (concat_ws/to_json)"
+            )
+        ons = nonscalar_cols(orows, ocols)
+        if ons:
+            problems.append(
+                f"non-scalar oracle output cols {ons} — project to a "
+                "scalar (array_to_string/to_json)"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):

@@ -16,6 +16,15 @@ is loss-free and class-stable vs the Spark column:
   - DECIMAL(p,s)   -> forbidden at output (CAST(... AS DOUBLE) or BIGINT)
   - anything else  -> fine
 
+Second rule (r08, from the r07 driver-red on simsearch_int8_quant):
+top-level output columns must be SCALAR. The driver canonicalizes via
+``pandas.sort_values`` over raw columns, which factorizes each column
+and raises ``TypeError: unhashable type`` on list/struct/map cells.
+LIST (``T[]``), ARRAY, STRUCT, MAP and UNION output types are therefore
+forbidden — project them to strings (``array_to_string``/``to_json``)
+on both engines. Lists are fine INSIDE a query; only the output
+projection is constrained.
+
 Usage: python tools/oracle_type_lint.py [sf_dir]
 """
 
@@ -34,8 +43,14 @@ TABLES = [
 ]
 
 BAD_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+NONSCALAR_PREFIXES = ("STRUCT", "MAP", "UNION", "LIST", "ARRAY")
 # diag_fp_hugeint probes the fetch path with a deliberate HUGEINT.
 EXEMPT = {"diag_fp_hugeint"}
+
+
+def _is_nonscalar(ty: str) -> bool:
+    t = ty.upper().strip()
+    return t.endswith("[]") or t.startswith(NONSCALAR_PREFIXES)
 
 
 def main() -> int:
@@ -65,6 +80,7 @@ def main() -> int:
             (c, ty)
             for c, ty in zip(cols, types)
             if ty.upper().startswith(BAD_PREFIXES)
+            or _is_nonscalar(ty)
         ]
         if bad:
             flagged.append((name, bad))
