@@ -446,9 +446,11 @@ def decode_flac(payload: bytes) -> "dict | None":
     CRC-8 + CRC-16 verification, UTF-8 frame numbers, CONSTANT /
     VERBATIM / FIXED(0-4) / LPC(any order) subframes, Rice residuals
     at any partition order (including the 5-bit-parameter method and
-    raw escapes), and the STREAMINFO MD5 check over the reconstructed
-    PCM. Mono 16-bit; wasted bits, negative LPC shifts and stereo
-    decorrelation return None (documented out of scope). Returns {'samples', 'sample_rate', 'n_samples',
+    raw escapes), stereo decorrelation (left/side, right/side,
+    mid/side), and the STREAMINFO MD5 check over the reconstructed
+    PCM. 16-bit, 1-2 channels; wasted bits, negative LPC shifts,
+    >2 channels and non-16-bit depths return None (documented out of
+    scope). Returns {'samples', 'sample_rate', 'n_samples',
     'md5_ok', 'n_frames'}."""
     if payload is None or payload[:4] != b"fLaC":
         return None

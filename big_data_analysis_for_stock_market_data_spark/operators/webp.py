@@ -374,7 +374,14 @@ def build_webp_lossless(
             while i + run < n and argb[i + run] == argb[i]:
                 run += 1
             if run >= 3:
-                tokens.append(("copy", (run, 1)))
+                # VP8L caps a single backref at 4096 pixels (prefix
+                # symbols 0..23 only); longer runs must split or the
+                # green symbol lands in the color-cache range and the
+                # stream is undecodable.
+                rem = run
+                while rem > 0:
+                    tokens.append(("copy", (min(rem, 4096), 1)))
+                    rem -= min(rem, 4096)
                 if cache is not None:
                     cache[_cache_index(int(argb[i]), cache_bits)] = int(
                         argb[i]
@@ -472,9 +479,11 @@ def build_webp_lossless(
             put(cg, 280 + p)
 
     payload = bw.done()
-    if len(payload) & 1:
-        payload += b"\x00"  # RIFF chunks pad to even
-    body = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    # RIFF: the declared chunk size EXCLUDES the odd-length pad byte.
+    size = len(payload)
+    if size & 1:
+        payload += b"\x00"
+    body = b"WEBP" + b"VP8L" + struct.pack("<I", size) + payload
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

@@ -10853,8 +10853,10 @@ def mm_flac_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLAC-encoded (fixed-order prediction + Rice genuinely compress
     it) and decoded back; exact integer sums, the frame count implied
     by the 512-sample blocking, and the MD5 flag must equal the
-    closed-form replay. Extends native audio beyond PCM WAV; LPC
-    subframes and stereo decorrelation are the documented
+    closed-form replay. Extends native audio beyond PCM WAV; the
+    decoder also handles LPC subframes and stereo decorrelation
+    (left/side, right/side, mid/side) — wasted bits, negative LPC
+    shifts, >2 channels and non-16-bit depths are the remaining
     out-of-scope corners (reference north star: multimodal columns,
     SURVEY §2.8)."""
     from big_data_analysis_for_stock_market_data_spark.operators.flac import (
