@@ -100,6 +100,30 @@ COMMON_R05 = tuple(
 ) + ("stock_fe_671k", "stock_rf_671k")
 
 
+def bench_calibration(spark) -> float:
+    """Fixed CPU+shuffle sentinel (VERDICT r07 task 5): a ~2 s workload
+    that depends on NO registry code and NO input data — 24M generated
+    rows, sha2 hashing (CPU), a 40k-key groupBy (shuffle), noop sink.
+    Identical across rounds by construction, so round-over-round
+    headline deltas can be normalized against host speed (the r07
+    common-27 "regression" of 2.26x on unchanged code would have been
+    self-evident noise with this in the record)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 24_000_000, 1, 32)
+        .withColumn("h", F.sha2(F.col("id").cast("string"), 256))
+        .groupBy((F.col("id") % 40_000).alias("k"))
+        .agg(
+            F.sum(F.crc32(F.col("h"))).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    return time.time() - t0
+
+
 def bench_stock_ml(spark, timings: dict[str, float]) -> None:
     from big_data_analysis_for_stock_market_data_spark import ml, stock
 
@@ -154,6 +178,12 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footer caches.
     qs[names[0]](spark, sf_dir).count()
 
+    # Calibration sentinel: twice before and twice after the headliners
+    # (host noise drifts over multi-minute windows — memory:
+    # host-performance-variance); min = the machine's best, the spread =
+    # in-run drift.
+    calib_runs = [bench_calibration(spark) for _ in range(2)]
+
     # Two runs per query, min recorded: the first execution of a plan pays
     # one-time driver costs (analysis + whole-stage codegen janino compile —
     # ~12 s for the 64-wide minhash fold) that are constant at any data
@@ -172,6 +202,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_ML", "1") != "0":
         bench_stock_ml(spark, timings)
 
+    calib_runs += [bench_calibration(spark) for _ in range(2)]
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -188,6 +220,8 @@ def main() -> None:
                 "common_sec": round(
                     sum(v for k, v in timings.items() if k in COMMON_R05), 3
                 ),
+                "calib_sec": round(min(calib_runs), 3),
+                "calib_runs": [round(r, 3) for r in calib_runs],
                 "sf": sf_val,
             }
         )

@@ -16268,69 +16268,72 @@ def a45_cox_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r07 window (VERDICT r06 task 1): the never-driver-verdicted
-    # oracle-backed backlog in registration order (oldest first) — all 83
-    # passed the local sf0.01 oracle replay in r06 with zero failures, but
-    # the driver verdict is the bar. 46 backlog slots, then 4 forced:
-    # agg_exact_median_scalable (narrowing recursed this round, re-check),
-    # ml_lda_topics + ml_als_recommend (gained deterministic hash oracles
-    # this round, were no_oracle in r06), ml_rdd_compat_rf (the one entry
-    # with zero verdicts of any kind — rows>0 check). Rows-only entries
-    # other than ml_rdd_compat_rf are EXCLUDED from the window.
+    # r08 window (VERDICT r07 task 2): clear the driver-verdict backlog.
+    # Slots 1-5: the five since-oracled stale-reds (their only driver
+    # verdicts are pre-oracle "no_oracle" records from r02-r03; each has
+    # had a DuckDB oracle for rounds and passes locally). Slot 6: the
+    # fixed simsearch_int8_quant (r07's one driver-red — array output now
+    # scalar-projected as q8_csv on both engines). Slots 7-42: the 36
+    # r06-era never-verdicted entries in registration order. Slots 43-50:
+    # 8 of the 11 r07-registered entries, the two exact-integer ML stump
+    # twins first (they shadow the rows-only ML contract), then codecs.
+    # Rows-only entries are EXCLUDED (no slot may return no_oracle;
+    # ml_rdd_compat_rf got its rows>0 record in r07).
     #
-    # Remaining 36 backlog entries queue for the r08 window, still in
-    # registration order: ml_roc_points, text_pmi_pairs, dq_rule_violations, ml_scaler_fit_params, w_longest_streak, fn_regexp_suite, ml_psi_drift, fn_try_suite, ts_seasonal_indices, ml_chi2_select_stats, ind_local_extrema, a40_mode_stats, ind_wma_closed_form, ind_hist_var95, j12_star_denorm, fn_mod_semantics, s_csv_gzip_roundtrip, fn_boolean_agg_suite, fn_frame_semantics, s_ignore_corrupt_files, a41_largest_remainder_alloc, dq_id_gap_audit, s_dynamic_partition_overwrite, text_bm25_stats, a42_anova_twoway_stats, fn_date_interval_suite, ml_ndcg_stats, fn_hash_digest_suite, s_schema_projection_null, fn_lastvalue_frame_trap, ind_median3_smooth, dq_outlier_iqr_fences, g7_clustering_coeff_stats, a43_spearman_rho_stats, a44_kruskal_wallis_stats, a45_cox_score_stats.
-    # New entries registered this round join behind them.
-    "stream_interval_full_join",
-    "agg_hll_union",
-    "fn_sql_udf",
-    "fn_parameterized_sql",
-    "ps_pandas_api",
+    # Overflow queued for the r09 window (registry growth frozen per
+    # VERDICT r07 task 3, so r09 clears the debt entirely):
+    # mm_flac_stereo_decode, mm_png_interlaced_decode,
+    # mm_transcode_pipeline.
+    "agg_approx_distinct",
+    "dedup_minhash_near",
+    "simsearch_ivf_topk",
+    "ml_pca_variance",
+    "o3_random_split",
     "simsearch_int8_quant",
-    "s_schema_evolution",
-    "dq_referential_integrity",
-    "ts_seasonal_naive_backtest",
-    "mm_jpeg_native_decode",
-    "text_bpe_tokenize",
-    "text_bpe_merges",
-    "a29_welch_ttest",
-    "j7_interval_overlap",
-    "dedup_prefix_longest",
-    "j8_grid_radius_join",
-    "a30_pareto_skyline",
-    "text_url_canonical",
-    "agg_percentile_sketch_bound",
-    "g4_connected_components",
-    "ml_quantile_normalize",
-    "dq_table_fingerprint",
-    "fn_null_semantics",
-    "ml_random_projection",
-    "ml_winsorize_stats",
-    "a32_kaplan_meier",
-    "a33_cusum_alarm",
-    "s_compaction_rewrite",
-    "ml_target_encoding",
-    "a34_bootstrap_resamples",
-    "ml_feature_hashing",
-    "g5_degree_assortativity",
-    "j9_asof_nearest",
-    "w_rolling_ols_slope",
-    "s_csv_multiline_quoted",
-    "ts_holt_linear",
-    "dq_benford_firstdigit",
-    "fn_bitwise_suite",
-    "text_sentence_split",
-    "g6_common_neighbors",
-    "a37_weighted_median",
-    "a38_ratio_metric_stats",
-    "j10_point_in_polygon",
-    "w_time_weighted_avg",
-    "mm_resize_nearest_native",
-    "a39_mannwhitney_u",
-    "agg_exact_median_scalable",
-    "ml_lda_topics",
-    "ml_als_recommend",
-    "ml_rdd_compat_rf",
+    "ml_roc_points",
+    "text_pmi_pairs",
+    "dq_rule_violations",
+    "ml_scaler_fit_params",
+    "w_longest_streak",
+    "fn_regexp_suite",
+    "ml_psi_drift",
+    "fn_try_suite",
+    "ts_seasonal_indices",
+    "ml_chi2_select_stats",
+    "ind_local_extrema",
+    "a40_mode_stats",
+    "ind_wma_closed_form",
+    "ind_hist_var95",
+    "j12_star_denorm",
+    "fn_mod_semantics",
+    "s_csv_gzip_roundtrip",
+    "fn_boolean_agg_suite",
+    "fn_frame_semantics",
+    "s_ignore_corrupt_files",
+    "a41_largest_remainder_alloc",
+    "dq_id_gap_audit",
+    "s_dynamic_partition_overwrite",
+    "text_bm25_stats",
+    "a42_anova_twoway_stats",
+    "fn_date_interval_suite",
+    "ml_ndcg_stats",
+    "fn_hash_digest_suite",
+    "s_schema_projection_null",
+    "fn_lastvalue_frame_trap",
+    "ind_median3_smooth",
+    "dq_outlier_iqr_fences",
+    "g7_clustering_coeff_stats",
+    "a43_spearman_rho_stats",
+    "a44_kruskal_wallis_stats",
+    "a45_cox_score_stats",
+    "ml_gbt_exact_stumps",
+    "ml_rf_exact_stumps",
+    "mm_jpeg_color_decode",
+    "mm_jpeg_progressive_decode",
+    "mm_webp_lossless_decode",
+    "mm_avi_frame_sample",
+    "mm_flac_native_decode",
+    "mm_audio_features",
 )
 
 

@@ -305,9 +305,21 @@ def main() -> None:
                 f"{name}: {rec['exchanges']} exchanges (budget {budget})"
             )
 
+    # Completeness gate (VERDICT r07 task 4): the audit must cover the
+    # FULL registry — in r07 one entry was registered after the audit
+    # ran and shipped unaudited. The audit is the LAST end-of-round
+    # gate; a count mismatch with the live registry fails it.
+    n_registry = len(registry.queries())
+    if len(results) != n_registry:
+        violations.append(
+            f"audit covered {len(results)} entries but the registry has "
+            f"{n_registry} — re-run after the last registration"
+        )
+
     payload = {
         "sf_dir": sf_dir,
         "n_entries": len(results),
+        "n_registry": n_registry,
         "violations": violations,
         "entries": results,
     }
