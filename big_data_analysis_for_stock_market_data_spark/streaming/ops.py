@@ -556,7 +556,12 @@ class _scoped_state_partitions:
     interval join commits 128 instances twice (data batch + watermark
     eviction batch) — measured 72-122 s at sf0.1, dropping to 11-19 s
     at 8 partitions with identical results (state partitioning never
-    affects values, only placement). The number is read at the FIRST
+    affects values, only placement). An interleaved A/B probe
+    (tools/stream_drain_probe.py, STREAM_DRAIN_PROBE.json, r08) shows
+    the per-instance commit still dominates below 8: min drain 3.77 s
+    at 8 partitions vs 2.34 s at 2 (identical 39546-row results; 1
+    partition loses parallelism again at 2.49 s), so drains default to
+    2. The number is read at the FIRST
     batch of a new checkpoint, so scoping the conf around the drain is
     sufficient and cannot leak into concurrent batch plans (plans built
     before or after keep the session default; the registry drains
@@ -583,7 +588,7 @@ def run_to_memory(
     df: DataFrame,
     output_mode: str = "append",
     name: str | None = None,
-    state_partitions: "int | None" = 8,
+    state_partitions: "int | None" = 2,
 ) -> tuple[SparkSession, str]:
     """Execute a streaming DataFrame to completion over the data available
     now (``trigger(availableNow=True)``) into a memory sink; returns the
@@ -649,7 +654,7 @@ def run_upsert_to_parquet(
         fs.delete(hpath, True)
         fs.rename(spage, hpath)
 
-    with _scoped_state_partitions(df.sparkSession, 8):
+    with _scoped_state_partitions(df.sparkSession, 2):
         q = (
             df.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -673,7 +678,7 @@ def run_to_parquet(
     source data resumes from the recorded offsets. This is the production
     twin of ``run_to_memory`` (which exists for the batch-shaped oracle
     harness)."""
-    with _scoped_state_partitions(df.sparkSession, 8):
+    with _scoped_state_partitions(df.sparkSession, 2):
         q = (
             df.writeStream.format("parquet")
             .option("path", path)
