@@ -510,6 +510,15 @@ def deterministic_kmeans(
                     "centroid"
                 ),
             )
+            # Truncate lineage each round (the exact_rank_narrow /
+            # connected-components precedent): without this the
+            # centroid plan nests the full corpus once per iteration,
+            # and every downstream reference (corpus assign, query
+            # probe, PQ encode) re-executes the WHOLE training lineage
+            # — measured 16 parquet scans / 37 exchanges for
+            # ivf_det_topk at 2 iterations. The checkpointed frame is
+            # n_clusters rows; values are unchanged.
+            .localCheckpoint(eager=True)
         )
     return cents
 

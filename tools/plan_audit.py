@@ -152,10 +152,13 @@ EXCHANGE_BUDGET = {
     "text_contamination_check": 12,  # split -> train index -> cand -> verify
     "dedup_minhash_near": 12,      # signatures -> bands -> buckets -> verify
     "dedup_minhash_md5": 12,
-    "simsearch_ivf_det_topk": 40,  # unrolled Lloyd iterations (deliberate)
-    "simsearch_ivfpq_det_topk": 40,  # same Lloyd unroll + PQ encode
-    "dedup_semantic_ivf": 56,      # Lloyd unroll + in-cell pair self-join
-                                   # + dup-of agg + spine join-back
+    # r08: deterministic_kmeans localCheckpoints each Lloyd round, so
+    # the centroid lineage no longer unrolls into the plan (was 37-40
+    # exchanges / 16 scans); budgets re-pinned at the measured shape
+    "simsearch_ivf_det_topk": 8,   # assign + probe + rank (measured 4)
+    "simsearch_ivfpq_det_topk": 8,  # + PQ encode (measured 4)
+    "dedup_semantic_ivf": 10,      # in-cell pairs + dup-of agg +
+                                   # spine join-back (measured 7)
     "q21_sole_late_supplier": 12,  # 4-way join + semi + anti branches
     "a11_funnel_conversion": 13,   # per step: event shuffle + agg + join
     "w_rolling_active_users": 11,  # islands + deltas + 2-phase prefix sum
@@ -164,7 +167,8 @@ EXCHANGE_BUDGET = {
     "text_tfidf_topterms": 10,     # r05: corpus-count fold, same +1
     "a24_association_rules": 12,   # pairs + 2 item-support joins + rules
                                    # union + basket-count broadcast
-    "dedup_exact_substring": 11,   # window index -> df filter -> pair
+    # r08: grouped pair generation replaced the posting self-join
+    # (measured 4 exchanges, 1 scan); default budget suffices
                                    # self-join (posting referenced 3x)
     "agg_exact_median_scalable": 10,  # r07: recursive narrowing with
                                    # per-round checkpoints — final round
