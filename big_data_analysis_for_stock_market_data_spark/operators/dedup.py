@@ -348,19 +348,34 @@ def ngram_jaccard_near_dups(
     posting = shingled.select(
         id_col, F.explode("shingles").alias("__sh")
     )
-    rare = (
+    # Candidate generation in ONE pass over the posting list (the
+    # exact_substring_pairs r08 shape): the doc-freq cap bounds each
+    # surviving shingle's id list, so ordered pairs come from an
+    # in-group array explode instead of a posting self-join — which
+    # would otherwise re-execute the scan+shingle subtree three times
+    # (Spark shares no subplan across self-join sides without caching).
+    grouped = (
         posting.groupBy("__sh")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_doc_freq)
-        .select("__sh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+        .filter(
+            (F.size("__ids") >= 2) & (F.size("__ids") <= max_doc_freq)
+        )
     )
-    indexed = posting.join(rare, "__sh")
-    a = indexed.select(F.col(id_col).alias("id_a"), "__sh")
-    b = indexed.select(F.col(id_col).alias("id_b"), "__sh")
+    sz = F.size("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, sz - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pair_structs).alias("__p"))
+        .select(
+            F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b")
+        )
         .distinct()
     )
     return jaccard_verify(pairs, shingled, threshold, id_col).orderBy(
@@ -594,15 +609,20 @@ def cross_containment(
         F.col(id_col).alias("eval_id"), F.col("shingles").alias("eval_sh")
     )
     tpost = train_sh.select("train_id", F.explode("train_sh").alias("__sh"))
-    rare = (
+    # one grouped pass builds the doc-freq-capped index (id list bounded
+    # at max_doc_freq) — the separate count+join form executed the train
+    # scan+shingle subtree twice (r08, exact_substring_pairs precedent)
+    tindex = (
         tpost.groupBy("__sh")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_doc_freq)
-        .select("__sh")
+        .agg(F.collect_list("train_id").alias("__tids"))
+        .filter(F.size("__tids") <= max_doc_freq)
     )
-    indexed = tpost.join(rare, "__sh")
     epost = eval_sh.select("eval_id", F.explode("eval_sh").alias("__sh"))
-    cand = epost.join(indexed, "__sh").select("eval_id", "train_id").distinct()
+    cand = (
+        epost.join(tindex, "__sh")
+        .select("eval_id", F.explode("__tids").alias("train_id"))
+        .distinct()
+    )
     return (
         cand.join(eval_sh, "eval_id")
         .join(train_sh, "train_id")

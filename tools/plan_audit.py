@@ -148,8 +148,11 @@ DRIVER_ACTION_OK_PREFIXES = ("stream_", "stock_fe", "stock_rf")
 #: Multi-stage algorithms earn a larger, PINNED budget (adjudicated against
 #: the r04 audit): regressions past the pin still flag.
 EXCHANGE_BUDGET = {
-    "dedup_ngram_jaccard": 16,     # shingle index -> pairs -> verify joins
-    "text_contamination_check": 12,  # split -> train index -> cand -> verify
+    "dedup_ngram_jaccard": 10,     # grouped shingle index -> in-group
+                                   # pairs -> verify joins (r08: was 16
+                                   # with the posting self-join; measured 6)
+    "text_contamination_check": 9,  # split -> grouped train index ->
+                                    # cand -> verify (r08: measured 7)
     "dedup_minhash_near": 12,      # signatures -> bands -> buckets -> verify
     "dedup_minhash_md5": 12,
     # r08: deterministic_kmeans localCheckpoints each Lloyd round, so
