@@ -10276,12 +10276,25 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select("n_nationkey")
 
     def edge(name, child, parent, ck, pk):
-        orphans = child.join(
-            parent, child[ck] == parent[pk], "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
-        return orphans.crossJoin(total).select(
-            F.lit(name).alias("fk_edge"), "n_orphans", "n_rows"
+        # one pass per edge: LEFT join against the DISTINCT parent keys
+        # (distinct makes the join row-preserving even if the parent's
+        # "PK" has duplicates — this is a dq tool, it must not assume
+        # the invariant it audits), then orphan and total counts in the
+        # same aggregate. The former anti-join + separate-total form
+        # scanned the child twice per edge (12 scans for 4 edges; now 8)
+        # and crossed two 1-row aggregates.
+        marked = parent.select(F.col(pk)).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+        return (
+            child.join(marked, child[ck] == marked[pk], "left")
+            .agg(
+                F.count(F.when(F.col("__hit").isNull(), 1)).alias(
+                    "n_orphans"
+                ),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_orphans", "n_rows")
         )
 
     out = (

@@ -74,8 +74,6 @@ NESTED_LOOP_OK = {
     "a24_association_rules",  # basket-count 1-row agg x rules
     "stream_interval_left_join",  # watermark-horizon 1-row agg x drain
     "stream_interval_full_join",  # same watermark-horizon 1-row cross
-    "dq_referential_integrity",   # per-edge orphan-count 1-row x
-                                  # row-count 1-row crosses (4 edges)
     # r06: each BPE round crosses the 1-row winner aggregate into the
     # vocab-sized segment table — the broadcast 1-row pattern
     "text_bpe_merges",
@@ -207,10 +205,10 @@ EXCHANGE_BUDGET = {
                                    # CHECKPOINTED segment tables + the
                                    # final 4-branch rule union; corpus is
                                    # scanned once (words checkpoint)
-    "dq_referential_integrity": 16,  # r06: 4 FK edges x (anti join +
-                                   # orphan agg + row-count agg + 1-row
-                                   # cross) unioned — each branch reads
-                                   # DIFFERENT tables, nothing re-executes
+    "dq_referential_integrity": 10,  # r08: 4 FK edges, one fused
+                                   # left-join + conditional-count pass
+                                   # each (measured 8; was 16 with the
+                                   # anti-join + separate-total form)
     "ml_als_recommend": 12,        # r07: final scoring off checkpointed
                                    # factors — anti join + pool top-N +
                                    # rank window; earlier rounds live
