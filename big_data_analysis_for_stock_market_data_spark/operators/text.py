@@ -548,13 +548,17 @@ def bigram_logprob(
 
     Engine-exact like the unigram form: each PAIR's log10 p is quantized
     once to integer nano-units, the per-doc figure is an INTEGER sum.
-    Plan: one posexplode, one (doc, pos) window for the pair stream, two
-    grouped counts (bigram, unigram) + a left-context rollup of the
-    bigram table, token total folded in as a broadcast 1-row aggregate,
-    one pair-keyed join back, one per-doc sum, one spine-preserving left
-    join (docs with < 2 tokens keep a row: 0 bigrams, NULL score). Every
-    shuffle key is a token or doc id — no global order, no driver
-    scalars."""
+    Plan (r08): one posexplode + one (doc, pos) window feed a PER-DOC
+    pair-count table that is localCheckpoint'ed once — the bigram MLE
+    table, its left-context rollup, the pair scores AND the per-doc sum
+    all derive from it, so the expensive scan+explode+window subtree
+    executes exactly once (the fork previously re-executed it per
+    consumer: 6 parquet scans, now 3). The unigram table comes from a
+    second pass over the tokens; the token total folds out of the
+    unigram table as a broadcast 1-row aggregate (not a third corpus
+    pass). One spine-preserving left join keeps a row for docs with
+    < 2 tokens (0 bigrams, NULL score). Every shuffle key is a token or
+    doc id — no global order, no driver scalars."""
     scale = float(10 ** round_to)
     toks = df.select(
         F.col(id_col),
@@ -566,12 +570,20 @@ def bigram_logprob(
         .filter(F.col("a").isNotNull())
         .select(id_col, "a", F.col("term").alias("b"))
     )
-    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    # (doc, a, b, k): the sufficient statistic for BOTH the corpus
+    # bigram counts and the per-doc score; checkpointed so its lineage
+    # runs once (size ~= distinct per-doc bigrams < corpus token count)
+    pdoc = (
+        pairs.groupBy(id_col, "a", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    big = pdoc.groupBy("a", "b").agg(F.sum("k").alias("cab"))
     lefts = big.groupBy("a").agg(F.sum("cab").alias("ca"))
     uni = toks.groupBy(F.col("term").alias("b")).agg(
         F.count(F.lit(1)).alias("cb")
     )
-    n_total = toks.agg(F.count(F.lit(1)).alias("nt"))
+    n_total = uni.agg(F.sum("cb").alias("nt"))
     p = (
         F.lit(lam) * (F.col("cab").cast("double") / F.col("ca").cast("double"))
         + F.lit(1.0 - lam)
@@ -587,11 +599,11 @@ def bigram_logprob(
         )
     )
     perdoc = (
-        pairs.join(scored, ["a", "b"])
+        pdoc.join(scored, ["a", "b"])
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("logp_nano").alias("sum_logp_nano"),
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("logp_nano")).alias("sum_logp_nano"),
         )
     )
     return df.select(id_col).join(perdoc, id_col, "left").select(

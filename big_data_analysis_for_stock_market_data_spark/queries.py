@@ -4652,35 +4652,33 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    late = (
+    # ONE pass over lineitem⋈orders instead of the textbook
+    # semi-join + self-anti-join (which scanned lineitem three times —
+    # the late set twice plus the multi-supplier aggregate): per order,
+    # collect the distinct supplier set and the distinct LATE supplier
+    # set (both bounded by suppliers-per-order, ~7 in TPC-H data, so the
+    # arrays never blow up); "s single-handedly held up a multi-supplier
+    # order" is exactly |late| == 1 AND |supps| > 1. The join and the
+    # groupBy both key on l_orderkey, so the aggregate rides the join's
+    # partitioning with no extra shuffle.
+    is_late = F.col("l_shipdate") > F.timestamp_add(
+        "DAY", F.lit(90), F.col("o_orderdate")
+    )
+    per_order = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(
-            F.col("l_shipdate")
-            > F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("__supps"),
+            F.collect_set(F.when(is_late, F.col("l_suppkey"))).alias(
+                "__late"
+            ),
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("__ns"))
-        .filter(F.col("__ns") > 1)
-        .select("l_orderkey")
-    )
-    la = late.alias("la")
-    lb = late.alias("lb")
-    sole = (
-        la.join(multi, "l_orderkey", "left_semi")
-        .join(
-            lb,
-            (F.col("la.l_orderkey") == F.col("lb.l_orderkey"))
-            & (F.col("la.l_suppkey") != F.col("lb.l_suppkey")),
-            "left_anti",
-        )
+        .filter((F.size("__late") == 1) & (F.size("__supps") > 1))
+        .select(F.element_at("__late", 1).alias("l_suppkey"))
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        per_order.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -160,7 +160,8 @@ EXCHANGE_BUDGET = {
     "simsearch_ivfpq_det_topk": 8,  # + PQ encode (measured 4)
     "dedup_semantic_ivf": 10,      # in-cell pairs + dup-of agg +
                                    # spine join-back (measured 7)
-    "q21_sole_late_supplier": 12,  # 4-way join + semi + anti branches
+    # q21_sole_late_supplier: r08 fused one-pass form measured 3
+    # exchanges; default budget suffices
     "a11_funnel_conversion": 13,   # per step: event shuffle + agg + join
     "w_rolling_active_users": 11,  # islands + deltas + 2-phase prefix sum
     "a18_chi2_independence": 10,   # r05: grand-total .first() folded into
@@ -191,11 +192,8 @@ EXCHANGE_BUDGET = {
                                    # the ECDF scan and the totals branch —
                                    # a ReusedExchange at runtime; the
                                    # textual count double-counts it
-    "text_bigram_logprob": 14,     # the pair stream feeds both the count
-                                   # model and the score join-back; its
-                                   # identical window-shuffle subplan is
-                                   # reused at runtime (textual x2), plus
-                                   # bigram/unigram/left-context counts
+    # text_bigram_logprob: r08 checkpointed per-doc pair-count table
+    # collapses the fork (measured 8 exchanges); default budget suffices
     "ml_lift_table": 11,           # distinct-score agg under both the
                                    # prefix scan and the totals branch
                                    # (ReusedExchange at runtime), + the
