@@ -223,6 +223,11 @@ def lsh_candidate_pairs(
         # not itself materialize the |bucket|-element array it is guarding
         # against. COUNT is map-side partial-aggregatable, so the pre-pass
         # shuffles only (band, bucket, partial_count) rows.
+        # The (id, band, bucket) frame is checkpointed first — it is
+        # narrow (``bands`` longs per document) and feeds BOTH the count
+        # pre-pass and the join-back; without the checkpoint each fork
+        # re-executes the full 64-permutation signature fold (r08).
+        banded = banded.localCheckpoint(eager=True)
         keep = (
             banded.groupBy("band_id", "bucket")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -317,9 +322,24 @@ def minhash_near_dups(
     sigs = minhash_signatures(
         shingled, num_hashes, "shingles", id_col, hash_mode=hash_mode
     )
-    pairs = lsh_candidate_pairs(sigs, bands, id_col,
-                                max_bucket_size=max_bucket_size)
-    return jaccard_verify(pairs, shingled, threshold, id_col).orderBy(
+    # candidate pairs are tiny (LSH-sparse by design) — checkpoint them,
+    # then re-shingle ONLY the candidate documents for the exact verify:
+    # jaccard_verify reads its shingle table twice (a/b sides), and each
+    # side previously re-derived the FULL corpus shingle arrays (r08:
+    # the pipeline tokenized the corpus three times, now twice — once
+    # for signatures, once semi-join-reduced to candidates).
+    pairs = lsh_candidate_pairs(
+        sigs, bands, id_col, max_bucket_size=max_bucket_size
+    ).localCheckpoint(eager=True)
+    needed = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_needed = shingled.join(needed, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    return jaccard_verify(pairs, sh_needed, threshold, id_col).orderBy(
         "id_a", "id_b"
     )
 

@@ -429,18 +429,27 @@ def tfidf_top_terms(
     (Spark rounds via exact BigDecimal, other engines via float multiply,
     and the two disagree exactly at quantization boundaries). The emitted
     ``score_nano`` = round(tf · idf_nano) is therefore reproducible
-    bit-for-bit; rank ties break on the term. Three grouped aggregates +
-    one broadcast-sized idf join + a per-doc top-k window; N stays IN the
+    bit-for-bit; rank ties break on the term. The (doc, term, count)
+    table is the sufficient statistic for ALL THREE aggregates — doc
+    length is its per-doc count sum, document frequency is its per-term
+    row count (it is doc-term-distinct by construction) — so it is
+    computed once over the posting explode and localCheckpoint'ed (r08:
+    the three separate posting aggregates re-executed the scan+explode
+    subtree each, 4 scans / 10 exchanges, now 2 / 6). N stays IN the
     plan as a broadcast 1-row count aggregate (no driver scalar).
     ``round_to`` sets the fixed-point scale (9 = nano)."""
     scale = float(10 ** round_to)
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     posting = df.select(F.col(id_col), F.explode(tokens_col(F.col(col))).alias("term"))
-    tf = posting.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__cnt"))
-    dl = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dlen"))
+    tf = (
+        posting.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("__cnt").alias("__dlen"))
     dfq = (
-        posting.groupBy("term")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .crossJoin(F.broadcast(n_docs))
     )
     idf_nano = F.round(

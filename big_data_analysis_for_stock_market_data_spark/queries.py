@@ -4601,12 +4601,18 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(dsum(F.col("l_quantity"), "qty"))
     )
-    tot = shipped.groupBy("l_partkey").agg(
-        F.sum(F.col("qty").cast("decimal(18,6)")).cast("double").alias("total")
+    # per-part total as a WINDOW over the aggregate's own partitioning —
+    # not a groupBy + join-back, which re-executes the shipped subtree
+    # (r08: was 5 scans / 9 exchanges, now 3 / 3); the window needs no
+    # new exchange on top of the (l_partkey, l_suppkey) hash clustering
+    total = (
+        F.sum(F.col("qty").cast("decimal(18,6)"))
+        .over(Window.partitionBy("l_partkey"))
+        .cast("double")
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        shipped.join(tot, "l_partkey")
+        shipped.withColumn("total", total)
         .filter(F.col("qty") > 0.5 * F.col("total"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name")
@@ -16080,29 +16086,22 @@ def a43_spearman_rho_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rx = doubled_ranks("x")
     ry = doubled_ranks("y")
-    tie_x = rx.groupBy("grp").agg(
-        F.sum(
-            F.col("c_x") * F.col("c_x") * F.col("c_x") - F.col("c_x")
-        ).alias("tie_cube_x")
-    )
-    tie_y = ry.groupBy("grp").agg(
-        F.sum(
-            F.col("c_y") * F.col("c_y") * F.col("c_y") - F.col("c_y")
-        ).alias("tie_cube_y")
-    )
+    # tie cubes fold into the SAME row-grain aggregate: each distinct
+    # value with tie count c contributes c*(c^2 - 1) = sum over its c
+    # rows of (c^2 - 1), so summing (c^2 - 1) per row equals the
+    # value-grain cube sum — no separate tie branches (which re-executed
+    # the rank subtrees and joined back: 14 exchanges, now 8)
     d = F.col("dr_x") - F.col("dr_y")
-    per_grp = (
-        base.join(rx.drop("c_x"), ["grp", "x"])
-        .join(ry.drop("c_y"), ["grp", "y"])
+    return (
+        base.join(rx, ["grp", "x"])
+        .join(ry, ["grp", "y"])
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(d * d).alias("sum_d2_x4"),
+            F.sum(F.col("c_x") * F.col("c_x") - 1).alias("tie_cube_x"),
+            F.sum(F.col("c_y") * F.col("c_y") - 1).alias("tie_cube_y"),
         )
-    )
-    return (
-        per_grp.join(tie_x, "grp")
-        .join(tie_y, "grp")
         .select("grp", "n", "sum_d2_x4", "tie_cube_x", "tie_cube_y")
         .orderBy("grp")
     )

@@ -179,9 +179,8 @@ EXCHANGE_BUDGET = {
     "g7_clustering_coeff_stats": 15,  # triangle join (3 edge readers of
                                    # the checkpoint) + 3-corner explode
                                    # union + degree union + final join
-    "a43_spearman_rho_stats": 14,  # two value-grain rank pipelines
-                                   # (agg + cum window + join-back) +
-                                   # two tie-sum branches + final join
+    # a43_spearman_rho_stats: r08 folded the tie cubes into the final
+    # row-grain aggregate (measured 5 exchanges); default budget suffices
     "fn_null_semantics": 15,       # a five-branch parity SUITE by design
                                    # (base counters + null group + <=>
                                    # join + = join + anti join), each
