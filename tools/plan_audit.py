@@ -149,8 +149,12 @@ EXCHANGE_BUDGET = {
     "dedup_ngram_jaccard": 10,     # grouped shingle index -> in-group
                                    # pairs -> verify joins (r08: was 16
                                    # with the posting self-join; measured 6)
-    "text_contamination_check": 9,  # split -> grouped train index ->
-                                    # cand -> verify (r08: measured 7)
+    "text_contamination_check": 11,  # split -> grouped train index ->
+                                    # cand -> verify (r08: 7 shuffles at
+                                    # sf0.01; +3 BroadcastExchange at
+                                    # sf0.001 where the small sides
+                                    # broadcast — the textual count
+                                    # includes them)
     "dedup_minhash_near": 12,      # signatures -> bands -> buckets -> verify
     "dedup_minhash_md5": 12,
     # r08: deterministic_kmeans localCheckpoints each Lloyd round, so
@@ -191,8 +195,10 @@ EXCHANGE_BUDGET = {
                                    # the ECDF scan and the totals branch —
                                    # a ReusedExchange at runtime; the
                                    # textual count double-counts it
-    # text_bigram_logprob: r08 checkpointed per-doc pair-count table
-    # collapses the fork (measured 8 exchanges); default budget suffices
+    "text_bigram_logprob": 13,     # r08: checkpointed per-doc pair-count
+                                   # table collapses the fork (8 shuffles
+                                   # at sf0.01; +4 BroadcastExchange at
+                                   # sf0.001's broadcast regime)
     "ml_lift_table": 11,           # distinct-score agg under both the
                                    # prefix scan and the totals branch
                                    # (ReusedExchange at runtime), + the
@@ -202,10 +208,11 @@ EXCHANGE_BUDGET = {
                                    # CHECKPOINTED segment tables + the
                                    # final 4-branch rule union; corpus is
                                    # scanned once (words checkpoint)
-    "dq_referential_integrity": 10,  # r08: 4 FK edges, one fused
+    "dq_referential_integrity": 13,  # r08: 4 FK edges, one fused
                                    # left-join + conditional-count pass
-                                   # each (measured 8; was 16 with the
-                                   # anti-join + separate-total form)
+                                   # each (8 shuffles at sf0.01, was 16
+                                   # with anti-join + separate-total;
+                                   # +4 BroadcastExchange at sf0.001)
     "ml_als_recommend": 12,        # r07: final scoring off checkpointed
                                    # factors — anti join + pool top-N +
                                    # rank window; earlier rounds live
