@@ -108,6 +108,70 @@ def test_bmp_roundtrip_random(dim, seed):
     assert out is not None and np.array_equal(out, px)
 
 
+def _rng_zz(seed: int, n_blocks: int, density: int) -> np.ndarray:
+    """Random zig-zag coefficient blocks within Annex-K category limits
+    (|AC| <= 1023; |DC| <= 1023 keeps every DC diff under category 11)."""
+    rng = np.random.default_rng(seed)
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    zz[:, 0] = rng.integers(-1023, 1024, size=n_blocks)
+    for b in range(n_blocks):
+        ks = rng.choice(np.arange(1, 64), size=density, replace=False)
+        zz[b, ks] = rng.integers(1, 1024, size=density) * rng.choice(
+            [-1, 1], size=density
+        )
+    return zz
+
+
+@given(bw=st.integers(1, 4), bh=st.integers(1, 3),
+       seed=st.integers(0, 2**32 - 1), density=st.integers(0, 40),
+       ri=st.sampled_from([0, 1, 3]))
+@SETTINGS
+def test_jpeg_baseline_coeff_replay_random(bw, bh, seed, density, ri):
+    zz = _rng_zz(seed, bw * bh, density)
+    d = M.decode_jpeg_baseline(
+        M.build_jpeg_from_coeffs(zz, bw, bh, restart_interval=ri)
+    )
+    assert d is not None and np.array_equal(d["zigzag"], zz)
+
+
+@given(bw=st.integers(1, 3), bh=st.integers(1, 2),
+       seed=st.integers(0, 2**32 - 1), density=st.integers(0, 30))
+@SETTINGS
+def test_jpeg_progressive_matches_baseline_random(bw, bh, seed, density):
+    """Annex-G progressive and Annex-F baseline entropy paths must agree
+    on arbitrary coefficients — same zigzag, same pixels."""
+    zz = _rng_zz(seed, bw * bh, density)
+    prog = M.decode_jpeg_progressive(
+        M.build_jpeg_progressive_from_coeffs(zz, bw, bh)
+    )
+    base = M.decode_jpeg_baseline(M.build_jpeg_from_coeffs(zz, bw, bh))
+    assert prog is not None and np.array_equal(prog["zigzag"], zz)
+    assert np.array_equal(base["zigzag"], prog["zigzag"])
+    assert np.array_equal(base["pixels"], prog["pixels"])
+
+
+@given(mx=st.integers(1, 3), my=st.integers(1, 2),
+       sampling=st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+       seed=st.integers(0, 2**32 - 1), density=st.integers(0, 20),
+       ri=st.sampled_from([0, 2]))
+@SETTINGS
+def test_jpeg_color_coeff_replay_random(mx, my, sampling, seed, density, ri):
+    hy, vy = sampling
+    n_mcus = mx * my
+    y = _rng_zz(seed, n_mcus * hy * vy, density)
+    cb = _rng_zz(seed ^ 0xCB, n_mcus, density)
+    cr = _rng_zz(seed ^ 0xC4, n_mcus, density)
+    d = M.decode_jpeg_color(M.build_jpeg_color_from_coeffs(
+        y, cb, cr, mx, my, sampling, restart_interval=ri,
+    ))
+    assert d is not None
+    gy, gcb, gcr = d["zigzag_comps"]
+    assert np.array_equal(gy, y)
+    assert np.array_equal(gcb, cb) and np.array_equal(gcr, cr)
+    assert d["sampling"] == [(hy, vy), (1, 1), (1, 1)]
+    assert d["pixels"].shape == (8 * vy * my, 8 * hy * mx, 3)
+
+
 samples16 = st.lists(
     st.integers(-32768, 32767), min_size=1, max_size=1600,
 )
