@@ -115,6 +115,41 @@ def test_ngram_jaccard_matches_bruteforce(spark, docs, n, threshold, cap):
         assert abs(got[k] - v) < 1e-12
 
 
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=12,
+))
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation must converge to the same
+    clustering as a sequential union-find on random (multi/self-)edge
+    lists — including chain graphs deeper than one propagation round."""
+    got = {
+        r.doc_id: r.component
+        for r in dd.connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long")
+        ).collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+
+
 def _bpe_reference(docs: list, n_merges: int):
     """Sennrich-style BPE with the engine's documented tie-break
     (count DESC, left ASC, right ASC) and left-to-right non-overlapping
