@@ -54,6 +54,46 @@ def test_interval_overlap_join_matches_bruteforce(spark, li, ri, bin_width):
     assert set(got) == expected
 
 
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 50),
+              st.sampled_from("abc")),
+    min_size=1, max_size=14, unique_by=lambda e: (e[0], e[1]),
+)
+
+
+@given(events=events_strategy,
+       pattern=st.sampled_from([
+           "a>b", "a>.*>c", "a(>b)+", "(a>)+b", "b", "a>b>c",
+       ]))
+@SETTINGS
+def test_sequence_pattern_match_matches_python_re(spark, events, pattern):
+    """MATCH_RECOGNIZE-lite must count the same left-to-right
+    non-overlapping matches as Python re on the same ordered chain
+    (patterns stay in the Java-regex ∩ RE2 ∩ Python common subset)."""
+    import re
+
+    from big_data_analysis_for_stock_market_data_spark.operators.windows import (
+        sequence_pattern_match,
+    )
+
+    df = spark.createDataFrame(events, "uid long, ts long, step string")
+    got = {
+        r.uid: (r.n_events, r.event_chain, r.n_matches)
+        for r in sequence_pattern_match(
+            df, ["uid"], "ts", "step", pattern
+        ).collect()
+    }
+    chains = {}
+    for uid, ts, step in sorted(events):
+        chains.setdefault(uid, []).append(step)
+    expected = {
+        uid: (len(steps), ">".join(steps),
+              len(re.findall(pattern, ">".join(steps))))
+        for uid, steps in chains.items()
+    }
+    assert got == expected
+
+
 day_series = st.dictionaries(
     st.integers(0, 40),                      # day offset
     st.one_of(st.none(), st.integers(-99, 99)),  # observed value (or null)
