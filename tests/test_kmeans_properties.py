@@ -24,6 +24,42 @@ SETTINGS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+ranked_values = st.one_of(
+    st.lists(st.integers(-10**12, 10**12), min_size=1, max_size=60),
+    st.lists(st.integers(-3, 3), min_size=1, max_size=60),  # dense dups
+)
+
+
+@given(vals=ranked_values, kfrac=st.floats(0.0, 1.0))
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_rank_narrow_selects_true_order_statistic(spark, vals, kfrac):
+    """The recursive 1024-bucket narrowing must select exactly
+    sorted(vals)[k-1] for any k — duplicates, all-equal columns, and
+    huge sparse ranges included (the bucket-boundary regimes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_for_stock_market_data_spark.operators.aggregates import (
+        exact_rank_narrow,
+    )
+
+    k = max(1, min(len(vals), int(round(kfrac * len(vals))) or 1))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    survivors, kdf = exact_rank_narrow(df, "x", k=k, rounds=2)
+    picked = (
+        survivors.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(F.col("x").asc()))
+        )
+        .join(kdf, F.col("__rn") == F.col("k"))
+        .select("x")
+        .collect()
+    )
+    assert [r.x for r in picked] == [sorted(vals)[k - 1]]
+
+
 vectors = st.lists(
     st.lists(st.integers(-8, 8).map(lambda q: q / 4.0),
              min_size=2, max_size=2),
