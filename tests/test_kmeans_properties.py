@@ -1,4 +1,5 @@
-"""Hypothesis twin: deterministic_kmeans vs a pure-Python Lloyd replay.
+"""Hypothesis twins: deterministic_kmeans vs a pure-Python Lloyd
+replay, and exact_rank_narrow vs sorted()[k-1].
 
 deterministic_kmeans is the engine-deterministic coarse quantizer under
 the IVF / IVF-PQ / SemDeDup scale paths; its spec (md5-bucket init
@@ -60,9 +61,11 @@ def test_exact_rank_narrow_selects_true_order_statistic(spark, vals, kfrac):
     assert [r.x for r in picked] == [sorted(vals)[k - 1]]
 
 
+# integer quarters, converted to floats inside the test — a named or
+# lambda .map here would route through hypothesis's lambda-source
+# introspection, which breaks if the file is edited while a run is live
 vectors = st.lists(
-    st.lists(st.integers(-8, 8).map(lambda q: q / 4.0),
-             min_size=2, max_size=2),
+    st.lists(st.integers(-8, 8), min_size=2, max_size=2),
     min_size=3, max_size=10,
 )
 
@@ -99,6 +102,7 @@ def _kmeans_reference(vecs, n_clusters, n_iters):
 @SETTINGS
 def test_deterministic_kmeans_matches_python_replay(spark, vecs, n_clusters,
                                                     n_iters):
+    vecs = [[q / 4.0 for q in v] for v in vecs]
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<double>",
