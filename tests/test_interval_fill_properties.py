@@ -124,7 +124,7 @@ def test_gap_fill_then_locf_matches_pandas(spark, s0, s1):
         )
         ser = pd.Series(
             {base + dt.timedelta(days=d): v for d, v in series.items()},
-            dtype="object",
+            dtype="Int64",  # nullable ints: ffill without object-dtype
         ).reindex([d.date() for d in idx]).ffill()
         for day, v in ser.items():
             expected[(k, day)] = None if pd.isna(v) else int(v)
