@@ -532,10 +532,11 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decode_backend == "stub":
             raise NotImplementedError(
-                "decode beyond the native codec set (progressive JPEG, "
-                "WebP, video) requires an image library (e.g. pillow), "
-                "not installed in this environment; WAV/BMP/PNG/GIF/"
-                "baseline-JPEG (grayscale + 4:2:0 color) decode via "
+                "decode beyond the native codec set (lossy WebP/VP8, "
+                "inter-frame video) requires an image library (e.g. "
+                "pillow), not installed in this environment; WAV/BMP/"
+                "PNG (incl. Adam7)/GIF/JPEG (baseline gray+color and "
+                "progressive)/WebP-lossless decode via "
                 "decode_backend='native'"
             )
         fn = _fake_feature if decode_backend == "fake" else (
@@ -599,10 +600,11 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decode_backend == "stub":
             raise NotImplementedError(
-                "resize beyond the native codec set (progressive JPEG, "
-                "WebP, video) requires an imaging library (e.g. pillow), "
-                "not installed in this environment; BMP/PNG/GIF/"
-                "baseline-JPEG resize via decode_backend='native'"
+                "resize beyond the native codec set (lossy WebP/VP8, "
+                "inter-frame video) requires an imaging library (e.g. "
+                "pillow), not installed in this environment; BMP/PNG/"
+                "GIF/JPEG (baseline gray+color and progressive)/"
+                "WebP-lossless resize via decode_backend='native'"
             )
         fn = fake_bitmap if decode_backend == "fake" else native_resize
         for pdf in batches:
