@@ -150,6 +150,44 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == expected
 
 
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=14,
+), seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+    max_hops=st.sampled_from([1, 2, 4]))
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bfs_hops_matches_python_bfs(spark, edges, seeds, max_hops):
+    """Level-synchronous BFS must report the same bounded min-hop
+    distances as a sequential BFS on random directed (multi/self-)edge
+    graphs, seeds included at 0."""
+    from big_data_analysis_for_stock_market_data_spark.operators.graph import bfs_hops
+
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(
+            spark.createDataFrame(edges, "u long, v long"),
+            spark.createDataFrame([(s,) for s in seeds], "node long"),
+            max_hops,
+        ).collect()
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    expected = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for level in range(1, max_hops + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ())
+            if v not in expected
+        }
+        for v in frontier:
+            expected[v] = level
+    assert got == expected
+
+
 def _bpe_reference(docs: list, n_merges: int):
     """Sennrich-style BPE with the engine's documented tie-break
     (count DESC, left ASC, right ASC) and left-to-right non-overlapping
