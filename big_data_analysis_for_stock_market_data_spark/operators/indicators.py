@@ -147,6 +147,16 @@ def rolling_beta(
     step has identical semantics in Spark and any ANSI engine, so an SQL
     twin is bit-identical. One window, no extra shuffle beyond the
     (partition, order) the indicator family already uses.
+
+    Cross-engine caveat on the INPUT quantization: the double→
+    DECIMAL(12,6) cast rounds differently across engines when a value
+    sits within an ulp of a ``.xxxxxx5`` decimal boundary (Spark rounds
+    the shortest decimal repr HALF_UP; DuckDB rounds the exact binary
+    value). Raw data columns with ≤6 decimal digits are exact and safe;
+    COMPUTED inputs (means, ratios) must be pre-rounded in integer
+    space — ``round(x * 1e6) / 1e6``, whose half-boundary is binary-
+    exact so every engine agrees — before calling (see the
+    ``ind_rolling_beta`` entry, which hit exactly this at sf0.001).
     """
     fr = _frame(partition_by, order_by, n)
     v6 = F.col(value_col).cast("decimal(12,6)")
