@@ -99,6 +99,14 @@ COMMON_R05 = tuple(
     q for q in HEADLINE if q not in _R07_PROMOTIONS
 ) + ("stock_fe_671k", "stock_rf_671k")
 
+# r09 freeze (VERDICT r08 task 4): the 41-headliner set now has two
+# rounds of driver data (r07 noisy, r08 clean), so it freezes too —
+# round-over-round deltas become ONE number (common41_sec) while
+# common_sec keeps the longer r05 history. Any future HEADLINE
+# promotion joins neither frozen set.
+COMMON_R08 = tuple(HEADLINE) + ("stock_fe_671k", "stock_rf_671k")
+assert len(COMMON_R08) == 41, len(COMMON_R08)
+
 
 def bench_calibration(spark) -> float:
     """Fixed CPU+shuffle sentinel (VERDICT r07 task 5): a ~2 s workload
@@ -219,6 +227,10 @@ def main() -> None:
                 "common_set": "r05_27",
                 "common_sec": round(
                     sum(v for k, v in timings.items() if k in COMMON_R05), 3
+                ),
+                "common41_set": "r08_41",
+                "common41_sec": round(
+                    sum(v for k, v in timings.items() if k in COMMON_R08), 3
                 ),
                 "calib_sec": round(min(calib_runs), 3),
                 "calib_runs": [round(r, 3) for r in calib_runs],

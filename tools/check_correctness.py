@@ -120,6 +120,10 @@ def main() -> int:
         if a == "--fetchall":
             pass
         elif a == "--skip":
+            if i + 1 >= len(argv):
+                print("usage: check_correctness.py [--fetchall] "
+                      "[--skip a,b,...] [sf_dir] [query ...]", file=sys.stderr)
+                return 2
             i += 1
             skip.update(argv[i].split(","))
         else:
