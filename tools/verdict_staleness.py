@@ -325,6 +325,7 @@ def audit(repo: str) -> int:
         by_round.setdefault(rnd, []).append(entry)
 
     stale: dict[str, str] = {}
+    fallback_rounds: dict[int, str] = {}
     for rnd, entries in sorted(by_round.items()):
         if rnd == 0:
             for e in entries:
@@ -332,6 +333,13 @@ def audit(repo: str) -> int:
             continue
         ref = _round_commit(repo, rnd)
         if ref is None:
+            # FALLBACK MODE: the round-`rnd` artifact commit is missing
+            # (typically uncommitted round artifacts), so the strong
+            # "compare against the judged tree" check degrades to marking
+            # the whole cohort stale. Correct but weaker -- surfaced in
+            # STALENESS.json as `fallback_rounds` so a green audit that ran
+            # degraded is machine-distinguishable from a strong one.
+            fallback_rounds[rnd] = "artifact commit not found"
             for e in entries:
                 stale[e] = f"round-{rnd} artifact commit not found"
             continue
@@ -339,6 +347,7 @@ def audit(repo: str) -> int:
             old = _snapshot_at(repo, ref)
         except RuntimeError as exc:
             print(f"WARN: {exc}", file=sys.stderr)
+            fallback_rounds[rnd] = "tree not fingerprintable"
             for e in entries:
                 stale[e] = f"round-{rnd} tree not fingerprintable"
             continue
@@ -358,11 +367,14 @@ def audit(repo: str) -> int:
         "stale": stale,
         "stale_in_window_head": head_ok,
         "stale_missing_from_window": missing,
+        "mode": "fallback" if fallback_rounds else "strong",
+        "fallback_rounds": {str(r): why for r, why in fallback_rounds.items()},
     }
     with open(os.path.join(repo, "STALENESS.json"), "w", encoding="utf-8") as fh:
         json.dump(report, fh, indent=2, sort_keys=True)
     print(json.dumps({k: report[k] for k in
-                      ("n_entries", "n_stale", "stale_in_window_head")}))
+                      ("n_entries", "n_stale", "stale_in_window_head",
+                       "mode")}))
     if stale:
         for e, why in sorted(stale.items()):
             mark = "OK(windowed)" if e in window else "FAIL(not in window)"
