@@ -101,6 +101,52 @@ def brute_force_topk(
     )
 
 
+#: resolve_n_planes defaults: 8 planes saturate recall up to ~2000 corpus
+#: rows (ANN_SCALE_PROBE.json); each corpus-size doubling past that adds
+#: one plane, holding expected bucket occupancy — and therefore candidate
+#: pairs per row — roughly constant instead of linear in corpus size.
+AUTO_PLANES_BASE = 8
+AUTO_PLANES_BASE_ROWS = 2000
+
+
+def resolve_n_planes(
+    n_planes: int | str,
+    corpus: DataFrame | None = None,
+    corpus_rows: int | None = None,
+) -> int:
+    """Bucket-width sizing for the sign-LSH family. ``n_planes='auto'``
+    returns ``AUTO_PLANES_BASE + k`` where k is the smallest integer with
+    ``AUTO_PLANES_BASE_ROWS * 2**k >= corpus_rows`` — the integer-exact
+    form of ``8 + ceil(log2(corpus_rows / 2000))``, floored at 8 for small
+    corpora.
+
+    Why this exists: ANN_SCALE_PROBE.json measured that a FIXED plane
+    count turns bucket-join cost quadratic in corpus size (candidates per
+    left row grew 9.6x when the corpus grew 10x; the join 50x), while
+    adding ceil(log2(scale)) planes held candidate growth to 2.7x at
+    99.8% matched-row coverage. At 100 TB a caller taking the default
+    must get the sized family, not the cliff.
+
+    ``corpus_rows`` is an optional hint that avoids the one bounded
+    driver action (a ``count()``) auto mode otherwise fires; an int
+    ``n_planes`` passes through untouched (explicit override)."""
+    if n_planes == "auto":
+        rows = corpus_rows
+        if rows is None:
+            if corpus is None:
+                raise ValueError(
+                    "n_planes='auto' requires corpus or corpus_rows"
+                )
+            rows = corpus.count()
+        k = 0
+        while AUTO_PLANES_BASE_ROWS << k < rows:
+            k += 1
+        return AUTO_PLANES_BASE + k
+    if isinstance(n_planes, bool) or not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
+    return n_planes
+
+
 def _hyperplane_dot(vec: Column, table: int, plane: int, dim: int) -> Column:
     """Σ_j vec[j] · s(table, plane, j) with ±1 components derived from
     seeded xxhash64 INSIDE the expression — no dim-sized literal arrays.
@@ -147,13 +193,14 @@ def lsh_bucket_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     plane_mode: str = "hash",
     round_to: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-random-projection buckets over ``n_tables``
     independent tables (union of candidates → recall boost), exact cosine
@@ -162,7 +209,10 @@ def lsh_bucket_topk(
     query batches (the IVF-file pattern). ``round_to`` rounds the cosine
     BEFORE ranking so near-ties order identically across engines;
     ``plane_mode='axis'`` makes the bucket family SQL-replayable (see
-    ``_bucket_expr``)."""
+    ``_bucket_expr``). ``n_planes='auto'`` sizes the bucket width from the
+    corpus cardinality (``resolve_n_planes``) so the candidate volume stays
+    flat as the corpus grows; ``corpus_rows`` skips the sizing count."""
+    n_planes = resolve_n_planes(n_planes, corpus, corpus_rows)
     corpus = ensure_parallelism(corpus)
     c_buckets = corpus.select(
         id_col, vec_col,
@@ -210,12 +260,13 @@ def ann_join(
     right: DataFrame,
     k: int = 1,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     plane_mode: str = "hash",
     round_to: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Corpus-to-corpus approximate nearest-neighbor JOIN: for every left
     vector, its top-k approximate neighbors among the right vectors —
@@ -229,7 +280,12 @@ def ann_join(
     100 TB corpora. Exact cosine re-ranks candidates; ``round_to`` rounds
     before ranking for cross-engine tie stability; ``plane_mode='axis'``
     makes the family SQL-replayable. A left vector with no shared bucket
-    yields no row (ANN contract: recall is tunable via tables/planes)."""
+    yields no row (ANN contract: recall is tunable via tables/planes).
+    ``n_planes='auto'`` sizes the bucket width from the RIGHT (retrieved)
+    corpus cardinality via ``resolve_n_planes`` — the measured fix for the
+    fixed-plane quadratic-candidates cliff; ``corpus_rows`` skips the
+    sizing count."""
+    n_planes = resolve_n_planes(n_planes, right, corpus_rows)
     l_b = ensure_parallelism(left).select(
         F.col(id_col).alias("__lid"),
         F.col(vec_col).alias("__lvec"),
@@ -381,14 +437,18 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 4,
     dim: int = 64,
     plane_mode: str = "hash",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup's semantic variant):
     LSH-bucket the corpus against itself, exact-cosine verify, keep pairs
-    ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b."""
+    ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b.
+    ``n_planes='auto'`` sizes buckets from the corpus cardinality
+    (``resolve_n_planes``); ``corpus_rows`` skips the sizing count."""
+    n_planes = resolve_n_planes(n_planes, df, corpus_rows)
     df = ensure_parallelism(df)
     bucketed = df.select(
         id_col, vec_col,

@@ -16488,6 +16488,388 @@ def scale10_daygrain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "simsearch_ann_auto_planes",
+    # the oracle derives the SAME plane count the operator's auto mode
+    # computes — 8 + min k with 2000*2^k >= |right corpus| — so the bucket
+    # family, candidate set, and ranking replay exactly at ANY sf (the
+    # plane count is data-dependent by design, so it must be computed, not
+    # hard-coded, in the SQL twin)
+    oracle=f"""
+    WITH np AS (
+      SELECT 8 + COALESCE((
+        SELECT MIN(k) FROM (SELECT unnest(range(0, 40)) AS k)
+        WHERE 2000 * (1::BIGINT << k) >=
+              (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1)), 0)
+        AS n
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             list_transform(range(0, 8), t ->
+               t * (1::BIGINT << np.n)
+               + list_sum(list_transform(range(0, np.n),
+                   p -> CASE WHEN embedding[(t * np.n + p) % 64 + 1] >= 0
+                             THEN (1::BIGINT << p) ELSE 0 END))) AS bks
+      FROM embeddings, np
+    ),
+    l AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+    r AS (SELECT * FROM b WHERE vec_id % 2 = 1),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS neighbor_id,
+             l.embedding AS le, r.embedding AS re
+      FROM l JOIN r ON len(list_intersect(l.bks, r.bks)) > 0
+    ),
+    scored AS (
+      SELECT left_id, neighbor_id,
+             ROUND({_duck_dot('le', 're')}
+                   / ({_duck_norm('le')} * {_duck_norm('re')}), 6) AS cos_sim
+      FROM cand
+    )
+    SELECT left_id, neighbor_id, cos_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY left_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 2
+    """,
+)
+def simsearch_ann_auto_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_join in its production DEFAULT sizing mode: ``n_planes='auto'``
+    resolves the bucket width from the retrieved corpus's cardinality
+    (operators/simsearch.resolve_n_planes — 8 + ceil(log2(rows/2000)),
+    integer-exact), the measured fix for the fixed-plane cliff
+    ANN_SCALE_PROBE.json quantified (fixed 8 planes → 9.6x candidate
+    growth at 10x corpus; sized planes → 2.7x at 99.8% coverage). Even
+    ids retrieve top-2 among odd ids through the sign-LSH bucket shuffle
+    join; axis planes + 6-dp pre-rank rounding keep it SQL-replayable.
+    The sizing count is ONE bounded driver action (a scalar count()),
+    avoidable in production via the corpus_rows hint — exercised here
+    without the hint because the default path is what's under test."""
+    from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ss.ann_join(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=2, n_planes="auto", n_tables=8, plane_mode="axis", round_to=6,
+    )
+
+
+@register(
+    "scale10_minhash_band",
+    # the MinHash banding fold at 10x: the oracle replays shingles (shared
+    # CTEs), the 16-permutation md5-60 signature, 4-band r=4 band keys,
+    # and the bucket aggregate per copy, then folds pure integers per copy
+    oracle=f"""
+    WITH {_NGRAM_JACCARD_CTES},
+    rep AS (
+      SELECT doc_id, shingles, r.range AS copy_id
+      FROM sh CROSS JOIN range(10) r
+    ),
+    shing AS (SELECT doc_id, copy_id, unnest(shingles) AS s FROM rep),
+    base AS (
+      SELECT doc_id, copy_id, s,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h0
+      FROM shing
+    ),
+    sigs AS (
+      SELECT doc_id, copy_id, i.range AS i,
+             MIN(CAST(('0x' || substr(md5(h0::VARCHAR || ':' || i.range),
+                                      1, 15)) AS BIGINT)) AS sig
+      FROM base CROSS JOIN range(0, 16) i
+      GROUP BY doc_id, copy_id, i.range
+    ),
+    bandkeys AS (
+      SELECT doc_id, copy_id, i // 4 AS band,
+             STRING_AGG(sig::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM sigs GROUP BY doc_id, copy_id, i // 4
+    ),
+    buckets AS (
+      SELECT band, bkey, copy_id, COUNT(*) AS n
+      FROM bandkeys GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ),
+    per_copy AS (
+      SELECT copy_id,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_cand_pairs,
+             CAST(MAX(n) AS BIGINT) AS max_bucket,
+             CAST(SUM(n) AS BIGINT) AS n_members
+      FROM buckets GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT struct_pack(
+                  nb := n_buckets, np := n_cand_pairs,
+                  mb := max_bucket, nm := n_members)) AS BIGINT)
+             AS n_variants,
+           CAST(MAX(n_buckets) AS BIGINT) AS buckets_per_copy,
+           CAST(MAX(n_cand_pairs) AS BIGINT) AS cand_pairs_per_copy,
+           CAST(MAX(max_bucket) AS BIGINT) AS max_bucket_size,
+           CAST(MAX(n_members) AS BIGINT) AS members_per_copy
+    FROM per_copy
+    """,
+)
+def scale10_minhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash banding fold — the one core LLM-pipeline shuffle shape
+    without a scale-decade invariance entry until now — at 10x: replicate
+    the shingled corpus in-plan, run the 16-permutation md5-60 signature
+    fold (the SQL-replayable family dedup_minhash_md5 certifies) and the
+    4-band r=4 banding per copy, aggregate bucket occupancy per
+    (band, key, copy), and fold pure integers per copy — bucket count,
+    candidate-pair count Σ n·(n−1)/2, max bucket size, member count —
+    asserting all 10 copies agree (a partial-agg or placement bug at the
+    10x-key-space banding shuffle surfaces as a variant). Band keys stay
+    comma-joined strings (not the production xxhash64 of them) so the SQL
+    twin replays buckets verbatim. Plan: one tokenize pass -> in-plan
+    Generate -> per-row signature fold (no shuffle) -> ONE banding hash
+    aggregate on the 10x key space -> per-copy fold -> 1-row output."""
+    from big_data_analysis_for_stock_market_data_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    shingled = dd.with_shingles(docs, 3, "text").select("doc_id", "shingles")
+    rep = shingled.withColumn(
+        "copy_id", F.explode(F.sequence(F.lit(0), F.lit(9)))
+    )
+    seeds = F.array(*[F.lit(i) for i in range(16)])
+
+    def md5_60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    base = F.transform(F.col("shingles"), lambda s: md5_60(s))
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), 16)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds,
+            lambda a, s: F.least(
+                a, md5_60(F.concat_ws(":", h.cast("string"),
+                                      s.cast("string")))
+            ),
+        ),
+    )
+    sigs = rep.select("doc_id", "copy_id", sig.alias("signature"))
+    banded = sigs.select(
+        "doc_id", "copy_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), b -> concat_ws(',', "
+                "transform(slice(signature, b * 4 + 1, 4), "
+                "x -> cast(x AS string))))"
+            )
+        ).alias("band", "bkey"),
+    )
+    buckets = (
+        banded.groupBy("band", "bkey", "copy_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    per_copy = buckets.groupBy("copy_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).alias("n_cand_pairs"),
+        F.max("n").alias("max_bucket"),
+        F.sum("n").alias("n_members"),
+    )
+    return per_copy.agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct(
+            "n_buckets", "n_cand_pairs", "max_bucket", "n_members"
+        ).alias("n_variants"),
+        F.max("n_buckets").alias("buckets_per_copy"),
+        F.max("n_cand_pairs").alias("cand_pairs_per_copy"),
+        F.max("max_bucket").alias("max_bucket_size"),
+        F.max("n_members").alias("members_per_copy"),
+    )
+
+
+def _scale10_bpe_oracle_sql(n_merges: int = 4, n_copies: int = 10) -> str:
+    """Per-copy replay of the BPE-training rounds — ``_bpe_oracle_sql``
+    with a copy dimension (kept separate so that generator's fingerprint,
+    and with it text_bpe_merges/text_bpe_tokenize's verdicts, stay
+    untouched): every CTE carries copy_id in its keys and window
+    partitions, the (cnt DESC, a, b) winner is selected PER COPY, and the
+    final fold asserts the copies agree per merge rank."""
+    ctes = [
+        f"toks AS (SELECT unnest({_DUCK_TOKS}) AS w FROM documents)",
+        "words AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w)",
+        f"""seg0 AS (
+      SELECT r.range AS copy_id, w, freq,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, i, 1)) AS syms
+      FROM words CROSS JOIN range({n_copies}) r
+    )""",
+    ]
+    for t in range(n_merges):
+        ctes.append(f"""cnt{t} AS (
+      SELECT copy_id, syms[u.i] AS a, syms[u.i + 1] AS b,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM seg{t}, unnest(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2, 3
+    )""")
+        ctes.append(f"""best{t} AS (
+      SELECT copy_id, a, b, cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY copy_id
+                 ORDER BY cnt DESC, a, b) AS rn
+        FROM cnt{t}
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""pos{t} AS (
+      SELECT g.copy_id, g.w, g.freq, u.i AS p, g.syms[u.i] AS sym,
+             bb.a AS ba, bb.b AS bbb,
+             (u.i < len(g.syms) AND g.syms[u.i] = bb.a
+              AND g.syms[u.i + 1] = bb.b) AS mtch
+      FROM seg{t} g, best{t} bb,
+           unnest(range(1, len(g.syms) + 1)) AS u(i)
+      WHERE g.copy_id = bb.copy_id
+    )""")
+        ctes.append(f"""mk{t} AS (
+      SELECT *, CASE WHEN mtch THEN p - ROW_NUMBER() OVER (
+                 PARTITION BY copy_id, w, mtch ORDER BY p) END AS grp
+      FROM pos{t}
+    )""")
+        ctes.append(f"""mg{t} AS (
+      SELECT *, (mtch AND ROW_NUMBER() OVER (
+                 PARTITION BY copy_id, w, grp ORDER BY p) % 2 = 1) AS strt
+      FROM mk{t}
+    )""")
+        ctes.append(f"""sk{t} AS (
+      SELECT *, COALESCE(LAG(strt) OVER (PARTITION BY copy_id, w
+                                         ORDER BY p),
+                         FALSE) AS prev_strt
+      FROM mg{t}
+    )""")
+        ctes.append(f"""seg{t + 1} AS (
+      SELECT copy_id, w, any_value(freq) AS freq,
+             list(CASE WHEN strt THEN ba || bbb ELSE sym END ORDER BY p)
+               FILTER (WHERE NOT prev_strt) AS syms
+      FROM sk{t}
+      GROUP BY copy_id, w
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {t + 1} AS merge_rank, copy_id, a, b, a || b AS merged,"
+        f" cnt FROM best{t}"
+        for t in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    ranks AS ({unions})
+    SELECT merge_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT struct_pack(a := a, b := b, c := cnt))
+                AS BIGINT) AS n_variants,
+           MAX(a) AS "left", MAX(b) AS "right", MAX(merged) AS merged,
+           CAST(MAX(cnt) AS BIGINT) AS pair_count
+    FROM ranks GROUP BY merge_rank ORDER BY merge_rank"""
+    )
+
+
+@register("scale10_bpe_merge", oracle=_scale10_bpe_oracle_sql(4, 10))
+def scale10_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-merge determinism at 10x: replicate the token stream in-plan,
+    learn the first 4 merge rules independently per copy — per-copy pair
+    counts, per-copy (cnt DESC, a, b) winner via min-of-struct, per-copy
+    JVM array-fold re-segmentation (the exact semantics of
+    operators/text.bpe_train_merges, with copy_id threaded through every
+    key) — and fold per merge rank, asserting all 10 copies learned the
+    IDENTICAL rule (n_variants = 1). The argmax tiebreak is the
+    determinism-critical step: a nondeterministic tie pick or a
+    partial-agg bug at the 10x pair-count shuffle surfaces as a variant.
+    Plan: one corpus tokenize pass -> checkpointed 10x word table -> per
+    round one vocab-sized pair-count aggregate + a 10-row per-copy winner
+    broadcast-joined back -> 4-row output."""
+    from big_data_analysis_for_stock_market_data_spark.operators.text import (
+        tokens_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+    rep = toks.withColumn(
+        "copy_id", F.explode(F.sequence(F.lit(0), F.lit(9)))
+    )
+    words = (
+        rep.groupBy("copy_id", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # same checkpoint rationale as bpe_train_merges: every round's
+        # winner branch and the rule union branch off this frame; without
+        # it the corpus explode re-executes per branch
+        .localCheckpoint(eager=True)
+    )
+    segs = words.select(
+        "copy_id", "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    rules = []
+    for t in range(4):
+        counted = (
+            segs.filter(F.size("syms") >= 2)
+            .select(
+                "copy_id", "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                "copy_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = counted.groupBy("copy_id").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), "a", "b")).alias("m")
+        ).select(
+            "copy_id",
+            (-F.col("m.nc")).alias("__cnt"),
+            F.col("m.a").alias("__a"),
+            F.col("m.b").alias("__b"),
+        )
+        rules.append(
+            best.select(
+                F.lit(t + 1).alias("merge_rank"), "copy_id",
+                F.col("__a").alias("left"),
+                F.col("__b").alias("right"),
+                F.concat("__a", "__b").alias("merged"),
+                F.col("__cnt").alias("pair_count"),
+            )
+        )
+        merge_fold = (
+            "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = __a "
+            "          AND s = __b "
+            "     THEN concat(slice(acc, 1, size(acc) - 1), "
+            "                 array(concat(__a, __b))) "
+            "     ELSE concat(acc, array(s)) END)"
+        )
+        segs = (
+            segs.join(
+                F.broadcast(best.select("copy_id", "__a", "__b")), "copy_id"
+            )
+            .select("copy_id", "freq", F.expr(merge_fold).alias("syms"))
+            .localCheckpoint(eager=True)
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return (
+        out.groupBy("merge_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("left", "right", "pair_count").alias(
+                "n_variants"
+            ),
+            F.max("left").alias("left"),
+            F.max("right").alias("right"),
+            F.max("merged").alias("merged"),
+            F.max("pair_count").alias("pair_count"),
+        )
+        .orderBy("merge_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -16499,83 +16881,82 @@ def scale10_daygrain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r09 window (VERDICT r08 tasks 1+2): clear ALL verdict staleness.
-    # `tools/verdict_staleness.py --audit` fingerprints every entry
-    # (function-level AST closure over the operators it calls) at HEAD
-    # vs the tree its latest driver verdict actually judged; 33 entries
-    # came back stale — the 11 r08-subtree-sweep restructures VERDICT
-    # named, ind_rolling_beta (oracle changed post-verdict), the 3
-    # never-verdicted r08 window-overflow codec entries, and 18
-    # stragglers the tool found mechanically (asof/dedup/mm/indicator
-    # entries whose call closures were touched by r04-r08 operator
-    # edits). Slots 1-34: the stale set (33 from the audit + 1 in-round
-    # comment edit), VERDICT-named entries first. Slots 35-37: the three
-    # r09 scale-decade entries (task 3 — new entries land with their
-    # driver verdict in the same round, behind the staleness gate).
-    # Slots 38-50: the 13 oldest non-stale driver verdicts (all r02) as
-    # a rolling refresh.
+    # r10 window (VERDICT r09 tasks 2/3/5). The r09 round ended with ZERO
+    # stale verdicts (STALENESS.json, strong mode); this round's window is
+    # therefore: the entries the r10 code changes re-queue, the r10 new
+    # entries, and the oldest-verdict rolling refresh.
+    # Slots 1-3: the staleness-forced set — n_planes='auto' landed in
+    # operators/simsearch (lsh_bucket_topk / ann_join /
+    # cosine_near_dup_pairs), so the three entries whose call closures
+    # include those functions need same-round re-verdicts (the gate
+    # enforces this).
+    # Slots 4-6: the r10 new entries (driver verdict in the same round
+    # they land): the auto-sized ANN join default under test, plus two
+    # scale-decade invariance folds (minhash banding — the one core
+    # LLM-pipeline shuffle shape without one — and BPE-merge
+    # determinism), per the r08/r09 verification-depth growth rule.
+    # Slots 7-32: the 26 r02-latest verdicts (oldest in the registry).
+    # Slots 33-50: the 18 oldest r03-latest oracle-backed verdicts
+    # (the 5 rows-only ml_* r03 entries are contract-excluded; the 6
+    # youngest r03 q-series entries carry to r11).
     # All 50 slots are oracle-backed (no rows-only entry may hold a
     # slot). The staleness gate (STALENESS.json) must report every
     # stale entry inside this window head at end-of-round.
     #
-    # -- VERDICT-named restructured (r08 subtree sweep, post-freeze) --
-    "simsearch_ivf_det_topk",
-    "simsearch_ivfpq_det_topk",
-    "dedup_exact_substring",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_md5",
-    "text_bigram_logprob",
-    "text_tfidf_topterms",
-    "dq_referential_integrity",
-    "q20_dominant_supplier",
-    "q21_sole_late_supplier",
-    "a16_rfm_segments",
-    # -- oracle changed post-verdict (r08 6dp pre-rounding fix) --
-    "ind_rolling_beta",
-    # -- never-verdicted r08 window overflow --
-    "mm_flac_stereo_decode",
-    "mm_png_interlaced_decode",
-    "mm_transcode_pipeline",
-    # -- staleness-tool stragglers (closure touched since verdict) --
-    "asof_join_events",
-    "asof_join_tolerance",
-    "dedup_clusters",
-    "dedup_semantic_ivf",
-    "ind_parabolic_sar",
-    "ind_recursive_family",
-    "j4_bloom_prefilter",
-    "j6_binned_range_join",
-    "mm_container_headers",
-    "mm_fake_features",
-    "mm_frame_sample",
-    "mm_payload_meta",
-    "mm_png_native_decode",
-    "mm_resize",
-    "skew_salted_agg",
-    "stock_feature_frame",
-    "text_contamination_check",
-    "w_ema_scan",
-    # -- r09 in-round edit: ADVICE r08 comment fix touched this entry's
-    # decorated source, so the gate re-flags it (comment-only, r08-green)
-    "o3_random_split",
-    # -- r09 new entries: scale-decade invariance (same-round verdicts) --
-    "scale10_pricing_rollup",
-    "scale10_window_lag",
-    "scale10_daygrain_join",
-    # -- rolling refresh: oldest (r02) non-stale driver verdicts --
-    "a2_sorted_avg",
-    "a4_duplicate_stats",
-    "a5_null_stats",
-    "a6_moments",
-    "a7_cube_status",
-    "a7_pivot_status",
-    "a7_rollup_status",
-    "agg_percentiles",
-    "dedup_duplicate_groups",
-    "dedup_exact_keep_first",
-    "dedup_exact_normalized",
-    "f_scalar_arithmetic",
-    "fn_time_bucket",
+    # -- staleness-forced: closures include the auto-sized LSH family --
+    "simsearch_lsh_topk",
+    "simsearch_ann_join",
+    "dedup_cosine_near",
+    # -- r10 new entries (same-round verdicts) --
+    "simsearch_ann_auto_planes",
+    "scale10_minhash_band",
+    "scale10_bpe_merge",
+    # -- rolling refresh: the 26 r02-latest verdicts --
+    "w3_lead_label",
+    "w2_daily_lag_avg",
+    "p_derive_flag_drop",
+    "j1_segment_rollup",
+    "j2_daygrain_fanout",
+    "j3_outer_join",
+    "q17_small_quantity",
+    "o1_topk_orders",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "setop_nation_overlap",
+    "setop_except_union",
+    "sql_entry_daily_label",
+    "w_ranking_suite",
+    "q18_big_orders",
+    "ind_sma_bollinger",
+    "ind_mom_roc",
+    "ind_willr_stoch",
+    "ind_mfi_ultosc",
+    "text_quality_stats",
+    "text_langid",
+    "text_token_count",
+    "text_fingerprint",
+    "text_ngram_freq",
+    # -- rolling refresh: the 18 oldest r03-latest oracle-backed --
+    "flagship_label_daily",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q12_priority_shipping",
+    "q14_promo_ratio",
+    "q19_disjunctive",
+    "fn_json_props",
+    "fn_from_json_struct",
+    "fn_string_suite",
+    "fn_datetime_suite",
+    "simsearch_cosine_scores",
+    "simsearch_bruteforce_topk",
+    "stream_dedup_keys",
+    "s1_csv_roundtrip",
+    "o3_hash_split",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
 )
 
 

@@ -242,3 +242,41 @@ def test_int8_quantize_roundtrip_and_zero_vector(spark):
     deq = [q * out[1].scale_abs / 127.0 for q in out[1].q8]
     for d, x in zip(deq, rows[0].embedding):
         assert abs(d - x) <= out[1].scale_abs / 254 + 1e-12
+
+
+def test_resolve_n_planes_formula():
+    import pytest
+
+    # ANN_SCALE_PROBE's corpus scales: 1x / 3x / 10x of the 2000-row base
+    assert S.resolve_n_planes("auto", corpus_rows=2000) == 8
+    assert S.resolve_n_planes("auto", corpus_rows=6000) == 10
+    assert S.resolve_n_planes("auto", corpus_rows=20000) == 12
+    # small corpora floor at the base; each doubling past it adds a plane
+    assert S.resolve_n_planes("auto", corpus_rows=1) == 8
+    assert S.resolve_n_planes("auto", corpus_rows=4000) == 9
+    assert S.resolve_n_planes("auto", corpus_rows=4001) == 10
+    assert S.resolve_n_planes("auto", corpus_rows=2_000 * 2**20) == 28
+    # explicit int passes through; junk is rejected loudly
+    assert S.resolve_n_planes(5) == 5
+    with pytest.raises(ValueError):
+        S.resolve_n_planes("auto")
+    with pytest.raises(ValueError):
+        S.resolve_n_planes(3.5)
+    with pytest.raises(ValueError):
+        S.resolve_n_planes(True)
+
+
+def test_ann_join_auto_planes_matches_explicit(spark):
+    df = _vecs(spark)  # 4-row corpus -> auto resolves to the 8-plane base
+    left = df.filter("vec_id % 2 = 1")
+    right = df.filter("vec_id % 2 = 0")
+    auto = S.ann_join(left, right, k=1, dim=4, n_planes="auto",
+                      n_tables=4, plane_mode="axis", round_to=6).collect()
+    explicit = S.ann_join(left, right, k=1, dim=4, n_planes=8,
+                          n_tables=4, plane_mode="axis", round_to=6).collect()
+    assert auto == explicit and auto
+    # the corpus_rows hint must resolve identically without the count
+    hinted = S.ann_join(left, right, k=1, dim=4, n_planes="auto",
+                        n_tables=4, plane_mode="axis", round_to=6,
+                        corpus_rows=2).collect()
+    assert hinted == explicit

@@ -140,6 +140,10 @@ DRIVER_ACTION_OK = {
     # pattern, same as text.bpe)
     "ml_lda_topics",
     "ml_als_recommend",
+    # r10: n_planes='auto' sizes the LSH bucket width from ONE scalar
+    # corpus count (resolve_n_planes) — the production default under
+    # test; avoidable via the corpus_rows hint
+    "simsearch_ann_auto_planes",
 }
 DRIVER_ACTION_OK_PREFIXES = ("stream_", "stock_fe", "stock_rf")
 
@@ -208,6 +212,10 @@ EXCHANGE_BUDGET = {
                                    # CHECKPOINTED segment tables + the
                                    # final 4-branch rule union; corpus is
                                    # scanned once (words checkpoint)
+    "scale10_bpe_merge": 13,       # r10: same 4-round shape with copy_id
+                                   # in every key — 4 x (pair-count agg +
+                                   # 10-row per-copy winner agg) + rule
+                                   # union + the rank fold (measured 11)
     "dq_referential_integrity": 13,  # r08: 4 FK edges, one fused
                                    # left-join + conditional-count pass
                                    # each (8 shuffles at sf0.01, was 16
