@@ -240,15 +240,22 @@ def main() -> None:
                 "calib_runs": [round(r, 3) for r in calib_runs],
                 # Host-noise self-description (VERDICT r09 task 4): the box
                 # has an external co-tenant whose load bursts invalidate
-                # wall-clock samples. A run whose BEST calibration exceeds
-                # the clean threshold (~1.0 s idle; 1.5 allows drift) is
-                # flagged so downstream readers never mistake a poisoned
-                # sample for a regression. loadavg is captured at launch
-                # (before the JVM starts) and at print time.
+                # wall-clock samples. A run is flagged contaminated when
+                # its BEST calibration exceeds the clean threshold (~1.0 s
+                # idle; 1.5 allows drift) OR fewer than two of the four
+                # bracket samples are clean-ish (<3 s) — one hot sample is
+                # normal (the first pays the sentinel's own codegen; the
+                # r08 record-of-record read [2.1, 1.1, 1.06, 3.9]), but a
+                # second means a burst overlapped the run. The bracket
+                # cannot see MID-run bursts at all (r10 attempt 1: calib
+                # min 0.97 yet the FE floor read 5x its r08 value) — read
+                # per-query floors against history before trusting any
+                # single run.
                 "loadavg_launch": _LOADAVG_LAUNCH,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "calib_clean_threshold_sec": 1.5,
-                "contaminated": calib_sec > 1.5,
+                "contaminated": calib_sec > 1.5
+                or sorted(calib_runs)[1] > 3.0,
                 "sf": sf_val,
             }
         )
