@@ -75,6 +75,10 @@ HEADLINE = [
     "mm_resize_nearest_native",
     "stream_interval_full_join",
     "dq_referential_integrity",
+    # r10 promotion: the ANN join under its auto-sized plane default
+    # (resolve_n_planes) — the production path a 100 TB caller gets;
+    # joins neither frozen common set (r09 freeze rule)
+    "simsearch_ann_auto_planes",
 ]
 
 STOCK_ROWS = 671_024  # the reference dataset's exact row count
@@ -95,8 +99,13 @@ _R07_PROMOTIONS = {
     "mm_resize_nearest_native",
     "stream_interval_full_join", "dq_referential_integrity",
 }
+#: r10+ HEADLINE promotions: measured per round, member of NEITHER
+#: frozen common set (the r09 freeze rule).
+_R10_PROMOTIONS = {"simsearch_ann_auto_planes"}
+
 COMMON_R05 = tuple(
-    q for q in HEADLINE if q not in _R07_PROMOTIONS
+    q for q in HEADLINE
+    if q not in _R07_PROMOTIONS and q not in _R10_PROMOTIONS
 ) + ("stock_fe_671k", "stock_rf_671k")
 
 # r09 freeze (VERDICT r08 task 4): the 41-headliner set now has two
@@ -104,8 +113,11 @@ COMMON_R05 = tuple(
 # round-over-round deltas become ONE number (common41_sec) while
 # common_sec keeps the longer r05 history. Any future HEADLINE
 # promotion joins neither frozen set.
-COMMON_R08 = tuple(HEADLINE) + ("stock_fe_671k", "stock_rf_671k")
+COMMON_R08 = tuple(
+    q for q in HEADLINE if q not in _R10_PROMOTIONS
+) + ("stock_fe_671k", "stock_rf_671k")
 assert len(COMMON_R08) == 41, len(COMMON_R08)
+assert len(COMMON_R05) == 27, len(COMMON_R05)
 
 
 def bench_calibration(spark) -> float:
