@@ -193,7 +193,7 @@ def lsh_bucket_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int | str = 8,
+    n_planes: int | str = "auto",
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -209,9 +209,10 @@ def lsh_bucket_topk(
     query batches (the IVF-file pattern). ``round_to`` rounds the cosine
     BEFORE ranking so near-ties order identically across engines;
     ``plane_mode='axis'`` makes the bucket family SQL-replayable (see
-    ``_bucket_expr``). ``n_planes='auto'`` sizes the bucket width from the
-    corpus cardinality (``resolve_n_planes``) so the candidate volume stays
-    flat as the corpus grows; ``corpus_rows`` skips the sizing count."""
+    ``_bucket_expr``). ``n_planes`` defaults to ``'auto'``, sizing the
+    bucket width from the corpus cardinality (``resolve_n_planes``) so the
+    candidate volume stays flat as the corpus grows; an int overrides;
+    ``corpus_rows`` skips the sizing count."""
     n_planes = resolve_n_planes(n_planes, corpus, corpus_rows)
     corpus = ensure_parallelism(corpus)
     c_buckets = corpus.select(
@@ -260,7 +261,7 @@ def ann_join(
     right: DataFrame,
     k: int = 1,
     dim: int = 64,
-    n_planes: int | str = 8,
+    n_planes: int | str = "auto",
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -281,10 +282,10 @@ def ann_join(
     before ranking for cross-engine tie stability; ``plane_mode='axis'``
     makes the family SQL-replayable. A left vector with no shared bucket
     yields no row (ANN contract: recall is tunable via tables/planes).
-    ``n_planes='auto'`` sizes the bucket width from the RIGHT (retrieved)
-    corpus cardinality via ``resolve_n_planes`` — the measured fix for the
-    fixed-plane quadratic-candidates cliff; ``corpus_rows`` skips the
-    sizing count."""
+    ``n_planes`` defaults to ``'auto'``, sizing the bucket width from the
+    RIGHT (retrieved) corpus cardinality via ``resolve_n_planes`` — the
+    measured fix for the fixed-plane quadratic-candidates cliff; an int
+    overrides; ``corpus_rows`` skips the sizing count."""
     n_planes = resolve_n_planes(n_planes, right, corpus_rows)
     l_b = ensure_parallelism(left).select(
         F.col(id_col).alias("__lid"),
@@ -437,7 +438,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int | str = 8,
+    n_planes: int | str = "auto",
     n_tables: int = 4,
     dim: int = 64,
     plane_mode: str = "hash",
@@ -446,8 +447,9 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (dedup's semantic variant):
     LSH-bucket the corpus against itself, exact-cosine verify, keep pairs
     ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b.
-    ``n_planes='auto'`` sizes buckets from the corpus cardinality
-    (``resolve_n_planes``); ``corpus_rows`` skips the sizing count."""
+    ``n_planes`` defaults to ``'auto'``, sizing buckets from the corpus
+    cardinality (``resolve_n_planes``); an int overrides; ``corpus_rows``
+    skips the sizing count."""
     n_planes = resolve_n_planes(n_planes, df, corpus_rows)
     df = ensure_parallelism(df)
     bucketed = df.select(

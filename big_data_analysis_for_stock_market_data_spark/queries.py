@@ -16494,13 +16494,21 @@ def scale10_daygrain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes — 8 + min k with 2000*2^k >= |right corpus| — so the bucket
     # family, candidate set, and ranking replay exactly at ANY sf (the
     # plane count is data-dependent by design, so it must be computed, not
-    # hard-coded, in the SQL twin)
+    # hard-coded, in the SQL twin). The predicate is the ceiling-division
+    # restatement of 2000*2^k >= rows (equivalent since 2^k is integer;
+    # the direct product form overflows INT64 at k=53) in HUGEINT, and k
+    # ranges over 0..62 — past 2000*2^62 rows (~9.2e18, beyond any
+    # physical corpus) MIN returns NULL and the NULL plane count nulls
+    # every bucket key, so an out-of-range corpus replays as an empty
+    # candidate set and FAILS the compare loudly instead of silently
+    # falling back to the minimum family (r10 ADVICE).
     oracle=f"""
     WITH np AS (
-      SELECT 8 + COALESCE((
-        SELECT MIN(k) FROM (SELECT unnest(range(0, 40)) AS k)
-        WHERE 2000 * (1::BIGINT << k) >=
-              (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1)), 0)
+      SELECT 8 + (
+        SELECT MIN(k) FROM (SELECT unnest(range(0, 63)) AS k)
+        WHERE (1::HUGEINT << k) >=
+              ((SELECT CAST(COUNT(*) AS HUGEINT) FROM embeddings
+                WHERE vec_id % 2 = 1) + 1999) // 2000)
         AS n
     ),
     b AS (
@@ -16550,6 +16558,9 @@ def simsearch_ann_auto_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_analysis_for_stock_market_data_spark.operators import simsearch as ss
 
     emb = load(spark, sf_dir, "embeddings")
+    # NOTE: the SQL twin pins n_tables=8 (range(0, 8) over t) and dim=64
+    # (the `% 64` axis fold) — editing these call parameters desyncs the
+    # oracle unless its literals are updated in lockstep (r10 ADVICE).
     return ss.ann_join(
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
