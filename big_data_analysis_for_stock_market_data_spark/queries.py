@@ -16881,6 +16881,287 @@ def scale10_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scale10_asof_join",
+    # the as-of join decade fold (VERDICT r10 task 5): DuckDB's native
+    # ASOF LEFT JOIN on the composite (user_id, copy_id) key replays the
+    # engine's union+carry plan per copy; the fold is pure-integer
+    # (per-row micros via double->integer rounding, which agrees across
+    # engines) so all 10 copies must land bit-identical
+    oracle="""
+    WITH rep AS (
+      SELECT e.event_id, e.user_id, e.ts, e.value, e.event_type,
+             r.range AS copy_id
+      FROM events e CROSS JOIN range(10) r
+    ),
+    l AS (SELECT * FROM rep WHERE event_type <> 'purchase'),
+    p AS (
+      SELECT user_id, copy_id, ts, value AS ref_value
+      FROM rep WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT l.copy_id, l.user_id, r.ref_value
+      FROM l ASOF LEFT JOIN p r
+        ON l.user_id = r.user_id AND l.copy_id = r.copy_id
+       AND l.ts >= r.ts
+    ),
+    per AS (
+      SELECT copy_id,
+             COUNT(*) AS n_rows,
+             COUNT(ref_value) AS n_matched,
+             CAST(SUM(CAST(round(ref_value * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_ref_micros,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM j GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT CAST(n_rows AS VARCHAR) || '|'
+                    || CAST(n_matched AS VARCHAR) || '|'
+                    || CAST(sum_ref_micros AS VARCHAR) || '|'
+                    || CAST(n_users AS VARCHAR)) AS BIGINT) AS n_variants,
+           CAST(MAX(n_rows) AS BIGINT) AS rows_per_copy,
+           CAST(MAX(n_matched) AS BIGINT) AS matched_per_copy,
+           CAST(MAX(sum_ref_micros) AS BIGINT) AS ref_micros_per_copy,
+           CAST(MAX(n_users) AS BIGINT) AS users_per_copy
+    FROM per
+    """,
+)
+def scale10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join at 10x (scale-decade invariance, VERDICT r10 task 5
+    — the one heavily-used join family without a decade fold): replicate
+    events in-plan, attach the most recent 'purchase' value per
+    (user, copy) via the single-shuffle union+carry plan
+    (operators/joins.as_of_join), and fold per copy on pure integers —
+    left-row count, matched count, carried-value micros (per-row
+    double->integer rounding, engine-agreeing), distinct users —
+    asserting all 10 copies agree. Plan: Generate -> one shuffle on the
+    composite key -> window carry -> per-copy fold -> 1-row output; no
+    range explosion at any scale."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    rep = ev.withColumn(
+        "copy_id", F.explode(F.sequence(F.lit(0), F.lit(9)))
+    )
+    left = rep.filter(F.col("event_type") != "purchase").drop("event_type")
+    right = rep.filter(F.col("event_type") == "purchase").select(
+        "user_id", "copy_id", "ts", F.col("value").alias("ref_value")
+    )
+    out = join_ops.as_of_join(
+        left, right, on=["user_id", "copy_id"], left_time="ts",
+        right_time="ts", right_values=["ref_value"],
+    )
+    per_copy = out.groupBy("copy_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("ref_value").alias("n_matched"),
+        F.sum(F.round(F.col("ref_value") * 1000000).cast("long")).alias(
+            "sum_ref_micros"
+        ),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return per_copy.agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct(
+            "n_rows", "n_matched", "sum_ref_micros", "n_users"
+        ).alias("n_variants"),
+        F.max("n_rows").alias("rows_per_copy"),
+        F.max("n_matched").alias("matched_per_copy"),
+        F.max("sum_ref_micros").alias("ref_micros_per_copy"),
+        F.max("n_users").alias("users_per_copy"),
+    )
+
+
+@register(
+    "scale10_stream_rollup",
+    # the chained hour->day streaming rollup decade fold: the oracle
+    # replays both window grains per copy from batch SQL (hour partials
+    # in exact decimals, day rows from partials, both below the final
+    # append-mode watermark horizon) and folds pure integers per copy;
+    # the per-day decimal sum converts to DOUBLE identically on both
+    # engines, so its micros (double->integer rounding) fold exactly
+    oracle="""
+    WITH h AS (
+      SELECT user_id, r.range AS copy_id,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hs,
+             COUNT(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events CROSS JOIN range(10) r GROUP BY 1, 2, 3
+    ),
+    b AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 61 MINUTE AS bound
+      FROM events
+    ),
+    day AS (
+      SELECT user_id, copy_id, date_trunc('day', hs) AS ds,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             COUNT(*) AS n_inner_buckets,
+             CAST(SUM(s) AS DOUBLE) AS sum_value
+      FROM h CROSS JOIN b
+      WHERE date_trunc('day', hs) + INTERVAL 1 DAY <= bound
+      GROUP BY 1, 2, 3
+    ),
+    per AS (
+      SELECT copy_id,
+             COUNT(*) AS n_rows,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(SUM(n_inner_buckets) AS BIGINT) AS n_buckets,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(round(sum_value * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_micros
+      FROM day GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT CAST(n_rows AS VARCHAR) || '|'
+                    || CAST(n_events AS VARCHAR) || '|'
+                    || CAST(n_buckets AS VARCHAR) || '|'
+                    || CAST(n_users AS VARCHAR) || '|'
+                    || CAST(sum_micros AS VARCHAR)) AS BIGINT)
+             AS n_variants,
+           CAST(MAX(n_rows) AS BIGINT) AS rows_per_copy,
+           CAST(MAX(n_events) AS BIGINT) AS events_per_copy,
+           CAST(MAX(n_buckets) AS BIGINT) AS buckets_per_copy,
+           CAST(MAX(n_users) AS BIGINT) AS users_per_copy,
+           CAST(MAX(sum_micros) AS BIGINT) AS micros_per_copy
+    FROM per
+    """,
+)
+def scale10_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained streaming rollup at 10x (VERDICT r10 task 5): explode
+    each event into 10 copies INSIDE the stream (stateless, pre-watermark)
+    and run the two chained stateful windowed aggregations
+    (streaming/ops.chained_windowed_rollup, SPARK-40925) keyed by
+    (user_id, copy_id) — state carries 10 independent replicas of the
+    hour->day cascade through one drained replay. Fold per copy on pure
+    integers (+ micros of the exact-decimal day sums) strictly below the
+    final watermark horizon; all 10 copies must agree, certifying the
+    multi-stateful-operator path is replica-deterministic, not just
+    single-run green."""
+    from big_data_analysis_for_stock_market_data_spark import streaming as st
+
+    src = _events_stream(spark, sf_dir).withColumn(
+        "copy_id", F.explode(F.sequence(F.lit(0), F.lit(9)))
+    )
+    rolled = st.chained_windowed_rollup(
+        src, "ts", "1 hour", "1 day", "value",
+        watermark="1 hour", group_by=["user_id", "copy_id"],
+    )
+    _, sink = st.run_to_memory(rolled, output_mode="append")
+    bound = load(spark, sf_dir, "events").groupBy().agg(
+        (F.max("ts") - F.expr("INTERVAL '61' MINUTE")).alias("__bound")
+    )
+    per_copy = (
+        spark.table(sink)
+        .crossJoin(F.broadcast(bound))
+        .filter(F.col("window_end") <= F.col("__bound"))
+        .groupBy("copy_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_inner_buckets").alias("n_buckets"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("sum_value") * 1000000).cast("long")).alias(
+                "sum_micros"
+            ),
+        )
+    )
+    return per_copy.agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct(
+            "n_rows", "n_events", "n_buckets", "n_users", "sum_micros"
+        ).alias("n_variants"),
+        F.max("n_rows").alias("rows_per_copy"),
+        F.max("n_events").alias("events_per_copy"),
+        F.max("n_buckets").alias("buckets_per_copy"),
+        F.max("n_users").alias("users_per_copy"),
+        F.max("sum_micros").alias("micros_per_copy"),
+    )
+
+
+@register(
+    "inv_partition_layout",
+    # partition-layout invariance, promoted from a session-only check
+    # (SURVEY §8 item f) to an oracle-backed entry: the oracle computes
+    # the same metrics independently per layout_id over replicated rows
+    # and folds; every metric is integer (per-row micros) so the four
+    # physically different Spark layouts must land bit-identical
+    oracle="""
+    WITH rep AS (
+      SELECT l.l_orderkey, l.l_quantity, l.l_extendedprice,
+             r.range AS layout_id
+      FROM lineitem l CROSS JOIN range(4) r
+    ),
+    per AS (
+      SELECT layout_id,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(l_quantity * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_qty_micros,
+             CAST(SUM(CAST(round(l_extendedprice * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_price_micros,
+             COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM rep GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_layouts,
+           CAST(COUNT(DISTINCT CAST(n_rows AS VARCHAR) || '|'
+                    || CAST(sum_qty_micros AS VARCHAR) || '|'
+                    || CAST(sum_price_micros AS VARCHAR) || '|'
+                    || CAST(n_orders AS VARCHAR)) AS BIGINT) AS n_variants,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(sum_qty_micros) AS BIGINT) AS sum_qty_micros,
+           CAST(MAX(sum_price_micros) AS BIGINT) AS sum_price_micros,
+           CAST(MAX(n_orders) AS BIGINT) AS n_orders
+    FROM per
+    """,
+)
+def inv_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout invariance as an oracle-backed entry (VERDICT r10
+    task 5; previously a session-only 3-config check, SURVEY §8 item f):
+    the SAME lineitem aggregate computed under four physically different
+    layouts — natural parquet splits, hash-keyed repartition(7,
+    l_orderkey), keyless round-robin repartition(13), and
+    repartitionByRange(5, l_orderkey) — unioned and folded. Every metric
+    is integer (count, per-row micros sums, distinct keys), so partial
+    aggregation order cannot leak into the result: n_variants must be 1
+    on any executor count, split size, or AQE decision — the property
+    that makes every other entry's answer trustworthy on a 1000-executor
+    cluster, pinned here in-plan."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+
+    def metrics(df: DataFrame, layout_id: int) -> DataFrame:
+        return (
+            df.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("l_quantity") * 1000000).cast("long")
+                ).alias("sum_qty_micros"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 1000000).cast("long")
+                ).alias("sum_price_micros"),
+                F.countDistinct("l_orderkey").alias("n_orders"),
+            )
+            .withColumn("layout_id", F.lit(layout_id))
+        )
+
+    layouts = (
+        metrics(li, 0)
+        .unionByName(metrics(li.repartition(7, "l_orderkey"), 1))
+        .unionByName(metrics(li.repartition(13), 2))
+        .unionByName(metrics(li.repartitionByRange(5, "l_orderkey"), 3))
+    )
+    return layouts.agg(
+        F.count(F.lit(1)).alias("n_layouts"),
+        F.countDistinct(
+            "n_rows", "sum_qty_micros", "sum_price_micros", "n_orders"
+        ).alias("n_variants"),
+        F.max("n_rows").alias("n_rows"),
+        F.max("sum_qty_micros").alias("sum_qty_micros"),
+        F.max("sum_price_micros").alias("sum_price_micros"),
+        F.max("n_orders").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -16892,82 +17173,86 @@ def scale10_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r10 window (VERDICT r09 tasks 2/3/5). The r09 round ended with ZERO
-    # stale verdicts (STALENESS.json, strong mode); this round's window is
-    # therefore: the entries the r10 code changes re-queue, the r10 new
-    # entries, and the oldest-verdict rolling refresh.
-    # Slots 1-3: the staleness-forced set — n_planes='auto' landed in
-    # operators/simsearch (lsh_bucket_topk / ann_join /
-    # cosine_near_dup_pairs), so the three entries whose call closures
-    # include those functions need same-round re-verdicts (the gate
-    # enforces this).
-    # Slots 4-6: the r10 new entries (driver verdict in the same round
-    # they land): the auto-sized ANN join default under test, plus two
-    # scale-decade invariance folds (minhash banding — the one core
-    # LLM-pipeline shuffle shape without one — and BPE-merge
-    # determinism), per the r08/r09 verification-depth growth rule.
-    # Slots 7-32: the 26 r02-latest verdicts (oldest in the registry).
-    # Slots 33-50: the 18 oldest r03-latest oracle-backed verdicts
-    # (the 5 rows-only ml_* r03 entries are contract-excluded; the 6
-    # youngest r03 q-series entries carry to r11).
-    # All 50 slots are oracle-backed (no rows-only entry may hold a
-    # slot). The staleness gate (STALENESS.json) must report every
-    # stale entry inside this window head at end-of-round.
+    # r11 window (VERDICT r10 tasks 2/3/5). The r10 round ended 50/50
+    # green with zero registry reds; this round's window is: the entries
+    # the r11 code changes re-queue, the r11 new entries, and the
+    # oldest-verdict rolling refresh.
+    # Slots 1-4: the staleness-forced set — the n_planes keyword default
+    # flipped from 8 to 'auto' in operators/simsearch (lsh_bucket_topk /
+    # ann_join / cosine_near_dup_pairs; VERDICT r10 "What's wrong #1"),
+    # and the auto-planes oracle's plane search was rebound to k 0..62
+    # with a loud out-of-range failure (r10 ADVICE) — so the four entries
+    # whose call closures include those sources need same-round
+    # re-verdicts (the gate enforces this).
+    # Slots 5-7: the r11 new verification-depth entries (driver verdict
+    # the round they land): the as-of join decade fold (the one
+    # heavily-used join family without one), the chained-streaming-rollup
+    # decade fold, and the partition-layout invariance fold (4 physical
+    # layouts, bit-identical) promoted from a session-only check.
+    # Slots 8-13: the last 6 r03-latest oracle-backed verdicts (drains
+    # the r03 cohort; the 5 rows-only ml_* r03 entries are
+    # contract-excluded from slots).
+    # Slots 14-49: the full r04-latest oracle-backed cohort (36 entries;
+    # ml_rf_grouped_pca is rows-only and contract-excluded).
+    # Slot 50: the head of the r05 cohort (refresh continues r12).
+    # All 50 slots are oracle-backed. The staleness gate (STALENESS.json)
+    # must report every stale entry inside this window head.
     #
-    # -- staleness-forced: closures include the auto-sized LSH family --
+    # -- staleness-forced: closures include the auto-default LSH family --
     "simsearch_lsh_topk",
     "simsearch_ann_join",
     "dedup_cosine_near",
-    # -- r10 new entries (same-round verdicts) --
     "simsearch_ann_auto_planes",
-    "scale10_minhash_band",
-    "scale10_bpe_merge",
-    # -- rolling refresh: the 26 r02-latest verdicts --
-    "w3_lead_label",
-    "w2_daily_lag_avg",
-    "p_derive_flag_drop",
-    "j1_segment_rollup",
-    "j2_daygrain_fanout",
-    "j3_outer_join",
-    "q17_small_quantity",
-    "o1_topk_orders",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "setop_nation_overlap",
-    "setop_except_union",
-    "sql_entry_daily_label",
-    "w_ranking_suite",
-    "q18_big_orders",
-    "ind_sma_bollinger",
-    "ind_mom_roc",
-    "ind_willr_stoch",
-    "ind_mfi_ultosc",
-    "text_quality_stats",
-    "text_langid",
-    "text_token_count",
-    "text_fingerprint",
-    "text_ngram_freq",
-    # -- rolling refresh: the 18 oldest r03-latest oracle-backed --
-    "flagship_label_daily",
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q12_priority_shipping",
-    "q14_promo_ratio",
-    "q19_disjunctive",
-    "fn_json_props",
-    "fn_from_json_struct",
-    "fn_string_suite",
-    "fn_datetime_suite",
-    "simsearch_cosine_scores",
-    "simsearch_bruteforce_topk",
-    "stream_dedup_keys",
-    "s1_csv_roundtrip",
-    "o3_hash_split",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
+    # -- r11 new entries (same-round verdicts) --
+    "scale10_asof_join",
+    "scale10_stream_rollup",
+    "inv_partition_layout",
+    # -- rolling refresh: the last 6 r03-latest oracle-backed --
+    "q2_min_balance_supplier",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q22_sales_opportunity",
+    # -- rolling refresh: the 36 r04-latest oracle-backed --
+    "a7_grouping_sets",
+    "a8_summary_describe",
+    "a9_corr_pairs",
+    "curate_docs_with_embeddings",
+    "dedup_simhash_near",
+    "fn_array_suite",
+    "ind_cci20",
+    "merge_latest_events",
+    "merge_scd2_history",
+    "mv_incremental_pricing",
+    "s_json_roundtrip",
+    "s_orc_roundtrip",
+    "samp_stratified_docs",
+    "scd2_snapshot_asof",
+    "simsearch_pq_topk",
+    "stock_closed_form_indicators",
+    "stock_fixture_daily_label",
+    "stream_ema_user",
+    "stream_interval_join",
+    "stream_session_30m",
+    "stream_sliding_2d",
+    "stream_static_enrich",
+    "stream_topk_users_daily",
+    "stream_tumbling_daily",
+    "stream_upsert_latest",
+    "text_chunk_overlap",
+    "text_curate_gate",
+    "text_pack_sequences",
+    "text_redact_pii",
+    "text_rolling_fingerprint",
+    "w1_lag_label_parity",
+    "w1_scalable_global_lag",
+    "w_prefix_sum",
+    "w_sessionize_batch",
+    "w_time_range_frame",
+    "w_value_suite",
+    # -- rolling refresh: the head of the r05 cohort --
+    "a10_groupwise_ols",
 )
 
 

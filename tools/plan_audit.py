@@ -106,6 +106,8 @@ NESTED_LOOP_OK = {
                                   # the broadcast 9-row decile-edge table
     "ts_seasonal_indices",        # global-mean 1-row agg crossed into
                                   # the 7-row dow table
+    "scale10_stream_rollup",      # horizon 1-row agg x drain (the
+                                  # chained-rollup decade fold, r11)
 }
 
 MAX_EXCHANGES = 9
@@ -144,6 +146,10 @@ DRIVER_ACTION_OK = {
     # corpus count (resolve_n_planes) — the production default under
     # test; avoidable via the corpus_rows hint
     "simsearch_ann_auto_planes",
+    # r11: the chained-rollup decade fold drains a memory sink by the
+    # same contract as the stream_ prefix family (its scale10_ name
+    # keeps the fold family greppable)
+    "scale10_stream_rollup",
 }
 DRIVER_ACTION_OK_PREFIXES = ("stream_", "stock_fe", "stock_rf")
 
