@@ -17,6 +17,20 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether a type can appear in an ORDER BY (Spark forbids MapType,
+    including nested inside arrays/structs) — gates the as-of tie-break
+    keys so a map-valued carry column doesn't fail analysis."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def equi_join(
@@ -93,6 +107,14 @@ def as_of_join(
     within each partition key by time once, and carry right-side values
     across with ``last(..., ignorenulls=True)`` — one shuffle on the keys,
     no range-explosion join. Scales with rows, not with |left|x|right|.
+
+    Tie determinism: when several RIGHT rows share the same (keys, time),
+    the carried value is the greatest ``right_values`` tuple among them
+    (orderable columns only; map-typed columns cannot participate in the
+    tie-break and fall back to partition order). Without this the carry
+    would depend on physical row order inside the shuffle partition —
+    invisible on tie-free data, nondeterministic across executor counts
+    and AQE decisions at scale.
     """
     if isinstance(on, str):
         on = [on]
@@ -191,11 +213,22 @@ def as_of_join(
     )
     unioned = left_tagged.unionByName(right_tagged)
 
+    # Deterministic tie-break among RIGHT rows sharing (keys, _t): order
+    # the tied rights by their value tuple so last() carries the greatest
+    # one on any partition layout. Map types are not orderable in Spark —
+    # they are skipped (docstring contract). NULLs sort first under asc,
+    # so a non-null maximum wins; left rows contribute NULL tie keys and
+    # their relative order is irrelevant (they carry, never provide).
+    tie_keys = [
+        F.col(f"_rv_{v}").asc()
+        for v in right_values
+        if _orderable(right.schema[v].dataType)
+    ]
     if direction == "backward":
         # Right rows sort before left rows at equal time => "at or before".
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .orderBy(F.col("_t").asc(), F.col("_is_left").asc(), *tie_keys)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         carried = [
@@ -205,7 +238,7 @@ def as_of_join(
     else:
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+            .orderBy(F.col("_t").desc(), F.col("_is_left").asc(), *tie_keys)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         carried = [

@@ -17189,11 +17189,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # heavily-used join family without one), the chained-streaming-rollup
     # decade fold, and the partition-layout invariance fold (4 physical
     # layouts, bit-identical) promoted from a session-only check.
-    # Slots 8-13: the last 6 r03-latest oracle-backed verdicts (drains
+    # Slots 8-10: the as-of join family — operators/joins.as_of_join
+    # gained a deterministic tie-break among equal right timestamps
+    # (greatest value tuple; previously partition-order-dependent), so
+    # the three pre-existing entries whose closures include it re-queue.
+    # Slots 11-16: the last 6 r03-latest oracle-backed verdicts (drains
     # the r03 cohort; the 5 rows-only ml_* r03 entries are
     # contract-excluded from slots).
-    # Slots 14-49: the full r04-latest oracle-backed cohort (36 entries;
-    # ml_rf_grouped_pca is rows-only and contract-excluded).
+    # Slots 17-49: the oldest 33 of the 36 r04-latest oracle-backed
+    # entries (ml_rf_grouped_pca is rows-only and contract-excluded;
+    # w_sessionize_batch / w_time_range_frame / w_value_suite defer to
+    # r12 to make room for the as-of re-queues).
     # Slot 50: the head of the r05 cohort (refresh continues r12).
     # All 50 slots are oracle-backed. The staleness gate (STALENESS.json)
     # must report every stale entry inside this window head.
@@ -17207,6 +17213,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "scale10_asof_join",
     "scale10_stream_rollup",
     "inv_partition_layout",
+    # -- staleness-forced: closures include the tie-deterministic as-of --
+    "asof_join_events",
+    "asof_join_tolerance",
+    "j9_asof_nearest",
     # -- rolling refresh: the last 6 r03-latest oracle-backed --
     "q2_min_balance_supplier",
     "q11_important_parts",
@@ -17248,9 +17258,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "w1_lag_label_parity",
     "w1_scalable_global_lag",
     "w_prefix_sum",
-    "w_sessionize_batch",
-    "w_time_range_frame",
-    "w_value_suite",
     # -- rolling refresh: the head of the r05 cohort --
     "a10_groupwise_ols",
 )

@@ -7,11 +7,13 @@ is the real thing — random keyed event/quote streams, every direction,
 with and without tolerance, including equal-timestamp matches and
 left rows with no in-range partner.
 
-Scope note: right-side timestamps are unique per key (the operator's
-carry among equal right times follows union order; the documented
-contract only fixes the MATCH TIME), and right_values carry no nulls
-(the per-column last(ignorenulls) carry is a documented deviation from
-merge_asof for null-bearing columns).
+Scope note: right-side timestamps are unique per key (among equal
+right times the operator deterministically carries the GREATEST value
+tuple — pandas carries the last row in input order, a positional
+notion that has no distributed analogue; see
+test_joins.test_asof_tie_break_deterministic), and right_values carry
+no nulls (the per-column last(ignorenulls) carry is a documented
+deviation from merge_asof for null-bearing columns).
 """
 
 import datetime as dt

@@ -322,3 +322,45 @@ def test_asof_nearest_choice_ties_and_tolerance(spark):
         ).collect()
     }
     assert got_tol == {0: 10, 1: 20, 2: None, 3: None, 4: None}
+
+
+def test_asof_tie_break_deterministic(spark):
+    # Several RIGHT rows share (key, time) with different values: the
+    # carry must be the greatest value tuple on ANY physical layout —
+    # not whichever row the shuffle happened to place last.
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [Row(k=1, lt=t(2024, 1, 1, 12, 0), lid=0)]
+    )
+    tied = [
+        Row(k=1, rt=t(2024, 1, 1, 11, 0), rv=v) for v in (7, 42, 13, 3)
+    ]
+    for layout in (
+        lambda df: df,
+        lambda df: df.repartition(5),
+        lambda df: df.repartition(1).sortWithinPartitions(F.desc("rv")),
+        lambda df: df.repartition(3, "rv"),
+    ):
+        got = J.as_of_join(
+            left, layout(spark.createDataFrame(tied)),
+            on="k", left_time="lt", right_time="rt", right_values=["rv"],
+        ).collect()
+        assert [r.rv for r in got] == [42], got
+    # forward direction: same contract at the earliest later time
+    got_f = J.as_of_join(
+        left.withColumn("lt", F.lit(t(2024, 1, 1, 10, 0))),
+        spark.createDataFrame(tied).repartition(4),
+        on="k", left_time="lt", right_time="rt", right_values=["rv"],
+        direction="forward",
+    ).collect()
+    assert [r.rv for r in got_f] == [42]
+    # a map-typed carry column is skipped by the tie-break (not
+    # orderable) but still carries
+    right_map = spark.createDataFrame(
+        [Row(k=1, rt=t(2024, 1, 1, 11, 0), m={"a": 1})]
+    )
+    got_m = J.as_of_join(
+        left, right_map, on="k", left_time="lt", right_time="rt",
+        right_values=["m"],
+    ).collect()
+    assert got_m[0].m == {"a": 1}
