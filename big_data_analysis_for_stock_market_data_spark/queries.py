@@ -17162,6 +17162,120 @@ def inv_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inv_asof_tie_layouts",
+    # layout invariance OF THE AS-OF TIE-BREAK (r11): the engine's
+    # contract is "greatest right_values tuple wins among rights tied on
+    # (keys, time)" — for a single non-null value column that collapses
+    # to MAX(value) per (key, time), so the oracle pre-aggregates the
+    # tied rights and replays with DuckDB's native ASOF JOIN, replicated
+    # per layout_id. Day-truncating purchase timestamps manufactures
+    # dense ties (sf0.01: 332 tied groups / 709 tied rows of 1604
+    # groups), making the tie-break load-bearing, not vacuous.
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    r AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS rts,
+             MAX(value) AS ref_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT l.user_id, r.ref_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.rts
+    ),
+    per AS (
+      SELECT x.range AS layout_id,
+             COUNT(*) AS n_rows,
+             COUNT(ref_value) AS n_matched,
+             CAST(SUM(CAST(round(ref_value * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_ref_micros,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM j CROSS JOIN range(4) x GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_layouts,
+           CAST(COUNT(DISTINCT CAST(n_rows AS VARCHAR) || '|'
+                    || CAST(n_matched AS VARCHAR) || '|'
+                    || CAST(sum_ref_micros AS VARCHAR) || '|'
+                    || CAST(n_users AS VARCHAR)) AS BIGINT) AS n_variants,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(n_matched) AS BIGINT) AS n_matched,
+           CAST(MAX(sum_ref_micros) AS BIGINT) AS sum_ref_micros,
+           CAST(MAX(n_users) AS BIGINT) AS n_users
+    FROM per
+    """,
+)
+def inv_asof_tie_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout invariance of the as-of join TIE-BREAK (r11
+    follow-on to inv_partition_layout): operators/joins.as_of_join
+    orders tied right rows by their value tuple so the greatest one
+    carries on any physical layout. This entry makes that contract
+    driver-verdicted rather than pytest-only: purchases are
+    day-truncated so many right rows share (user_id, rts) — at sf0.01,
+    709 of the purchase rows are tied — then the SAME as-of join runs
+    under four physically different right-side layouts (natural, hash
+    repartition(7, user_id), keyless round-robin repartition(13),
+    repartitionByRange(5, user_id); layout 3 also round-robins the left
+    side) and folds integer metrics per layout. Without the
+    deterministic tie-break, the carried micros sum would differ across
+    layouts and n_variants would exceed 1 — exactly the
+    executor-count/AQE nondeterminism that matters on a 1000-executor
+    cluster and is invisible on tie-free data."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("rts"),
+        F.col("value").alias("ref_value"),
+    )
+
+    def metrics(lf: DataFrame, rt: DataFrame, layout_id: int) -> DataFrame:
+        out = join_ops.as_of_join(
+            lf, rt, on="user_id", left_time="ts", right_time="rts",
+            right_values=["ref_value"],
+        )
+        return (
+            out.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("ref_value").alias("n_matched"),
+                F.sum(
+                    F.round(F.col("ref_value") * 1000000).cast("long")
+                ).alias("sum_ref_micros"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .withColumn("layout_id", F.lit(layout_id))
+        )
+
+    layouts = (
+        metrics(left, right, 0)
+        .unionByName(metrics(left, right.repartition(7, "user_id"), 1))
+        .unionByName(metrics(left, right.repartition(13), 2))
+        .unionByName(
+            metrics(
+                left.repartition(11),
+                right.repartitionByRange(5, "user_id"),
+                3,
+            )
+        )
+    )
+    return layouts.agg(
+        F.count(F.lit(1)).alias("n_layouts"),
+        F.countDistinct(
+            "n_rows", "n_matched", "sum_ref_micros", "n_users"
+        ).alias("n_variants"),
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_matched").alias("n_matched"),
+        F.max("sum_ref_micros").alias("sum_ref_micros"),
+        F.max("n_users").alias("n_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -17184,23 +17298,26 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # with a loud out-of-range failure (r10 ADVICE) — so the four entries
     # whose call closures include those sources need same-round
     # re-verdicts (the gate enforces this).
-    # Slots 5-7: the r11 new verification-depth entries (driver verdict
+    # Slots 5-8: the r11 new verification-depth entries (driver verdict
     # the round they land): the as-of join decade fold (the one
     # heavily-used join family without one), the chained-streaming-rollup
-    # decade fold, and the partition-layout invariance fold (4 physical
-    # layouts, bit-identical) promoted from a session-only check.
-    # Slots 8-10: the as-of join family — operators/joins.as_of_join
+    # decade fold, the partition-layout invariance fold (4 physical
+    # layouts, bit-identical) promoted from a session-only check, and
+    # the as-of TIE-BREAK layout-invariance fold (manufactured dense
+    # ties under 4 right-side layouts — certifies the r11
+    # tie-determinism change at driver level, not just pytest).
+    # Slots 9-11: the as-of join family — operators/joins.as_of_join
     # gained a deterministic tie-break among equal right timestamps
     # (greatest value tuple; previously partition-order-dependent), so
     # the three pre-existing entries whose closures include it re-queue.
-    # Slots 11-16: the last 6 r03-latest oracle-backed verdicts (drains
+    # Slots 12-17: the last 6 r03-latest oracle-backed verdicts (drains
     # the r03 cohort; the 5 rows-only ml_* r03 entries are
     # contract-excluded from slots).
-    # Slots 17-49: the oldest 33 of the 36 r04-latest oracle-backed
+    # Slots 18-50: the oldest 33 of the 36 r04-latest oracle-backed
     # entries (ml_rf_grouped_pca is rows-only and contract-excluded;
-    # w_sessionize_batch / w_time_range_frame / w_value_suite defer to
-    # r12 to make room for the as-of re-queues).
-    # Slot 50: the head of the r05 cohort (refresh continues r12).
+    # w_sessionize_batch / w_time_range_frame / w_value_suite and the
+    # r05-cohort head a10_groupwise_ols defer to r12 to make room for
+    # the as-of re-queues and the tie-break invariance fold).
     # All 50 slots are oracle-backed. The staleness gate (STALENESS.json)
     # must report every stale entry inside this window head.
     #
@@ -17213,6 +17330,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "scale10_asof_join",
     "scale10_stream_rollup",
     "inv_partition_layout",
+    "inv_asof_tie_layouts",
     # -- staleness-forced: closures include the tie-deterministic as-of --
     "asof_join_events",
     "asof_join_tolerance",
@@ -17258,8 +17376,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "w1_lag_label_parity",
     "w1_scalable_global_lag",
     "w_prefix_sum",
-    # -- rolling refresh: the head of the r05 cohort --
-    "a10_groupwise_ols",
 )
 
 

@@ -156,6 +156,12 @@ DRIVER_ACTION_OK_PREFIXES = ("stream_", "stock_fe", "stock_rf")
 #: Multi-stage algorithms earn a larger, PINNED budget (adjudicated against
 #: the r04 audit): regressions past the pin still flag.
 EXCHANGE_BUDGET = {
+    "inv_asof_tie_layouts": 18,    # r11: four DELIBERATE physical
+                                   # layouts of the as-of right side
+                                   # (the entry's whole point) x (carry
+                                   # window + global distinct agg) + the
+                                   # 4 explicit repartitions (measured
+                                   # 16 at sf0.001)
     "dedup_ngram_jaccard": 10,     # grouped shingle index -> in-group
                                    # pairs -> verify joins (r08: was 16
                                    # with the posting self-join; measured 6)
