@@ -17384,6 +17384,127 @@ def scale10_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scale10_components",
+    # the ITERATIVE graph fold (r11): Spark runs connected_components
+    # ONCE over 10 disjoint offset-id replicas (node' = copy*2^32 +
+    # node), so every min-label round, checkpoint, and convergence probe
+    # processes 10x the state in one run. The oracle computes the base
+    # components once with the recursive CTE and replicates the metrics
+    # per copy — exact for disjoint copies (each replica's components
+    # are the base components shifted by copy*2^32, and the fold takes
+    # node % 2^32), and 10x cheaper than recursing over the replicated
+    # edge list (measured 103 s vs 5.5 s at sf0.01). The Spark side
+    # still folds per copy, so any replica divergence lands in
+    # n_variants/max columns and hash-mismatches.
+    oracle="""
+    WITH RECURSIVE parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    eo AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM parts a JOIN parts b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1),
+    m AS (
+      SELECT COUNT(*) AS n_parts,
+             COUNT(DISTINCT component) AS n_components,
+             CAST(SUM(node) AS BIGINT) AS part_checksum,
+             CAST(SUM(component) AS BIGINT) AS comp_checksum
+      FROM comp
+    ),
+    per AS (SELECT r.range AS copy_id, m.* FROM m CROSS JOIN range(10) r)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT CAST(n_parts AS VARCHAR) || '|'
+                    || CAST(n_components AS VARCHAR) || '|'
+                    || CAST(part_checksum AS VARCHAR) || '|'
+                    || CAST(comp_checksum AS VARCHAR)) AS BIGINT)
+             AS n_variants,
+           CAST(MAX(n_parts) AS BIGINT) AS parts_per_copy,
+           CAST(MAX(n_components) AS BIGINT) AS components_per_copy,
+           CAST(MAX(part_checksum) AS BIGINT) AS part_checksum,
+           CAST(MAX(comp_checksum) AS BIGINT) AS comp_checksum
+    FROM per
+    """,
+)
+def scale10_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components at 10x — the decade fold for the ITERATIVE
+    operator family (dedup.connected_components: per-round edge join +
+    grouped MIN, per-round lineage truncation, 1-row convergence probe).
+    Ten disjoint replicas of the co-purchase graph live in ONE edge
+    list via offset node ids (node' = copy_id * 2^32 + node), so a
+    single operator invocation carries all ten through every min-label
+    round — the convergence loop must terminate simultaneously and
+    produce shifted-identical labels on every replica. Per-copy fold on
+    pure integers (node count, component count, node/component
+    checksums mod 2^32) asserts all 10 agree. This certifies at 10x
+    state exactly what a 1000-executor run needs from the iterative
+    engine: rounds scale with graph diameter, not replica count, and
+    labels are placement-independent."""
+    from big_data_analysis_for_stock_market_data_spark.operators.dedup import (
+        connected_components,
+    )
+
+    off = F.lit(1 << 32).cast("long")
+    li = load(spark, sf_dir, "lineitem")
+    rep = (
+        li.select("l_orderkey", "l_partkey")
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .distinct()
+    )
+    a = rep.select("l_orderkey", "copy_id", F.col("l_partkey").alias("u"))
+    b = rep.select("l_orderkey", "copy_id", F.col("l_partkey").alias("v"))
+    eo = (
+        a.join(b, ["l_orderkey", "copy_id"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("copy_id", "u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select(
+            (F.col("copy_id").cast("long") * off + F.col("u")).alias("u"),
+            (F.col("copy_id").cast("long") * off + F.col("v")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components(eo, id_a="u", id_b="v", max_iter=50)
+    per = (
+        cc.select(
+            # integer DIV, not float '/': at copy*2^32 magnitudes a
+            # double quotient could land one ulp under the integer
+            F.expr("doc_id DIV 4294967296").alias("copy_id"),
+            (F.col("doc_id") % off).alias("node"),
+            (F.col("component") % off).alias("base_component"),
+        )
+        .groupBy("copy_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("base_component").alias("n_components"),
+            F.sum("node").alias("part_checksum"),
+            F.sum("base_component").alias("comp_checksum"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct(
+            "n_parts", "n_components", "part_checksum", "comp_checksum"
+        ).alias("n_variants"),
+        F.max("n_parts").alias("parts_per_copy"),
+        F.max("n_components").alias("components_per_copy"),
+        F.max("part_checksum").alias("part_checksum"),
+        F.max("comp_checksum").alias("comp_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries of queries() each round, so ordering is scoreboard-visible.
@@ -17406,28 +17527,30 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # with a loud out-of-range failure (r10 ADVICE) — so the four entries
     # whose call closures include those sources need same-round
     # re-verdicts (the gate enforces this).
-    # Slots 5-9: the r11 new verification-depth entries (driver verdict
+    # Slots 5-10: the r11 new verification-depth entries (driver verdict
     # the round they land): the as-of join decade fold (the one
     # heavily-used join family without one), the chained-streaming-rollup
     # decade fold, the partition-layout invariance fold (4 physical
     # layouts, bit-identical) promoted from a session-only check, the
     # as-of TIE-BREAK layout-invariance fold (manufactured dense ties
     # under 4 right-side layouts — certifies the r11 tie-determinism
-    # change at driver level, not just pytest), and the triangle-count
-    # decade fold (the graph family's first).
-    # Slots 10-12: the as-of join family — operators/joins.as_of_join
+    # change at driver level, not just pytest), the triangle-count
+    # decade fold (the graph family's first), and the
+    # connected-components decade fold (the ITERATIVE family's first:
+    # 10 offset-id replicas through one convergence loop).
+    # Slots 11-13: the as-of join family — operators/joins.as_of_join
     # gained a deterministic tie-break among equal right timestamps
     # (greatest value tuple; previously partition-order-dependent), so
     # the three pre-existing entries whose closures include it re-queue.
-    # Slots 13-18: the last 6 r03-latest oracle-backed verdicts (drains
+    # Slots 14-19: the last 6 r03-latest oracle-backed verdicts (drains
     # the r03 cohort; the 5 rows-only ml_* r03 entries are
     # contract-excluded from slots).
-    # Slots 19-50: the oldest 32 of the 36 r04-latest oracle-backed
+    # Slots 20-50: the oldest 31 of the 36 r04-latest oracle-backed
     # entries (ml_rf_grouped_pca is rows-only and contract-excluded;
-    # w_prefix_sum / w_sessionize_batch / w_time_range_frame /
-    # w_value_suite and the r05-cohort head a10_groupwise_ols defer to
-    # r12 to make room for the as-of re-queues and the two new
-    # invariance/decade folds).
+    # w1_scalable_global_lag / w_prefix_sum / w_sessionize_batch /
+    # w_time_range_frame / w_value_suite and the r05-cohort head
+    # a10_groupwise_ols defer to r12 to make room for the as-of
+    # re-queues and the three new invariance/decade folds).
     # All 50 slots are oracle-backed. The staleness gate (STALENESS.json)
     # must report every stale entry inside this window head.
     #
@@ -17442,6 +17565,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "inv_partition_layout",
     "inv_asof_tie_layouts",
     "scale10_triangles",
+    "scale10_components",
     # -- staleness-forced: closures include the tie-deterministic as-of --
     "asof_join_events",
     "asof_join_tolerance",
@@ -17485,7 +17609,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "text_redact_pii",
     "text_rolling_fingerprint",
     "w1_lag_label_parity",
-    "w1_scalable_global_lag",
 )
 
 

@@ -123,6 +123,9 @@ DRIVER_ACTION_OK = {
     "dedup_clusters",
     "h1_ancestor_closure",
     "g4_connected_components",
+    # r11: same convergence-probe contract, 10 offset-id replicas
+    # through one iterative run
+    "scale10_components",
     # the entry's RESULT is the two split sizes (rows-only by contract)
     "o3_random_split",
     # model TRAINING entries (fit + metrics collection is the product);
