@@ -167,10 +167,24 @@ def bench_stock_ml(spark, timings: dict[str, float],
         # cache exactly the training surface (label + FEATURE_COLS): the
         # RF stage reads nothing else, and materializing the full
         # 45-column frame was ~25% of the FE stage (measured r04)
+        #
+        # Widen before caching (r11, guide §2.5-2.6 idle capacity): the
+        # pipeline's last exchange is the per-symbol applyInPandas pass,
+        # so the enriched frame lands in |symbols|=4 non-empty partitions
+        # — cache materialization, randomSplit, the assembler transform
+        # and every RF treeAggregate round then run ≤4-wide on a 32-core
+        # session (measured: RF fit min-of-2 14.3 s narrow vs 7.5 s wide
+        # under identical load; 4/32 partitions non-empty confirmed via
+        # glom). Round-robin repartition of the 13-column training
+        # surface (~70 MB at 671k rows) is one cheap narrow-payload
+        # shuffle; at cluster scale a few-key universe has the same
+        # degeneracy, and a many-key universe arriving already wide pays
+        # only this single extra pass of the pruned surface.
         feats = (
             stock.feature_frame(bars, **hints)
             .select("buy_or_sell", *stock.FEATURE_COLS)
             .na.drop(subset=stock.FEATURE_COLS)
+            .repartition(spark.sparkContext.defaultParallelism)
             .cache()
         )
         feats.count()

@@ -399,7 +399,18 @@ def synthesize_containers(
                 rows.append({id_col: rid, "payload": payload})
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
+
+    # Widen the NARROW (id, text) input before building payloads (r11,
+    # guide §2.3/§8: move heavy bytes once — here zero times): synthesis
+    # was running at scan width (one task for a single-file corpus) and
+    # the downstream parse's widening then round-robin-shuffled the
+    # synthesized payload bytes. With the width established here,
+    # ensure_parallelism downstream sees the explicit repartition and
+    # no payload-carrying exchange exists anywhere in the plan.
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        run, out_schema
+    )
 
 
 def synthesize_gif_jpeg(
@@ -434,7 +445,10 @@ def synthesize_gif_jpeg(
                 rows.append({id_col: rid, "payload": payload})
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(run, out_schema)
+    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
+
+    # Same widen-the-narrow-input rule as synthesize_containers (r11).
+    return ensure_parallelism(df.select(id_col)).mapInPandas(run, out_schema)
 
 
 def parse_container_headers(

@@ -232,6 +232,14 @@ def lsh_bucket_topk(
                       for t in range(n_tables)])
         ).alias("__bucket"),
     )
+    # Candidate dedup is distinct() over (ids + vecs), NOT
+    # dropDuplicates(ids): the vectors are functionally determined by
+    # their ids (same exploded source row), so the results are identical
+    # — but dropDuplicates(subset) compiles to first(array<float>)
+    # aggregates whose variable-width buffers force SortAggregate (sort +
+    # sort-based merge on both sides of the exchange), while the
+    # buffer-free distinct stays on hash aggregation (r11, guide §3/§7.2:
+    # plan-shape diff SortAggregate×2+Sort×2 → HashAggregate×2).
     cand = (
         c_buckets.join(F.broadcast(q_buckets), "__bucket")
         .filter(F.col(id_col) != F.col("__qid"))
@@ -240,7 +248,7 @@ def lsh_bucket_topk(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col), F.col("__qvec"),
         )
-        .dropDuplicates([query_id_col, "neighbor_id"])
+        .distinct()
     )
     cos = cosine(F.col(vec_col), F.col("__qvec"))
     if round_to is not None:
@@ -305,10 +313,17 @@ def ann_join(
                       for t in range(n_tables)])
         ).alias("__bucket"),
     )
+    # distinct() over (ids + vecs) rather than dropDuplicates(ids): the
+    # vectors are functionally determined by the ids, so results are
+    # identical, and the buffer-free distinct hash-aggregates where
+    # first(array<float>) forced SortAggregate (see lsh_bucket_topk).
+    # __bucket must be projected away first or multi-bucket pairs would
+    # survive as duplicates.
     cand = (
         l_b.join(r_b, "__bucket")
         .filter(F.col("__lid") != F.col("__rid"))
-        .dropDuplicates(["__lid", "__rid"])
+        .select("__lid", "__lvec", "__rid", "__rvec")
+        .distinct()
     )
     cos = cosine(F.col("__lvec"), F.col("__rvec"))
     if round_to is not None:
@@ -466,10 +481,15 @@ def cosine_near_dup_pairs(
     b = bucketed.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
     )
+    # distinct() over (ids + vecs) rather than dropDuplicates(ids) — same
+    # SortAggregate→HashAggregate rationale as lsh_bucket_topk/ann_join;
+    # __bucket is projected away first so multi-bucket pairs still
+    # collapse to one row.
     cand = (
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "__va", "id_b", "__vb")
+        .distinct()
     )
     return (
         cand.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
