@@ -56,28 +56,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     scan's input files and, only when there are fewer files than the
     target, stat them to account for maxPartitionBytes splitting of large
     files. Never converts the plan to an RDD (``df.rdd`` triggers a full
-    plan->RDD translation per call) and never launches a job.
-
-    A frame whose lineage already contains an EXPLICIT repartition is
-    returned unchanged (r11, guide §2.4): ``inputFiles()`` reports the
-    underlying scan's files even for derived frames, so without this
-    check a pipeline that widened its NARROW input (ids/text) would get a
-    second round-robin exchange here — carrying the derived HEAVY payload
-    (the mm_container_headers case: the synthesized media bytes were
-    re-shuffled between the two Python passes purely to restore a width
-    the caller had already established). Only explicit Repartition nodes
-    short-circuit; key-hashed shuffles (aggregates/joins) do NOT, because
-    AQE may legally coalesce those to a single tiny partition and a
-    compute-dense Python pass downstream still needs the width."""
+    plan->RDD translation per call) and never launches a job."""
     sess = df.sparkSession
     target = int(
         min_partitions or sess.conf.get("spark.sql.shuffle.partitions")
     )
-    import re as _re
-
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    if _re.search(r"\bRepartition(ByExpression)?\b", analyzed):
-        return df
     files = df.inputFiles()
     if not files:
         # Derived/in-memory frame: partitioning comes from the upstream

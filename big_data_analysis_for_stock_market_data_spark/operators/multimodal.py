@@ -339,6 +339,31 @@ def _parse_one_container(payload: bytes) -> dict:
     return out
 
 
+def _widen_unless_repartitioned(df: DataFrame) -> DataFrame:
+    """``ensure_parallelism`` unless the lineage already holds an EXPLICIT
+    repartition (r11, guide §2.3/§2.4): ``inputFiles()`` reports the
+    underlying scan's files even for derived frames, so the plain widening
+    after ``synthesize_containers`` re-shuffled the synthesized binary
+    payload round-robin purely to restore a width the synthesis input had
+    already established — the heavy-bytes-shuffled-twice anti-pattern.
+    Only explicit Repartition nodes short-circuit; key-hashed shuffles
+    (aggregates/joins) do NOT, because AQE may legally coalesce those to a
+    single tiny partition and a compute-dense Python pass downstream still
+    needs the width. Driver-side plan-string inspection only — no job.
+    Kept module-private so the shared ``ensure_parallelism`` (in dozens of
+    verdicted entries' closures) is untouched."""
+    import re
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if re.search(r"\bRepartition(ByExpression)?\b", analyzed):
+        return df
+    return ensure_parallelism(df)
+
+
 def synthesize_containers(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -481,9 +506,7 @@ def parse_container_headers(
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=cols)
 
-    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
-
-    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+    return _widen_unless_repartitioned(df.select(id_col, payload_col)).mapInPandas(
         run, schema=out_schema
     )
 
