@@ -424,3 +424,36 @@ def test_recursive_enrich_auto_engine_policy(spark, monkeypatch):
     )
     rows = out.select("ema5").collect()
     assert len(rows) == 500 and all(r.ema5 is not None for r in rows)
+
+
+def test_cci_block_chunking_bit_identical():
+    # r11: _cci_pandas_block processes the sliding-window view in 64k-row
+    # contiguous blocks (allocation-stall fix). Per-row reductions are
+    # unchanged, so outputs must be BIT-identical to the whole-array form
+    # — this pins that equivalence, including across block boundaries.
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        indicators as ind,
+    )
+
+    rng = np.random.default_rng(11)
+    for m in (40, 1000, 70_000):  # 70k spans two 64k blocks
+        close = pd.Series(100 + np.cumsum(rng.normal(0, 0.1, m)))
+        pdf = pd.DataFrame(
+            {"close": close, "high": close * 1.001, "low": close * 0.999}
+        )
+        got = ind._cci_pandas_block(pdf.copy(), (5, 10, 15), "close")
+        for n in (5, 10, 15):
+            tp = ((pdf["high"] + pdf["low"] + pdf["close"]) / 3.0).to_numpy(
+                dtype="float64"
+            )
+            W = np.lib.stride_tricks.sliding_window_view(tp, n)
+            sma = W.mean(axis=1)
+            md = np.abs(W - sma[:, None]).mean(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ref = (tp[n - 1:] - sma) / (0.015 * md)
+            ref[md == 0] = np.nan
+            out = got[f"cci{n}"].to_numpy()[n - 1:]
+            assert np.array_equal(out, ref, equal_nan=True), (m, n)

@@ -329,3 +329,29 @@ def test_exact_median_narrowing_residue_bounded(spark):
     # the registered entry agrees end-to-end
     row = q(spark, "agg_exact_median_scalable").collect()[0]
     assert row["n_rows"] == n and row["median_cents"] == want
+
+
+def test_container_synthesis_never_shuffles_payload(spark):
+    # r11: the width for both Python passes is established on the NARROW
+    # (id, text) input; the synthesized binary payload must not appear in
+    # any exchange (the pre-r11 plan round-robin-shuffled it between the
+    # synthesize and parse passes).
+    import re
+
+    df = q(spark, "mm_container_headers")
+    plan = P.explain_str(df, "simple")
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "payload" not in m.group(0), m.group(0)
+    # both Python passes present, chained with no exchange between them
+    assert plan.count("MapInPandas") == 2
+
+
+def test_ann_candidate_dedup_hash_aggregates(spark):
+    # r11: candidate-pair dedup is distinct() over ids+vectors, which
+    # hash-aggregates; dropDuplicates(ids) compiled to first(array<float>)
+    # whose variable-width buffer forced SortAggregate (two extra sorts of
+    # the widest intermediate).
+    for name in ("simsearch_ann_join", "simsearch_lsh_topk",
+                 "dedup_cosine_near"):
+        plan = P.explain_str(q(spark, name), "simple")
+        assert "SortAggregate" not in plan, name
