@@ -17542,15 +17542,24 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # gained a deterministic tie-break among equal right timestamps
     # (greatest value tuple; previously partition-order-dependent), so
     # the three pre-existing entries whose closures include it re-queue.
-    # Slots 14-19: the last 6 r03-latest oracle-backed verdicts (drains
+    # Slots 14-18: the r11 OPTIMIZATION re-queues — closures changed by
+    # the optimization round's code edits, so their last verdicts are
+    # stale: the CCI block-chunked window pass (indicators._cci_pandas_
+    # block: ind_recursive_family, stock_feature_frame) and the
+    # payload-shuffle removal in container synthesis (multimodal.
+    # synthesize_*/_widen_unless_repartitioned/parse_container_headers:
+    # mm_container_headers, mm_gif_jpeg_headers, s_binaryfile_scan).
+    # Slots 19-24: the last 6 r03-latest oracle-backed verdicts (drains
     # the r03 cohort; the 5 rows-only ml_* r03 entries are
     # contract-excluded from slots).
-    # Slots 20-50: the oldest 31 of the 36 r04-latest oracle-backed
+    # Slots 25-50: the oldest 26 of the 36 r04-latest oracle-backed
     # entries (ml_rf_grouped_pca is rows-only and contract-excluded;
     # w1_scalable_global_lag / w_prefix_sum / w_sessionize_batch /
-    # w_time_range_frame / w_value_suite and the r05-cohort head
-    # a10_groupwise_ols defer to r12 to make room for the as-of
-    # re-queues and the three new invariance/decade folds).
+    # w_time_range_frame / w_value_suite, the r05-cohort head
+    # a10_groupwise_ols, and — displaced by the five optimization
+    # re-queues above — text_chunk_overlap / text_curate_gate /
+    # text_pack_sequences / text_redact_pii / text_rolling_fingerprint
+    # defer to r12).
     # All 50 slots are oracle-backed. The staleness gate (STALENESS.json)
     # must report every stale entry inside this window head.
     #
@@ -17570,6 +17579,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "asof_join_events",
     "asof_join_tolerance",
     "j9_asof_nearest",
+    # -- r11 optimization re-queues (closures changed this round) --
+    "ind_recursive_family",
+    "stock_feature_frame",
+    "mm_container_headers",
+    "mm_gif_jpeg_headers",
+    "s_binaryfile_scan",
     # -- rolling refresh: the last 6 r03-latest oracle-backed --
     "q2_min_balance_supplier",
     "q11_important_parts",
@@ -17603,11 +17618,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_topk_users_daily",
     "stream_tumbling_daily",
     "stream_upsert_latest",
-    "text_chunk_overlap",
-    "text_curate_gate",
-    "text_pack_sequences",
-    "text_redact_pii",
-    "text_rolling_fingerprint",
     "w1_lag_label_parity",
 )
 
