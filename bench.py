@@ -145,7 +145,8 @@ def bench_calibration(spark) -> float:
 
 
 def bench_stock_ml(spark, timings: dict[str, float],
-                   query_runs: dict[str, list[float]] | None = None) -> None:
+                   query_runs: dict[str, list[float]] | None = None,
+                   query_stamps: dict[str, list[float]] | None = None) -> None:
     from big_data_analysis_for_stock_market_data_spark import ml, stock
 
     # min-of-2 for the same reason as the headline loop (one-time codegen +
@@ -160,6 +161,8 @@ def bench_stock_ml(spark, timings: dict[str, float],
     for _ in range(2):
         if feats is not None:
             feats.unpersist()
+        if query_stamps is not None:
+            query_stamps.setdefault("stock_fe_671k", []).append(_stamp())
         t0 = time.time()
         bars = stock.make_stock_fixture(spark, n_rows=STOCK_ROWS, n_symbols=4)
         if hints is None:
@@ -190,6 +193,8 @@ def bench_stock_ml(spark, timings: dict[str, float],
         feats.count()
         fe_runs.append(time.time() - t0)
 
+        if query_stamps is not None:
+            query_stamps.setdefault("stock_rf_671k", []).append(_stamp())
         t1 = time.time()
         ml.train_random_forest(
             feats, stock.FEATURE_COLS, label_col="buy_or_sell",
@@ -207,6 +212,21 @@ def bench_stock_ml(spark, timings: dict[str, float],
 
 
 _LOADAVG_LAUNCH = [round(x, 2) for x in os.getloadavg()]
+
+#: Wall-clock origin for the per-sample timestamps (VERDICT r11 item 8):
+#: every timed sample (headline runs, ML stages, calibration runs,
+#: retries) is stamped with its offset from process start in
+#: ``query_stamps`` / ``calib_stamps``, so a consumer can line samples up
+#: against the calibration bracket in TIME and discard the ones adjacent
+#: to a hot sentinel reading — mid-run co-tenant bursts are invisible to
+#: the 4-sample bracket but perfectly visible as a time-correlated
+#: cluster of inflated samples. Additive keys only: the one-line JSON
+#: contract and every existing key are unchanged.
+_T_ORIGIN = time.time()
+
+
+def _stamp() -> float:
+    return round(time.time() - _T_ORIGIN, 1)
 
 #: Burst-resilience knobs (VERDICT r10 task 4). The host's co-tenant
 #: bursts recur every ~8-12 min — shorter than a full bench — so a single
@@ -256,7 +276,16 @@ def main() -> None:
     # (host noise drifts over multi-minute windows — memory:
     # host-performance-variance); min = the machine's best, the spread =
     # in-run drift.
-    calib_runs = [bench_calibration(spark) for _ in range(2)]
+    calib_stamps: list[float] = []
+
+    def timed_calibs(n: int) -> list[float]:
+        out = []
+        for _ in range(n):
+            calib_stamps.append(_stamp())
+            out.append(bench_calibration(spark))
+        return out
+
+    calib_runs = timed_calibs(2)
 
     # Two runs per query, min recorded: the first execution of a plan pays
     # one-time driver costs (analysis + whole-stage codegen janino compile —
@@ -269,7 +298,10 @@ def main() -> None:
     except ValueError:
         sf_val = sf  # type: ignore[assignment]
 
+    query_stamps: dict[str, list[float]] = {}
+
     def run_once(name: str) -> float:
+        query_stamps.setdefault(name, []).append(_stamp())
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
@@ -282,9 +314,9 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     if os.environ.get("SPARK_GRAFT_BENCH_ML", "1") != "0":
-        bench_stock_ml(spark, timings, query_runs)
+        bench_stock_ml(spark, timings, query_runs, query_stamps)
 
-    calib_runs += [bench_calibration(spark) for _ in range(2)]
+    calib_runs += timed_calibs(2)
 
     # Burst-resilience sweep (VERDICT r10 task 4): re-run, minutes after
     # their first passes, the queries whose min still exceeds RETRY_RATIO x
@@ -315,7 +347,7 @@ def main() -> None:
             and os.environ.get("SPARK_GRAFT_BENCH_ML", "1") != "0"):
         t0 = time.time()
         ml_retry: dict[str, float] = {}
-        bench_stock_ml(spark, ml_retry, query_runs)
+        bench_stock_ml(spark, ml_retry, query_runs, query_stamps)
         retry_budget -= time.time() - t0
         for k, v in ml_retry.items():
             if v < timings[k]:
@@ -323,6 +355,7 @@ def main() -> None:
                 retried[k] = retried.get(k, 0) + 1
     # Host state AT retry time, kept out of the 4-sample bracket so the
     # contaminated rule's arity stays fixed.
+    calib_retry_stamps = [_stamp()] if retried else []
     calib_retry_runs = [bench_calibration(spark)] if retried else []
 
     calib_sec = round(min(calib_runs + calib_retry_runs), 3)
@@ -371,6 +404,16 @@ def main() -> None:
                 "contaminated": calib_sec > 1.5
                 or sorted(calib_runs)[1] > 3.0,
                 "query_runs": query_runs,
+                # Per-sample wall-clock offsets from process start (r12,
+                # additive): query_stamps[name][i] is when query_runs
+                # [name][i] STARTED; calib_stamps are the bracket
+                # samples' starts. A sample whose neighborhood contains a
+                # hot calibration reading — or that sits inside a cluster
+                # of uniformly-inflated samples — is a burst artifact,
+                # now identifiable from the record alone.
+                "query_stamps": query_stamps,
+                "calib_stamps": [round(s, 1) for s in calib_stamps],
+                "calib_retry_stamps": calib_retry_stamps,
                 "retry": {
                     "floors_set": "r08" if floors else None,
                     "ratio": RETRY_RATIO,

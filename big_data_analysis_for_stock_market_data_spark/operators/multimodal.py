@@ -34,6 +34,7 @@ upstream if payload sizes are skewed.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -339,8 +340,82 @@ def _parse_one_container(payload: bytes) -> dict:
     return out
 
 
+#: Size-aware Python fan-out floors (r12, guide §2.5-§2.6 / VERDICT r11
+#: items 2/4): unconditionally widening to the session target spins a
+#: full complement of Python workers for corpora whose TOTAL decode work
+#: is a fraction of a second — measured on the 1500-id sf0.1 corpus, the
+#: light parsers (WAV/PNG/GIF/BMP/container headers, ~0.1-1 ms/row) run
+#: 2-7x FASTER at width 1 than at width 32 (wav 0.39 s vs 1.56, container
+#: chain 0.42 vs 2.83), while the mid-weight decoders (JPEG Huffman
+#: paths, AVI, ~2-5 ms/row) bottom out at width 8-16 (jpeg_color 1.48 at
+#: 8 vs 2.39 at 1 / 1.25 at 32) and the heavy ones (FLAC ~50 ms/row,
+#: WebP ~20 ms/row) want every core (flac 2.25 at 32 vs 10.1 at 1 —
+#: those call sites keep the plain session-width ``ensure_parallelism``).
+#: The floors translate that sweep into scan bytes per Python task: the
+#: widening target is ceil(input scan bytes / floor), capped at the
+#: session target, so tiny corpora stay narrow, and a 100 TB corpus still
+#: fans out to full width. Overridable per session for different
+#: hardware (spark.graft.pythonFanout.lightBytesPerTask / .midBytesPerTask).
+_LIGHT_BYTES_PER_TASK = 4 << 20
+_MID_BYTES_PER_TASK = 256 << 10
+
+_LIGHT_BYTES_CONF = "spark.graft.pythonFanout.lightBytesPerTask"
+_MID_BYTES_CONF = "spark.graft.pythonFanout.midBytesPerTask"
+
+
+def _sized_width(df: DataFrame, bytes_per_task: int, conf_key: str) -> int:
+    """Python-fan-out width for ``df``: the session's shuffle-partition
+    target, capped by the input's driver-side scan-byte estimate divided
+    by ``bytes_per_task`` (overridable via ``conf_key``). Pure metadata —
+    ``inputFiles()`` + filesystem stats, no job. Derived frames report
+    their underlying scan's files, which is exactly the right size proxy
+    here (the id universe a synthesis pass fans out over is a projection
+    of that scan). Falls back to the plain session target when the
+    estimate is unavailable (in-memory frames, exotic FS)."""
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        _file_length,
+        _parse_bytes,
+    )
+
+    sess = df.sparkSession
+    target = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        floor = _parse_bytes(sess.conf.get(conf_key, str(bytes_per_task)))
+        files = df.inputFiles()
+        if not files:
+            return target
+        total = sum(_file_length(sess, f) for f in files)
+    except Exception:
+        return target
+    return max(1, min(target, math.ceil(total / max(1, floor))))
+
+
+def _widen_light(df: DataFrame) -> DataFrame:
+    """``ensure_parallelism`` with the light-parser width floor."""
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(
+        df, min_partitions=_sized_width(
+            df, _LIGHT_BYTES_PER_TASK, _LIGHT_BYTES_CONF)
+    )
+
+
+def _widen_mid(df: DataFrame) -> DataFrame:
+    """``ensure_parallelism`` with the mid-weight-decoder width floor."""
+    from big_data_analysis_for_stock_market_data_spark.operators import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(
+        df, min_partitions=_sized_width(
+            df, _MID_BYTES_PER_TASK, _MID_BYTES_CONF)
+    )
+
+
 def _widen_unless_repartitioned(df: DataFrame) -> DataFrame:
-    """``ensure_parallelism`` unless the lineage already holds an EXPLICIT
+    """``_widen_light`` unless the lineage already holds an EXPLICIT
     repartition (r11, guide §2.3/§2.4): ``inputFiles()`` reports the
     underlying scan's files even for derived frames, so the plain widening
     after ``synthesize_containers`` re-shuffled the synthesized binary
@@ -351,17 +426,23 @@ def _widen_unless_repartitioned(df: DataFrame) -> DataFrame:
     single tiny partition and a compute-dense Python pass downstream still
     needs the width. Driver-side plan-string inspection only — no job.
     Kept module-private so the shared ``ensure_parallelism`` (in dozens of
-    verdicted entries' closures) is untouched."""
+    verdicted entries' closures) is untouched. Since r12 the fallback
+    widening is size-aware (``_widen_light``), so when the synthesis
+    stage legitimately stayed narrow (tiny corpus, no repartition in the
+    lineage) this no longer fans the payload out either — the two
+    policies agree by construction because they derive the same width
+    from the same underlying scan bytes."""
     import re
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    if re.search(r"\bRepartition(ByExpression)?\b", analyzed):
+    # shuffle=true repartitions only (ADVICE r11): the logical Repartition
+    # node prints "Repartition <n>, <shuffle>", and coalesce(n) emits the
+    # same node with shuffle=false — a deliberately NARROWED frame must
+    # not suppress the widening.
+    if re.search(r"Repartition \d+, true|\bRepartitionByExpression\b",
+                 analyzed):
         return df
-    return ensure_parallelism(df)
+    return _widen_light(df)
 
 
 def synthesize_containers(
@@ -424,16 +505,17 @@ def synthesize_containers(
                 rows.append({id_col: rid, "payload": payload})
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
-
     # Widen the NARROW (id, text) input before building payloads (r11,
     # guide §2.3/§8: move heavy bytes once — here zero times): synthesis
     # was running at scan width (one task for a single-file corpus) and
     # the downstream parse's widening then round-robin-shuffled the
-    # synthesized payload bytes. With the width established here,
-    # ensure_parallelism downstream sees the explicit repartition and
-    # no payload-carrying exchange exists anywhere in the plan.
-    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+    # synthesized payload bytes. With the width established here, the
+    # parse-side widening sees the explicit repartition and no
+    # payload-carrying exchange exists anywhere in the plan. The width
+    # itself is size-aware since r12 (``_widen_light``): a corpus whose
+    # total synthesis+parse work is sub-second stays at scan width
+    # instead of spinning a full complement of Python workers.
+    return _widen_light(df.select(id_col, text_col)).mapInPandas(
         run, out_schema
     )
 
@@ -470,10 +552,9 @@ def synthesize_gif_jpeg(
                 rows.append({id_col: rid, "payload": payload})
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import ensure_parallelism
-
-    # Same widen-the-narrow-input rule as synthesize_containers (r11).
-    return ensure_parallelism(df.select(id_col)).mapInPandas(run, out_schema)
+    # Same widen-the-narrow-input rule as synthesize_containers (r11),
+    # size-aware since r12.
+    return _widen_light(df.select(id_col)).mapInPandas(run, out_schema)
 
 
 def parse_container_headers(
@@ -1103,11 +1184,7 @@ def wav_roundtrip_stats(
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(users.select(id_col)).mapInPandas(
+    return _widen_light(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
 
@@ -1159,11 +1236,7 @@ def png_roundtrip_stats(
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(users.select(id_col)).mapInPandas(
+    return _widen_light(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
 
@@ -1414,11 +1487,7 @@ def gif_roundtrip_stats(
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(users.select(id_col)).mapInPandas(
+    return _widen_light(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
 
@@ -1898,11 +1967,7 @@ def jpeg_roundtrip_stats(
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(users.select(id_col)).mapInPandas(
+    return _widen_mid(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
 
@@ -1958,11 +2023,7 @@ def resize_roundtrip_stats(
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(users.select(id_col)).mapInPandas(
+    return _widen_light(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
 
@@ -2379,11 +2440,7 @@ def jpeg_color_roundtrip_stats(
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(users.select(id_col)).mapInPandas(
+    return _widen_mid(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
 
@@ -2856,11 +2913,7 @@ def jpeg_progressive_roundtrip_stats(
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(users.select(id_col)).mapInPandas(
+    return _widen_mid(users.select(id_col)).mapInPandas(
         run, schema=schema
     )
 
@@ -3016,10 +3069,6 @@ def avi_frame_sample_stats(
                     })
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    from big_data_analysis_for_stock_market_data_spark.operators import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(users.select(id_col)).mapInPandas(
+    return _widen_mid(users.select(id_col)).mapInPandas(
         run, schema=schema
     )

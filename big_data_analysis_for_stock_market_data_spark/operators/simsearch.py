@@ -212,7 +212,13 @@ def lsh_bucket_topk(
     ``_bucket_expr``). ``n_planes`` defaults to ``'auto'``, sizing the
     bucket width from the corpus cardinality (``resolve_n_planes``) so the
     candidate volume stays flat as the corpus grows; an int overrides;
-    ``corpus_rows`` skips the sizing count."""
+    ``corpus_rows`` skips the sizing count.
+
+    Precondition (shared with ``ann_join``/``cosine_near_dup_pairs``):
+    ids uniquely determine their vectors — true of any sane embedding
+    table. Candidate dedup relies on it (duplicate ids with DIFFERENT
+    vectors would emit one row per distinct score instead of one per id
+    pair)."""
     n_planes = resolve_n_planes(n_planes, corpus, corpus_rows)
     corpus = ensure_parallelism(corpus)
     c_buckets = corpus.select(
@@ -232,28 +238,33 @@ def lsh_bucket_topk(
                       for t in range(n_tables)])
         ).alias("__bucket"),
     )
-    # Candidate dedup is distinct() over (ids + vecs), NOT
-    # dropDuplicates(ids): the vectors are functionally determined by
-    # their ids (same exploded source row), so the results are identical
-    # — but dropDuplicates(subset) compiles to first(array<float>)
-    # aggregates whose variable-width buffers force SortAggregate (sort +
-    # sort-based merge on both sides of the exchange), while the
-    # buffer-free distinct stays on hash aggregation (r11, guide §3/§7.2:
-    # plan-shape diff SortAggregate×2+Sort×2 → HashAggregate×2).
-    cand = (
+    # Candidate dedup is distinct() over (ids + cos_sim), with the cosine
+    # computed BEFORE the dedup: the vectors are functionally determined
+    # by their ids (same exploded source row), so the score is too, and
+    # the deduped row set is identical to deduping on (ids + vecs) — but
+    # the aggregation keys are now all FIXED-WIDTH (two ids + one
+    # double), so the hash map stays compact, the dedup exchange carries
+    # ~24 bytes/row instead of two 64-float vectors (~20x), and the
+    # per-candidate NaN/-0.0 array normalization Spark inserts for
+    # array-typed grouping keys disappears. (dropDuplicates(ids) is still
+    # avoided: first(array<float>) buffers force SortAggregate — r11,
+    # guide §3/§7.2; this keeps HashAggregate AND drops the vectors from
+    # the aggregation entirely — r12, guide §2.3 shuffle-fewer-bytes.)
+    # Multi-bucket duplicates score identically (pure function of the
+    # vecs), so distinct() collapses them exactly as before.
+    cos = cosine(F.col(vec_col), F.col("__qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
         c_buckets.join(F.broadcast(q_buckets), "__bucket")
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
             F.col("__qid").alias(query_id_col),
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col), F.col("__qvec"),
+            cos.alias("cos_sim"),
         )
         .distinct()
     )
-    cos = cosine(F.col(vec_col), F.col("__qvec"))
-    if round_to is not None:
-        cos = F.round(cos, round_to)
-    scored = cand.select(query_id_col, "neighbor_id", cos.alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -293,7 +304,8 @@ def ann_join(
     ``n_planes`` defaults to ``'auto'``, sizing the bucket width from the
     RIGHT (retrieved) corpus cardinality via ``resolve_n_planes`` — the
     measured fix for the fixed-plane quadratic-candidates cliff; an int
-    overrides; ``corpus_rows`` skips the sizing count."""
+    overrides; ``corpus_rows`` skips the sizing count. Unique-id
+    precondition as in ``lsh_bucket_topk``."""
     n_planes = resolve_n_planes(n_planes, right, corpus_rows)
     l_b = ensure_parallelism(left).select(
         F.col(id_col).alias("__lid"),
@@ -313,25 +325,28 @@ def ann_join(
                       for t in range(n_tables)])
         ).alias("__bucket"),
     )
-    # distinct() over (ids + vecs) rather than dropDuplicates(ids): the
-    # vectors are functionally determined by the ids, so results are
-    # identical, and the buffer-free distinct hash-aggregates where
-    # first(array<float>) forced SortAggregate (see lsh_bucket_topk).
-    # __bucket must be projected away first or multi-bucket pairs would
-    # survive as duplicates.
-    cand = (
-        l_b.join(r_b, "__bucket")
-        .filter(F.col("__lid") != F.col("__rid"))
-        .select("__lid", "__lvec", "__rid", "__rvec")
-        .distinct()
-    )
+    # Score BEFORE the candidate dedup, then distinct() over (ids +
+    # cos_sim): the vectors are functionally determined by the ids, so
+    # the cosine is too and the deduped row set is identical — but the
+    # aggregation keys are fixed-width (no array normalization per row),
+    # the dedup exchange carries ~24 bytes/row instead of two 64-float
+    # vectors, and the vectors never outlive the bucket-join stage (r12,
+    # guide §2.3; see lsh_bucket_topk for the full rationale and why
+    # dropDuplicates(ids) stays banned). __bucket is dropped by the
+    # select, so multi-bucket pairs still collapse to one row — they
+    # score identically by construction.
     cos = cosine(F.col("__lvec"), F.col("__rvec"))
     if round_to is not None:
         cos = F.round(cos, round_to)
-    scored = cand.select(
-        F.col("__lid").alias("left_id"),
-        F.col("__rid").alias("neighbor_id"),
-        cos.alias("cos_sim"),
+    scored = (
+        l_b.join(r_b, "__bucket")
+        .filter(F.col("__lid") != F.col("__rid"))
+        .select(
+            F.col("__lid").alias("left_id"),
+            F.col("__rid").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("left_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -464,7 +479,8 @@ def cosine_near_dup_pairs(
     ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b.
     ``n_planes`` defaults to ``'auto'``, sizing buckets from the corpus
     cardinality (``resolve_n_planes``); an int overrides; ``corpus_rows``
-    skips the sizing count."""
+    skips the sizing count. Unique-id precondition as in
+    ``lsh_bucket_topk``."""
     n_planes = resolve_n_planes(n_planes, df, corpus_rows)
     df = ensure_parallelism(df)
     bucketed = df.select(
@@ -481,20 +497,21 @@ def cosine_near_dup_pairs(
     b = bucketed.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
     )
-    # distinct() over (ids + vecs) rather than dropDuplicates(ids) — same
-    # SortAggregate→HashAggregate rationale as lsh_bucket_topk/ann_join;
-    # __bucket is projected away first so multi-bucket pairs still
-    # collapse to one row.
-    cand = (
+    # Score before the dedup, filter on the threshold, THEN distinct()
+    # over (ids + cos_sim) — same fixed-width-keys rationale as
+    # lsh_bucket_topk/ann_join (the cosine is functionally determined by
+    # the id pair, so the deduped set is identical), plus the threshold
+    # filter now runs BEFORE the aggregation, so only near-duplicate
+    # pairs enter the dedup exchange at all (r12, guide §2.3).
+    return (
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "__va", "id_b", "__vb")
-        .distinct()
-    )
-    return (
-        cand.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .select(
+            "id_a", "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 

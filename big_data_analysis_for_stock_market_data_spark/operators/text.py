@@ -387,30 +387,45 @@ def unigram_logprob(
     Engine-exact by construction: each token's log10 p is quantized ONCE
     to integer nano-units (double→integer rounding is portable), and the
     per-doc figure is an INTEGER sum of those units — order-free, no
-    float-summation drift. Plan: one posting explode, a vocab-sized
-    grouped count (total count folded in as a broadcast 1-row aggregate),
-    one term-keyed join back (AQE broadcasts it when the vocabulary is
-    small), one per-doc sum. Emits (id, n_tokens, sum_logp_nano);
-    averages are derivable and deliberately not emitted as doubles."""
+    float-summation drift.
+
+    Plan (r12, guide §2.3 aggregate-before-shuffle / VERDICT r11 item 7):
+    ONE corpus tokenize+explode pass. The (doc, term, count) table is the
+    sufficient statistic for everything downstream — term frequency is
+    its per-term count sum, the corpus total is the sum of those, a doc's
+    token count is its per-doc count sum, and the per-doc score is the
+    integer Σ count·logp_nano (logp_nano is quantized BEFORE summation,
+    so weighting by count is exactly the old per-occurrence sum) — so it
+    is computed once over the explode and localCheckpoint'ed (the tfidf
+    precedent; the pre-r12 form ran the scan+tokenize+explode subtree
+    THREE times: total, vocabulary, join-back). N stays IN the plan as a
+    broadcast 1-row aggregate over the checkpointed stats (no driver
+    scalar). Emits (id, n_tokens, sum_logp_nano); averages are derivable
+    and deliberately not emitted as doubles."""
     scale = float(10 ** round_to)
     posting = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(col))).alias("term")
     )
-    total = posting.agg(F.count(F.lit(1)).cast("double").alias("__n_total"))
-    freq = (
-        posting.groupBy("term")
+    tf = (
+        posting.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = tf.agg(F.sum("__cnt").cast("double").alias("__n_total"))
+    freq = (
+        tf.groupBy("term")
+        .agg(F.sum("__cnt").alias("__cnt_t"))
         .crossJoin(F.broadcast(total))
     )
     logp_nano = F.round(
-        F.log10(F.col("__cnt") / F.col("__n_total")) * scale, 0
+        F.log10(F.col("__cnt_t") / F.col("__n_total")) * scale, 0
     ).cast("long")
     return (
-        posting.join(freq, "term")
+        tf.join(freq, "term")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(logp_nano).alias("sum_logp_nano"),
+            F.sum("__cnt").alias("n_tokens"),
+            F.sum(F.col("__cnt") * logp_nano).alias("sum_logp_nano"),
         )
     )
 

@@ -335,23 +335,67 @@ def test_container_synthesis_never_shuffles_payload(spark):
     # r11: the width for both Python passes is established on the NARROW
     # (id, text) input; the synthesized binary payload must not appear in
     # any exchange (the pre-r11 plan round-robin-shuffled it between the
-    # synthesize and parse passes).
-    import re
-
+    # synthesize and parse passes). r12 (ADVICE r11): the simple-mode
+    # Exchange line only prints partitioning expressions, so the original
+    # payload-grep was vacuous — assert STRUCTURE instead: the two
+    # MapInPandas nodes must be adjacent plan lines (synthesize feeding
+    # parse in one stage), which is false exactly when an exchange (or
+    # any other operator) separates them.
     df = q(spark, "mm_container_headers")
     plan = P.explain_str(df, "simple")
-    for m in re.finditer(r"Exchange [^\n]*", plan):
-        assert "payload" not in m.group(0), m.group(0)
-    # both Python passes present, chained with no exchange between them
-    assert plan.count("MapInPandas") == 2
+    lines = plan.splitlines()
+    idx = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert len(idx) == 2, plan
+    assert idx[1] == idx[0] + 1, "\n".join(lines[idx[0]:idx[1] + 1])
+    # and the formatted plan must show no Exchange consuming the payload
+    fmt = P.explain_str(df, "formatted")
+    blocks = fmt.split("\n\n")
+    for blk in blocks:
+        if blk.startswith("(") and "Exchange" in blk.splitlines()[0]:
+            assert "payload" not in blk, blk
+
+
+def test_mm_python_fanout_is_size_aware(spark):
+    # r12 (guide §2.5-2.6 / VERDICT r11 items 2+4): the Python fan-out
+    # width is derived from the input's scan bytes, not pinned to the
+    # session target — a KB-scale corpus must NOT spin a full complement
+    # of Python workers (measured 2-7x slower at width 32 than width 1
+    # for the light parsers at sf0.1). At the unit-test corpus size the
+    # light paths stay at scan width: no RoundRobinPartitioning exchange
+    # in the wav/png plans at all.
+    for name in ("mm_wav_native_decode", "mm_png_native_decode",
+                 "mm_container_headers"):
+        plan = P.explain_str(q(spark, name), "simple")
+        assert "RoundRobinPartitioning" not in plan, (name, plan)
 
 
 def test_ann_candidate_dedup_hash_aggregates(spark):
-    # r11: candidate-pair dedup is distinct() over ids+vectors, which
-    # hash-aggregates; dropDuplicates(ids) compiled to first(array<float>)
-    # whose variable-width buffer forced SortAggregate (two extra sorts of
-    # the widest intermediate).
+    # r11: candidate-pair dedup is distinct(), which hash-aggregates;
+    # dropDuplicates(ids) compiled to first(array<float>) whose
+    # variable-width buffer forced SortAggregate (two extra sorts of the
+    # widest intermediate). r12: the distinct now runs over
+    # (ids, cos_sim) — all fixed-width — so additionally no exchange
+    # after the bucket join may carry a vector column: the vectors must
+    # not outlive the join stage.
+    import re
+
+    vec_cols = re.compile(r"__lvec|__rvec|__qvec|__va|__vb|embedding")
     for name in ("simsearch_ann_join", "simsearch_lsh_topk",
                  "dedup_cosine_near"):
-        plan = P.explain_str(q(spark, name), "simple")
+        df = q(spark, name)
+        plan = P.explain_str(df, "simple")
         assert "SortAggregate" not in plan, name
+        fmt = P.explain_str(df, "formatted")
+        for blk in fmt.split("\n\n"):
+            lines = blk.splitlines()
+            if not (lines and blk.startswith("(")):
+                continue
+            # keyed (hash/range) exchanges are the post-join ones — the
+            # dedup, window and orderBy shuffles; the pre-join scan
+            # widening is RoundRobin and the broadcast side legitimately
+            # carries the bucketed vectors INTO the join
+            if ("Exchange" in lines[0]
+                    and "BroadcastExchange" not in lines[0]
+                    and ("hashpartitioning" in blk
+                         or "rangepartitioning" in blk)):
+                assert not vec_cols.search(blk), (name, blk)

@@ -1,13 +1,16 @@
 """Dump ``.explain("formatted")`` for headline (or named) queries into
-``plans/r11/<query>_<tag>.txt`` — the before/after evidence files the
-optimization round commits alongside code changes.
+``plans/$SPARK_GRAFT_PLAN_DIR/<query>_<tag>.txt`` (default ``plans/r12``) —
+the before/after evidence files the optimization round commits alongside
+code changes.
 
 Usage: python tools/dump_plans.py <tag> [query ...]
        (no query names = every bench HEADLINE entry)
 
 The tag is normally ``before`` or ``after``. Plans are built against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1); building the DataFrame
-is driver-only work, so this never executes the queries.
+is plan-only work — no query executes — EXCEPT entries whose operators run
+a sizing count at build time (simsearch n_planes='auto') or an eager
+localCheckpoint, which launch their small control-plane jobs.
 """
 
 from __future__ import annotations
@@ -32,7 +35,8 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_session(app_name="dump_plans")
